@@ -1,0 +1,277 @@
+"""Graph conv layers (flax.linen) with PyG-parity math.
+
+Each layer documents the exact equations of the PyTorch-Geometric layer it
+replaces (the reference's CONV_DICT, config.py:19-23), because the parity
+harness (tests/test_parity.py) asserts per-layer allclose against
+hand-written numpy transcriptions of those equations.
+
+All layers consume the flat CSR representation of a GraphBatch:
+  x [N, F], senders [E], receivers [E] (sorted), edge_mask [E]
+and are pure w.r.t. padding: padded rows in, zero rows out.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from graph_hscn_tpu.ops.segment import segment_softmax, segment_sum
+from graph_hscn_tpu.ops.spmm import gather_scatter, gcn_norm_weights
+
+glorot = nn.initializers.glorot_uniform()
+zeros = nn.initializers.zeros
+
+
+class GCNConv(nn.Module):
+    """PyG GCNConv:  X' = D^-1/2 (A + I) D^-1/2 X W + b.
+
+    Self-loops are folded in as a diagonal term (weight 1/(deg_i+1)) rather
+    than materialized edges, which keeps the edge array static.
+    Matches torch_geometric.nn.GCNConv with default args
+    (reference mpnn.py:52 via CONV_DICT["gcn"]).
+    """
+
+    features: int
+    add_self_loops: bool = True
+    normalize: bool = True
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, senders, receivers, edge_mask,
+                 edge_weight=None, num_nodes=None):
+        n = num_nodes or x.shape[0]
+        w = self.param("kernel", glorot, (x.shape[-1], self.features))
+        h = x @ w
+        if self.normalize:
+            norm_w, diag = gcn_norm_weights(
+                senders, receivers, edge_mask, n,
+                add_self_loops=self.add_self_loops)
+            if edge_weight is not None:
+                norm_w = norm_w * edge_weight
+        else:
+            norm_w = jnp.where(edge_mask,
+                               edge_weight if edge_weight is not None else 1.0,
+                               0.0)
+            diag = None
+        out = gather_scatter(h, senders, receivers, num_nodes=n,
+                             edge_weight=norm_w)
+        if diag is not None:
+            out = out + diag[:, None] * h
+        if self.use_bias:
+            out = out + self.param("bias", zeros, (self.features,))
+        return out
+
+
+class GraphConv(nn.Module):
+    """PyG GraphConv (Weisfeiler-Leman):
+        X'_i = W_root x_i + W_rel (sum_j w_ij x_j) + b
+    with add-aggregation and optional per-edge weights
+    (used by the SCN clustering stack, reference hscn.py:30-45).
+    """
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, senders, receivers, edge_mask,
+                 edge_weight=None, num_nodes=None):
+        n = num_nodes or x.shape[0]
+        w_eff = edge_weight if edge_weight is not None else jnp.ones(
+            senders.shape, x.dtype)
+        w_eff = jnp.where(edge_mask, w_eff, 0.0)
+        agg = gather_scatter(x, senders, receivers, num_nodes=n,
+                             edge_weight=w_eff)
+        w_rel = self.param("kernel_rel", glorot, (x.shape[-1], self.features))
+        w_root = self.param("kernel_root", glorot,
+                            (x.shape[-1], self.features))
+        out = agg @ w_rel + x @ w_root
+        if self.use_bias:
+            out = out + self.param("bias", zeros, (self.features,))
+        return out
+
+
+class GINConv(nn.Module):
+    """GIN:  X'_i = MLP((1 + eps) x_i + sum_j x_j).
+
+    The reference's CONV_DICT contains GINConv but its construction signature
+    is incompatible with channel dims (SURVEY quirk #11 — PyG GINConv takes an
+    nn module) so the reference cannot actually run GIN; here we accept
+    channel dims and build the conventional 2-layer MLP, making GIN usable.
+    """
+
+    features: int
+    train_eps: bool = False
+
+    @nn.compact
+    def __call__(self, x, senders, receivers, edge_mask,
+                 edge_weight=None, num_nodes=None):
+        n = num_nodes or x.shape[0]
+        w_eff = jnp.where(edge_mask, 1.0, 0.0)
+        if edge_weight is not None:
+            w_eff = w_eff * edge_weight
+        agg = gather_scatter(x, senders, receivers, num_nodes=n,
+                             edge_weight=w_eff)
+        eps = (self.param("eps", zeros, ()) if self.train_eps else 0.0)
+        h = (1.0 + eps) * x + agg
+        h = nn.Dense(self.features, kernel_init=glorot)(h)
+        h = nn.relu(h)
+        h = nn.Dense(self.features, kernel_init=glorot)(h)
+        return h
+
+
+class GATConv(nn.Module):
+    """PyG GATConv (heads H, concat):
+        h_i = W x_i                       (per head)
+        e_ij = LeakyReLU(a_src . h_j + a_dst . h_i, slope=0.2)
+        alpha_ij = softmax_{j in N(i)} e_ij      (over incoming edges)
+        X'_i = sum_j alpha_ij h_j  (+ bias)
+    With ``add_self_loops`` a self-edge participates in each node's softmax
+    (PyG default True; HSCN builds it with False, reference hscn.py:117-125).
+
+    For bipartite use (local->virtual relation) pass ``x_dst`` — separate
+    source/target projections, matching PyG's (-1, -1) lazy bipartite mode.
+    """
+
+    features: int
+    heads: int = 1
+    concat: bool = True
+    negative_slope: float = 0.2
+    add_self_loops: bool = True
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, senders, receivers, edge_mask,
+                 edge_weight=None, num_nodes=None, x_dst=None,
+                 num_dst_nodes=None):
+        H, C = self.heads, self.features
+        bipartite = x_dst is not None
+        n_dst = (num_dst_nodes or (x_dst.shape[0] if bipartite
+                                   else (num_nodes or x.shape[0])))
+
+        w_src = self.param("kernel_src", glorot, (x.shape[-1], H * C))
+        h_src = (x @ w_src).reshape(-1, H, C)
+        if bipartite:
+            w_dst = self.param("kernel_dst", glorot, (x_dst.shape[-1], H * C))
+            h_dst = (x_dst @ w_dst).reshape(-1, H, C)
+        else:
+            h_dst = h_src
+
+        att_src = self.param("att_src", glorot, (1, H, C))
+        att_dst = self.param("att_dst", glorot, (1, H, C))
+        a_src = jnp.sum(h_src * att_src, axis=-1)   # [N_src, H]
+        a_dst = jnp.sum(h_dst * att_dst, axis=-1)   # [N_dst, H]
+
+        e = a_src[senders] + a_dst[receivers]       # [E, H]
+        e = nn.leaky_relu(e, self.negative_slope)
+
+        if self.add_self_loops and not bipartite:
+            # Self edge for every node: logits a_src[i] + a_dst[i].
+            # Softmax over {incoming edges} U {self}: compute via shifted
+            # exponentials sharing one max.
+            self_e = nn.leaky_relu(a_src + a_dst, self.negative_slope)  # [N,H]
+            e_masked = jnp.where(edge_mask[:, None], e, -jnp.inf)
+            seg_max = jax.ops.segment_max(e_masked, receivers, n_dst,
+                                          indices_are_sorted=True)
+            m = jnp.maximum(jnp.where(jnp.isfinite(seg_max), seg_max, -jnp.inf),
+                            self_e)
+            m = jnp.where(jnp.isfinite(m), m, 0.0)
+            exp_e = jnp.where(edge_mask[:, None],
+                              jnp.exp(e - m[receivers]), 0.0)
+            exp_self = jnp.exp(self_e - m)
+            denom = segment_sum(exp_e, receivers, n_dst,
+                                indices_are_sorted=True) + exp_self
+            alpha = exp_e / jnp.maximum(denom[receivers], 1e-16)
+            alpha_self = exp_self / jnp.maximum(denom, 1e-16)
+            msgs = h_src[senders] * alpha[..., None]
+            out = segment_sum(msgs, receivers, n_dst,
+                              indices_are_sorted=True)
+            out = out + h_dst * alpha_self[..., None]
+        else:
+            alpha = segment_softmax(e, receivers, n_dst,
+                                    indices_are_sorted=True,
+                                    mask=edge_mask[:, None])
+            msgs = h_src[senders] * alpha[..., None]
+            out = segment_sum(msgs, receivers, n_dst,
+                              indices_are_sorted=True)
+
+        out = (out.reshape(n_dst, H * C) if self.concat
+               else out.mean(axis=1))
+        if self.use_bias:
+            dim = H * C if self.concat else C
+            out = out + self.param("bias", zeros, (dim,))
+        return out
+
+
+class GatedGCNConv(nn.Module):
+    """GatedGCN (Bresson & Laurent; the LRGB baseline layer — required by
+    BASELINE.json configs, absent from the reference's CONV_DICT):
+
+        e'_ij = C e_ij + D x_i + E x_j
+        eta_ij = sigmoid(e'_ij) / (sum_{j'} sigmoid(e'_ij') + eps)
+        x'_i = A x_i + sum_j eta_ij * (B x_j)
+    with optional residual + BatchNorm-free LayerNorm variant (we use
+    LayerNorm for TPU-friendliness; flag selects none).
+    Returns (x', e') — edge features are updated too.
+    """
+
+    features: int
+    residual: bool = True
+    norm: str = "layer"   # "layer" | "none"
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x, edge_feat, senders, receivers, edge_mask,
+                 num_nodes=None, train: bool = True):
+        n = num_nodes or x.shape[0]
+        A = nn.Dense(self.features, kernel_init=glorot)
+        B = nn.Dense(self.features, kernel_init=glorot)
+        C = nn.Dense(self.features, kernel_init=glorot)
+        D = nn.Dense(self.features, kernel_init=glorot)
+        E = nn.Dense(self.features, kernel_init=glorot)
+
+        e_new = C(edge_feat) + D(x)[receivers] + E(x)[senders]
+        sig = jax.nn.sigmoid(e_new)
+        sig = jnp.where(edge_mask[:, None], sig, 0.0)
+        denom = segment_sum(sig, receivers, n, indices_are_sorted=True)
+        msgs = sig * B(x)[senders]
+        agg = segment_sum(msgs, receivers, n, indices_are_sorted=True)
+        x_new = A(x) + agg / (denom + self.eps)
+
+        if self.norm == "layer":
+            x_new = nn.LayerNorm()(x_new)
+            e_new = nn.LayerNorm()(e_new)
+        x_new = nn.relu(x_new)
+        e_new = nn.relu(e_new)
+        if self.residual and x.shape[-1] == self.features:
+            x_new = x + x_new
+        if self.residual and edge_feat.shape[-1] == self.features:
+            e_new = edge_feat + e_new
+        return x_new, e_new
+
+
+ACTIVATIONS: dict[str, Callable] = {
+    "relu": nn.relu,
+    "elu": nn.elu,
+    "tanh": jnp.tanh,
+    "gelu": nn.gelu,
+    "identity": lambda x: x,
+}
+
+
+class MLP(nn.Module):
+    """Plain MLP head."""
+
+    features: Sequence[int]
+    activation: Callable = nn.relu
+    final_activation: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        for i, f in enumerate(self.features):
+            x = nn.Dense(f, kernel_init=glorot)(x)
+            if i < len(self.features) - 1 or self.final_activation:
+                x = self.activation(x)
+        return x

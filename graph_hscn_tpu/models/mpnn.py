@@ -1,0 +1,95 @@
+"""MPNN baselines (GCN/GAT/GIN stacks) — TPU-native version of the
+reference's MPNN (reference mpnn.py:13-76).
+
+Structure per the reference:
+  layer 0:   conv(F -> H)
+  layers 1..L-2: conv(H -> H)
+  layer L-1: conv(H -> C)
+  readout:   segment-mean over the batch vector (mpnn.py:60)
+
+Reference quirks, encoded behind ``compat`` (SURVEY §2.2):
+  #1 double activation: F.relu is hard-coded before the configured
+     activation (mpnn.py:52,57).  compat=True reproduces relu∘act;
+     compat=False applies only the configured activation.
+  #2 norm-flag bug: BN layers exist only when use_layer_norm is set
+     (mpnn.py:35-38).  We implement both norms correctly; compat mode keeps
+     the reference's *effective* behavior (BN crashes never happen because
+     parity configs never enable it).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from graph_hscn_tpu.data.structures import GraphBatch
+from graph_hscn_tpu.models.layers import (ACTIVATIONS, GATConv, GCNConv,
+                                          GINConv)
+from graph_hscn_tpu.ops.segment import graph_readout_mean
+
+CONV_TYPES = {"gcn": GCNConv, "gat": GATConv, "gin": GINConv}
+
+
+class MPNN(nn.Module):
+    conv_type: str
+    activation: str
+    num_features: int
+    hidden_channels: int
+    num_classes: int
+    num_layers: int
+    dropout: float = 0.0
+    use_batch_norm: bool = False
+    use_layer_norm: bool = False
+    compat_double_relu: bool = True
+    readout: str = "mean"        # graph-level; "none" for node-level tasks
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, train: bool = True):
+        conv_cls = CONV_TYPES[self.conv_type.lower()]
+        act: Callable = ACTIVATIONS[self.activation.lower()]
+        x = batch.node_feat
+        n = batch.num_nodes_padded
+
+        dims = ([self.hidden_channels] * (self.num_layers - 1)
+                + [self.num_classes])
+        for i, dim in enumerate(dims):
+            conv = conv_cls(features=dim)
+            x = conv(x, batch.senders, batch.receivers, batch.edge_mask,
+                     num_nodes=n)
+            if i < self.num_layers - 1:
+                if self.compat_double_relu:
+                    x = nn.relu(x)
+                if self.use_batch_norm:
+                    x = nn.BatchNorm(use_running_average=not train)(x)
+                if self.use_layer_norm:
+                    x = nn.LayerNorm()(x)
+                x = act(x)
+                if self.dropout > 0.0:
+                    x = nn.Dropout(rate=self.dropout,
+                                   deterministic=not train)(x)
+        # Mask padding before readout so dummy rows can't leak.
+        x = jnp.where(batch.node_mask[:, None], x, 0.0)
+        if self.readout == "none":
+            return x
+        return graph_readout_mean(x, batch.node_graph,
+                                  batch.num_graphs_padded)
+
+
+def build_mpnn(model_cfg, num_features: int, num_classes: int,
+               compat: bool = True, readout: str = "mean") -> MPNN:
+    """Mirror of reference build_mpnn (mpnn.py:63-76)."""
+    return MPNN(
+        conv_type=model_cfg.conv_type,
+        activation=model_cfg.activation,
+        num_features=num_features,
+        hidden_channels=model_cfg.hidden_channels,
+        num_classes=num_classes,
+        num_layers=model_cfg.num_layers,
+        dropout=model_cfg.dropout,
+        use_batch_norm=model_cfg.use_batch_norm,
+        use_layer_norm=model_cfg.use_layer_norm,
+        compat_double_relu=compat,
+        readout=readout,
+    )

@@ -1,0 +1,105 @@
+"""Sparse message aggregation: gather -> (optional edge transform) -> segment
+reduce.  This is the compute core of every conv layer, replacing PyG's
+MessagePassing gather/scatter machinery (reference mpnn.py:52,59 and
+hscn.py:57,109 via torch_sparse kernels).
+
+Two interchangeable backends:
+  - ``xla``   : jnp.take + sorted segment_sum.  Always available; this is the
+                reference semantics and the CPU test path.
+  - ``pallas``: fused CSR row-gather/accumulate kernel (ops/pallas/spmm_kernel
+                .py) for TPU.  Selected automatically on TPU for large
+                feature dims; falls back to xla elsewhere.
+
+The aggregation is expressed as a CSR SpMM: with edges sorted by receiver,
+``out[i] = sum_{e: recv[e]=i} w[e] * x[send[e]]``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from graph_hscn_tpu.ops.segment import segment_sum
+
+_BACKEND = "auto"  # "auto" | "xla" | "pallas"
+
+
+def set_backend(name: str) -> None:
+    global _BACKEND
+    assert name in ("auto", "xla", "pallas")
+    _BACKEND = name
+
+
+def get_backend() -> str:
+    return _BACKEND
+
+
+def _use_pallas(num_features: int) -> bool:
+    if _BACKEND == "xla":
+        return False
+    if _BACKEND == "pallas":
+        return True
+    return (jax.default_backend() == "tpu" and num_features % 128 == 0)
+
+
+def gather_scatter(
+    x: jnp.ndarray,          # [N, F] node features
+    senders: jnp.ndarray,    # [E] int32
+    receivers: jnp.ndarray,  # [E] int32, sorted ascending
+    *,
+    num_nodes: int | None = None,
+    edge_weight: jnp.ndarray | None = None,   # [E] or None
+    messages_out: bool = False,
+) -> jnp.ndarray:
+    """out[i] = sum over incoming edges of (w_e * x[sender_e]).
+
+    If ``messages_out`` is True also returns the per-edge gathered messages
+    (before reduction), which some layers (GAT backward, GatedGCN) reuse.
+    """
+    num_nodes = num_nodes if num_nodes is not None else x.shape[0]
+    if _use_pallas(x.shape[-1]) and edge_weight is None:
+        from graph_hscn_tpu.ops.pallas.spmm_kernel import spmm_csr
+        out = spmm_csr(x, senders, receivers, num_nodes)
+        if messages_out:
+            msgs = jnp.take(x, senders, axis=0)
+            return out, msgs
+        return out
+    msgs = jnp.take(x, senders, axis=0)
+    if edge_weight is not None:
+        msgs = msgs * edge_weight[:, None]
+    out = segment_sum(msgs, receivers, num_nodes, indices_are_sorted=True)
+    if messages_out:
+        return out, msgs
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("num_nodes", "add_self_loops"))
+def gcn_norm_weights(
+    senders: jnp.ndarray,
+    receivers: jnp.ndarray,
+    edge_mask: jnp.ndarray,
+    num_nodes: int,
+    add_self_loops: bool = True,
+):
+    """Symmetric GCN normalization  D^-1/2 (A+I) D^-1/2, matching PyG's
+    ``gcn_norm`` (used at reference train_clustering.py:37-42 and inside
+    GCNConv).
+
+    Returns per-edge weights for the existing edge list plus, when
+    ``add_self_loops``, the per-node self-loop weight ``1/(deg_i+1)`` to be
+    applied as a separate diagonal term (we never materialize extra edges —
+    the self-loop contribution is added as ``diag * x`` in the conv).
+
+    deg counts incoming real edges + 1 for the self loop.
+    """
+    ones = jnp.where(edge_mask, 1.0, 0.0)
+    deg = segment_sum(ones, receivers, num_nodes, indices_are_sorted=True)
+    if add_self_loops:
+        deg = deg + 1.0
+    inv_sqrt = jnp.where(deg > 0, jax.lax.rsqrt(jnp.maximum(deg, 1e-12)), 0.0)
+    w = inv_sqrt[senders] * inv_sqrt[receivers]
+    w = jnp.where(edge_mask, w, 0.0)
+    diag = inv_sqrt * inv_sqrt if add_self_loops else None
+    return w, diag

@@ -1,0 +1,74 @@
+"""Batch packing invariants: padding, CSR ordering, dense round-trip."""
+
+import numpy as np
+import pytest
+
+from graph_hscn_tpu.data import batching, synthetic
+from graph_hscn_tpu.data.batching import PadBudget, pack_batch
+
+
+@pytest.fixture(scope="module")
+def graphs():
+    return synthetic.make_peptides_func(num_graphs=40, seed=0, mean_nodes=40)
+
+
+def test_pack_shapes_and_masks(graphs):
+    budget = PadBudget.for_dataset(graphs, batch_size=8)
+    b = pack_batch(graphs[:8], budget)
+    assert b.node_feat.shape[0] == budget.num_nodes
+    assert b.senders.shape[0] == budget.num_edges
+    assert b.n_node.shape[0] == 9
+    assert b.node_mask.sum() == sum(g.num_nodes for g in graphs[:8])
+    assert b.edge_mask.sum() == sum(g.num_edges for g in graphs[:8])
+    assert b.graph_mask.sum() == 8
+    # Padding edges are self-loops on the final padding node.
+    pad = ~b.edge_mask
+    assert (b.senders[pad] == budget.num_nodes - 1).all()
+    assert (b.receivers[pad] == budget.num_nodes - 1).all()
+    # Padding nodes belong to the dummy final graph.
+    assert (b.node_graph[~b.node_mask] == 8).all()
+
+
+def test_csr_sorted(graphs):
+    budget = PadBudget.for_dataset(graphs, batch_size=8)
+    b = pack_batch(graphs[:8], budget)
+    assert (np.diff(b.receivers) >= 0).all()
+    rowptr = batching.csr_row_pointers(b.receivers, budget.num_nodes)
+    assert rowptr[-1] == budget.num_edges
+    # Each row segment has matching receivers.
+    for i in [0, 5, budget.num_nodes - 1]:
+        seg = b.receivers[rowptr[i]:rowptr[i + 1]]
+        assert (seg == i).all()
+
+
+def test_edge_endpoints_within_graph(graphs):
+    budget = PadBudget.for_dataset(graphs, batch_size=8)
+    b = pack_batch(graphs[:8], budget)
+    real = b.edge_mask
+    assert (b.node_graph[b.senders[real]]
+            == b.node_graph[b.receivers[real]]).all()
+
+
+def test_iter_batches_covers_all(graphs):
+    budget = PadBudget.for_dataset(graphs, batch_size=8)
+    batches = list(batching.iter_batches(graphs, 8, budget))
+    total = sum(int(b.graph_mask.sum()) for b in batches)
+    assert total == len(graphs)
+
+
+def test_dense_round_trip(graphs):
+    budget = PadBudget.for_dataset(graphs[:4], batch_size=4)
+    b = pack_batch(graphs[:4], budget)
+    n_max = int(max(g.num_nodes for g in graphs[:4]))
+    d = batching.to_dense(b, n_max)
+    # Node features recoverable.
+    off = 0
+    for gi, g in enumerate(graphs[:4]):
+        np.testing.assert_allclose(d.x[gi, :g.num_nodes], g.x, rtol=1e-6)
+        # Adjacency has exactly e edges.
+        assert d.adj[gi].sum() == g.num_edges
+        off += g.num_nodes
+    # Dense adjacency matches edge list.
+    g0 = graphs[0]
+    for s, r in g0.edge_index.T[:20]:
+        assert d.adj[0, r, s] == 1.0
