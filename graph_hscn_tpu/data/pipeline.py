@@ -1,0 +1,93 @@
+"""Dataset pipeline: config -> ragged graphs -> split -> padded batches.
+
+The TPU analog of reference loader.py:63-108 (load_dataset + get_loader).
+Data source resolution order:
+  1. cached real LRGB arrays under ``data_cfg.data_dir`` (data/lrgb.py);
+  2. deterministic synthetic generator (data/synthetic.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Iterator, Sequence
+
+import numpy as np
+
+from graph_hscn_tpu.data import synthetic
+from graph_hscn_tpu.data.batching import (GraphData, PadBudget, iter_batches,
+                                          pack_batch)
+from graph_hscn_tpu.data.structures import GraphBatch
+
+_SYNTH = {
+    "peptides_func": synthetic.make_peptides_func,
+    "peptides_struct": synthetic.make_peptides_struct,
+    "voc_superpixels": synthetic.make_voc_superpixels,
+}
+
+
+@dataclasses.dataclass
+class DataModule:
+    graphs: list[GraphData]
+    split_idx: dict[str, np.ndarray]
+    budget: PadBudget
+    batch_size: int
+    num_features: int
+    num_classes: int
+    task_level: str
+    seed: int = 0
+
+    @classmethod
+    def from_config(cls, data_cfg, pad_safety: float = 1.15) -> "DataModule":
+        graphs = None
+        if data_cfg.data_dir is not None:
+            from graph_hscn_tpu.data import lrgb
+            graphs, split_idx = lrgb.try_load(data_cfg.data_dir,
+                                              data_cfg.dataset_name)
+        if graphs is None:
+            maker = _SYNTH.get(data_cfg.dataset_name)
+            if maker is None:
+                raise ValueError(
+                    f"Unknown or unsupported dataset: {data_cfg.dataset_name}")
+            graphs = maker(num_graphs=data_cfg.num_graphs,
+                           seed=data_cfg.seed)
+            split_idx = synthetic.split_indices(len(graphs),
+                                                seed=data_cfg.seed + 42)
+        budget = PadBudget.for_dataset(graphs, data_cfg.batch_size,
+                                       safety=pad_safety)
+        g0 = graphs[0]
+        num_features = g0.x.shape[1]
+        if data_cfg.task_level == "graph":
+            num_classes = int(np.asarray(g0.y).reshape(-1).shape[0])
+        else:
+            num_classes = g0.node_y.shape[1]
+        return cls(graphs=graphs, split_idx=split_idx, budget=budget,
+                   batch_size=data_cfg.batch_size, num_features=num_features,
+                   num_classes=num_classes, task_level=data_cfg.task_level,
+                   seed=data_cfg.seed)
+
+    def split(self, name: str) -> list[GraphData]:
+        return [self.graphs[int(i)] for i in self.split_idx[name]]
+
+    def train_batches(self, epoch_seed: int | None = None
+                      ) -> Iterator[GraphBatch]:
+        rng = np.random.default_rng(
+            self.seed if epoch_seed is None else epoch_seed)
+        return iter_batches(self.split("train"), self.batch_size,
+                            self.budget, shuffle=True, rng=rng)
+
+    def eval_batches(self, name: str) -> list[GraphBatch]:
+        return list(iter_batches(self.split(name), self.batch_size,
+                                 self.budget, shuffle=False))
+
+    def example_batch(self) -> GraphBatch:
+        gs = self.split("train")[: self.batch_size]
+        return pack_batch(gs, self.budget)
+
+    def max_nodes_per_graph(self) -> int:
+        return max(g.num_nodes for g in self.graphs)
+
+    def apply_transform(self, fn: Callable[[GraphData], GraphData],
+                        ) -> None:
+        """In-place per-graph transform, the analog of the reference's
+        pre_transform_in_memory (transform/pre_transform.py:7-25)."""
+        self.graphs = [fn(g) for g in self.graphs]

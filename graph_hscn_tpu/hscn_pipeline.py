@@ -1,0 +1,58 @@
+"""The 4-stage HSCN pipeline (reference main.py:100-119):
+
+  1. SCN clustering pre-train        (train/clustering.py)
+  2. graph rewrite -> clusters        (a field on GraphData; no HeteroData —
+                                       the rewrite is pure tensor ops inside
+                                       the HSCN forward)
+  3. batches with cluster ids
+  4. supervised HSCN training         (train/loop.py)
+"""
+
+from __future__ import annotations
+
+from graph_hscn_tpu.config.config import ExperimentConfig
+from graph_hscn_tpu.data.pipeline import DataModule
+from graph_hscn_tpu.models.hscn import build_hscn
+from graph_hscn_tpu.models.scn import build_scn
+from graph_hscn_tpu.train.clustering import train_clustering
+from graph_hscn_tpu.train.loop import FitResult, fit
+
+
+def run_hscn_pipeline(cfg: ExperimentConfig, dm: DataModule, logger
+                      ) -> FitResult:
+    hscn_cfg = cfg.hscn
+
+    # Stage 1: clustering pre-train.
+    scn = build_scn(hscn_cfg, dm.num_features,
+                    max_nodes=_round8(dm.max_nodes_per_graph()))
+    clusters = train_clustering(logger, dm, scn, hscn_cfg, cfg.optim,
+                                seed=cfg.training.seed)
+
+    # Stage 2: attach cluster ids (the whole "hetero rewrite").
+    dm.graphs = [g.replace(cluster=c) for g, c in zip(dm.graphs, clusters)]
+
+    # Stage 3+4: HSCN training on cluster-annotated batches.
+    node_level = dm.task_level == "node"
+    model = build_hscn(hscn_cfg, dm.num_classes,
+                       compat_triangular=cfg.compat.vv_triangular_pattern,
+                       compat_index_shift=cfg.compat.cluster_index_shift,
+                       readout="none" if node_level else "mean")
+    checkpointer = None
+    if cfg.training.checkpoint_dir:
+        from graph_hscn_tpu.train.checkpoint import Checkpointer
+        checkpointer = Checkpointer(cfg.training.checkpoint_dir)
+    result = fit(
+        model,
+        lambda: dm.train_batches(),
+        dm.eval_batches("val"), dm.eval_batches("test"),
+        cfg.optim, cfg.training, logger,
+        node_level=node_level,
+        compat_sigmoid_score=cfg.compat.sigmoid_regression_score,
+        checkpointer=checkpointer,
+    )
+    logger.finish()
+    return result
+
+
+def _round8(x: int) -> int:
+    return ((x + 7) // 8) * 8

@@ -1,0 +1,185 @@
+"""HSCN — heterogeneous virtual-node convolution network
+(reference hscn.py:67-140).
+
+TPU-native redesign.  The reference materializes a PyG ``HeteroData`` per
+graph with Python loops (hetero_data.py:42-87) and runs ``HeteroConv`` over
+three relations.  Here no hetero object ever exists: virtual nodes live in a
+dense ``[G*K, H]`` array addressed by ``vid = graph_id * K + cluster`` and
+the three relations become three tensor programs per layer:
+
+  local->local   GCNConv (add_self_loops=False) on the original CSR edges —
+                 sparse path (reference hscn.py:117-125, ll GCN).
+  local->virtual GAT bipartite attention: each real node attends to its
+                 cluster's virtual node; softmax is a segment-softmax over
+                 cluster members (reference lv GAT, the "must be GAT" slot).
+  virtual->virtual dense conv over a per-graph K x K adjacency — a batched
+                 MXU matmul (reference vv GCN over the virtual "clique").
+
+HeteroConv aggr="sum" semantics (reference hscn.py:82-97): destination type
+"local" receives only ll; "virtual" receives lv + vv.  ReLU after every
+layer for both types (hscn.py:110), mean-pool over local nodes + 2-layer
+head (hscn.py:111-113).
+
+Virtual topology: the reference's virtual-virtual edge pattern is NOT a
+clique — it's the triangular set {(i,j): i+j < num_active} including some
+self-loops (quirk #9, hetero_data.py:68-79).  ``vv_pattern="triangular"``
+reproduces it; "clique" (default "triangular" for parity) uses the full
+directed clique without self-loops.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from graph_hscn_tpu.data.structures import GraphBatch
+from graph_hscn_tpu.models.layers import (ACTIVATIONS, GATConv, GCNConv,
+                                          glorot, zeros)
+from graph_hscn_tpu.ops.segment import (graph_readout_mean, segment_mean,
+                                        segment_softmax, segment_sum)
+
+
+def virtual_node_features(batch: GraphBatch, num_clusters: int,
+                          index_shift: bool = False):
+    """Initial virtual-node features: per-(graph, cluster) mean of member
+    node features (reference hetero_data.py:56-59).
+
+    Returns (x_v [G*K, F], v_active [G*K] bool, vid [N] int32).
+    ``index_shift`` reproduces quirk #8 (features rotated one cluster down
+    relative to the l->v edge targets, hetero_data.py:53-54 vs :81-83),
+    approximated as a mod-K rotation.
+    """
+    K = num_clusters
+    G = batch.num_graphs_padded
+    vid = batch.node_graph * K + batch.cluster
+    feat_cluster = ((batch.cluster - 1) % K) if index_shift else batch.cluster
+    feat_vid = batch.node_graph * K + feat_cluster
+    ones = batch.node_mask.astype(batch.node_feat.dtype)
+    count = segment_sum(ones, vid, G * K)
+    x_masked = jnp.where(batch.node_mask[:, None], batch.node_feat, 0.0)
+    x_v = segment_sum(x_masked, feat_vid, G * K)
+    feat_count = segment_sum(ones, feat_vid, G * K)
+    x_v = x_v / jnp.maximum(feat_count, 1.0)[:, None]
+    graph_real = jnp.repeat(batch.graph_mask, K)
+    v_active = (count > 0) & graph_real
+    return x_v, v_active, vid
+
+
+def _vv_adjacency(v_active, num_graphs: int, num_clusters: int,
+                  pattern: str, dtype):
+    """Per-graph K x K virtual adjacency A[g, dst, src].
+
+    "clique": all-to-all among active clusters, no self loops.
+    "triangular": reference parity (quirk #9) — pairs of *compacted* active
+    positions (p_src, p_dst) with p_src + p_dst < num_active (self-loops
+    where 2p < num_active included).
+    """
+    K = num_clusters
+    act = v_active.reshape(num_graphs, K).astype(dtype)
+    if pattern == "clique":
+        eye = jnp.eye(K, dtype=dtype)
+        a = act[:, :, None] * act[:, None, :] * (1.0 - eye)
+        return a
+    # Compacted position of each active slot: rank among active clusters.
+    pos = jnp.cumsum(act, axis=1) - 1.0          # [G, K]
+    num_active = jnp.sum(act, axis=1)            # [G]
+    p_sum = pos[:, :, None] + pos[:, None, :]    # [G, dst, src]
+    ok = (p_sum < num_active[:, None, None])
+    a = jnp.where(ok, 1.0, 0.0) * act[:, :, None] * act[:, None, :]
+    return a
+
+
+class DenseGCN(nn.Module):
+    """GCNConv on a dense batched adjacency (the vv relation):
+    out = D^-1/2 A D^-1/2 (X W) + b, in-degree normalization, no added
+    self-loops — matching PyG GCNConv(add_self_loops=False) semantics."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x, adj):
+        # adj: [G, K, K] with adj[g, dst, src]; in-degree = row-sum.
+        deg_in = jnp.sum(adj, axis=-1)
+        inv = jnp.where(deg_in > 0, jax.lax.rsqrt(jnp.maximum(deg_in, 1e-12)),
+                        0.0)
+        a_norm = adj * inv[:, :, None] * inv[:, None, :]
+        w = self.param("kernel", glorot, (x.shape[-1], self.features))
+        out = jnp.einsum("gkj,gjf->gkf", a_norm, x @ w)
+        return out + self.param("bias", zeros, (self.features,))
+
+
+class HSCN(nn.Module):
+    lv_conv: str
+    ll_conv: str
+    vv_conv: str
+    activation: str
+    hidden_channels: int
+    num_classes: int
+    num_layers: int
+    num_clusters: int
+    vv_pattern: str = "triangular"   # reference parity (quirk #9)
+    index_shift: bool = False        # quirk #8 off by default
+    readout: str = "mean"
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, train: bool = True):
+        assert batch.cluster is not None, "HSCN needs cluster assignments"
+        K = self.num_clusters
+        G = batch.num_graphs_padded
+        N = batch.num_nodes_padded
+        act = ACTIVATIONS[self.activation.lower()]
+
+        x_l = batch.node_feat
+        x_v, v_active, vid = virtual_node_features(
+            batch, K, index_shift=self.index_shift)
+        adj_vv = _vv_adjacency(v_active, G, K, self.vv_pattern, x_l.dtype)
+
+        for _ in range(self.num_layers):
+            # local <- local (GCN without self-loops, reference hscn.py:121).
+            ll = GCNConv(features=self.hidden_channels,
+                         add_self_loops=False)
+            x_l_new = ll(x_l, batch.senders, batch.receivers,
+                         batch.edge_mask, num_nodes=N)
+
+            # virtual <- local (bipartite GAT; one edge per real node).
+            lv = GATConv(features=self.hidden_channels, heads=1,
+                         add_self_loops=False)
+            lv_out = lv(x_l, jnp.arange(N, dtype=jnp.int32), vid,
+                        batch.node_mask, x_dst=x_v, num_dst_nodes=G * K)
+
+            # virtual <- virtual (dense batched GCN on the K x K pattern).
+            vv = DenseGCN(features=self.hidden_channels)
+            vv_out = vv(x_v.reshape(G, K, -1), adj_vv).reshape(G * K, -1)
+
+            # HeteroConv aggr="sum" + per-type ReLU (hscn.py:97,110).
+            x_l = nn.relu(x_l_new)
+            x_v = nn.relu(lv_out + vv_out)
+            x_v = jnp.where(v_active[:, None], x_v, 0.0)
+
+        x_l = jnp.where(batch.node_mask[:, None], x_l, 0.0)
+        if self.readout == "none":
+            h = act(nn.Dense(self.hidden_channels, kernel_init=glorot)(x_l))
+            return nn.Dense(self.num_classes, kernel_init=glorot)(h)
+        pooled = graph_readout_mean(x_l, batch.node_graph, G)
+        h = act(nn.Dense(self.hidden_channels, kernel_init=glorot)(pooled))
+        return nn.Dense(self.num_classes, kernel_init=glorot)(h)
+
+
+def build_hscn(model_cfg, num_classes: int, compat_triangular: bool = True,
+               compat_index_shift: bool = False,
+               readout: str = "mean") -> HSCN:
+    """Mirror of reference build_hscn (hscn.py:128-140)."""
+    return HSCN(
+        lv_conv=model_cfg.lv_conv_type,
+        ll_conv=model_cfg.ll_conv_type,
+        vv_conv=model_cfg.vv_conv_type,
+        activation=model_cfg.activation,
+        hidden_channels=model_cfg.hidden_channels,
+        num_classes=num_classes,
+        num_layers=model_cfg.num_layers,
+        num_clusters=model_cfg.num_clusters,
+        vv_pattern="triangular" if compat_triangular else "clique",
+        index_shift=compat_index_shift,
+        readout=readout,
+    )

@@ -77,13 +77,18 @@ class GraphConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, senders, receivers, edge_mask,
-                 edge_weight=None, num_nodes=None):
+                 edge_weight=None, num_nodes=None, self_weight=None):
         n = num_nodes or x.shape[0]
         w_eff = edge_weight if edge_weight is not None else jnp.ones(
             senders.shape, x.dtype)
         w_eff = jnp.where(edge_mask, w_eff, 0.0)
         agg = gather_scatter(x, senders, receivers, num_nodes=n,
                              edge_weight=w_eff)
+        if self_weight is not None:
+            # Self-loop contribution routed through the neighbor transform,
+            # matching gcn_norm's materialized self-loop edges feeding
+            # GraphConv in the reference (train_clustering.py:37-47).
+            agg = agg + self_weight[:, None] * x
         w_rel = self.param("kernel_rel", glorot, (x.shape[-1], self.features))
         w_root = self.param("kernel_root", glorot,
                             (x.shape[-1], self.features))

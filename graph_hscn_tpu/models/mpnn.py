@@ -78,8 +78,18 @@ class MPNN(nn.Module):
 
 
 def build_mpnn(model_cfg, num_features: int, num_classes: int,
-               compat: bool = True, readout: str = "mean") -> MPNN:
-    """Mirror of reference build_mpnn (mpnn.py:63-76)."""
+               compat: bool = True, readout: str = "mean"):
+    """Mirror of reference build_mpnn (mpnn.py:63-76), extended with the
+    GatedGCN family (not constructible in the reference)."""
+    if model_cfg.conv_type.lower() == "gatedgcn":
+        from graph_hscn_tpu.models.gatedgcn import GatedGCNNet
+        return GatedGCNNet(
+            hidden_channels=model_cfg.hidden_channels,
+            num_classes=num_classes,
+            num_layers=model_cfg.num_layers,
+            dropout=model_cfg.dropout,
+            readout=readout,
+        )
     return MPNN(
         conv_type=model_cfg.conv_type,
         activation=model_cfg.activation,

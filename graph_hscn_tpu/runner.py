@@ -1,0 +1,62 @@
+"""Experiment runner: config -> data -> model -> training.
+
+The orchestration layer of the framework (reference run_train, main.py:85-120)
+with both pipelines:
+
+  MPNN: build_mpnn -> fit
+  HSCN: SCN cluster pre-train (train/clustering.py) -> cluster assignments ->
+        hetero virtual-node batches (data/hetero.py) -> HSCN -> fit
+"""
+
+from __future__ import annotations
+
+import jax
+
+from graph_hscn_tpu.config.config import ExperimentConfig
+from graph_hscn_tpu.data.pipeline import DataModule
+from graph_hscn_tpu.models.mpnn import build_mpnn
+from graph_hscn_tpu.train.loop import FitResult, fit
+from graph_hscn_tpu.utils.logger import Logger
+
+
+def run_experiment(cfg: ExperimentConfig, log_file=None) -> FitResult:
+    jax.config.update("jax_default_matmul_precision",
+                      cfg.runtime.matmul_precision)
+    logger = Logger(log_file=log_file, metric_name=cfg.training.metric,
+                    use_wandb=cfg.training.use_wandb,
+                    wandb_project=cfg.training.wandb_proj_name
+                    or cfg.project_name)
+    dm = DataModule.from_config(cfg.data, pad_safety=cfg.runtime.pad_safety)
+    logger.info(f"Dataset {cfg.data.dataset_name}: {len(dm.graphs)} graphs, "
+                f"budget nodes={dm.budget.num_nodes} "
+                f"edges={dm.budget.num_edges}")
+
+    if cfg.pe is not None:
+        from graph_hscn_tpu.transform.posenc import attach_posenc
+        attach_posenc(dm, cfg.pe, logger,
+                      frozen_random=cfg.compat.frozen_random_signnet)
+
+    node_level = dm.task_level == "node"
+
+    if cfg.hscn is not None:
+        from graph_hscn_tpu.hscn_pipeline import run_hscn_pipeline
+        return run_hscn_pipeline(cfg, dm, logger)
+
+    model = build_mpnn(cfg.mpnn, dm.num_features, dm.num_classes,
+                       compat=cfg.compat.double_relu,
+                       readout="none" if node_level else "mean")
+    checkpointer = None
+    if cfg.training.checkpoint_dir:
+        from graph_hscn_tpu.train.checkpoint import Checkpointer
+        checkpointer = Checkpointer(cfg.training.checkpoint_dir)
+    result = fit(
+        model,
+        lambda: dm.train_batches(),
+        dm.eval_batches("val"), dm.eval_batches("test"),
+        cfg.optim, cfg.training, logger,
+        node_level=node_level,
+        compat_sigmoid_score=cfg.compat.sigmoid_regression_score,
+        checkpointer=checkpointer,
+    )
+    logger.finish()
+    return result

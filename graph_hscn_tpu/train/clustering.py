@@ -1,0 +1,76 @@
+"""SCN clustering pre-training (stage 1 of the HSCN pipeline).
+
+Reference: train_clustering.py:20-70 — a per-graph (batch-size-1) Python
+loop over cluster_epochs, one optimizer step per *graph*.  Here the whole
+padded batch trains in one jitted step (one optimizer step per batch), which
+is the natural batched generalization; losses are means over the graphs in
+the batch, so gradient scale matches the reference's per-graph steps up to
+batching.  After training, one inference pass assigns
+``argmax_k softmax(s)`` per node (reference :55-70).
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from graph_hscn_tpu.data.pipeline import DataModule
+from graph_hscn_tpu.models.scn import SCN
+from graph_hscn_tpu.train.optimizers import build_optimizer
+
+
+def train_clustering(logger, dm: DataModule, scn: SCN, hscn_cfg, optim_cfg,
+                     seed: int = 0) -> list[np.ndarray]:
+    """Returns one int array of per-node cluster ids per graph (in dataset
+    order), like the reference's cluster_all_lst."""
+    tx = build_optimizer(optim_cfg.optim_type, optim_cfg.lr,
+                         optim_cfg.weight_decay)
+    example = dm.example_batch()
+    rng = jax.random.PRNGKey(seed)
+    params = scn.init(rng, example, train=False)["params"]
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, batch):
+        def loss_fn(p):
+            _, mc, o = scn.apply({"params": p}, batch, train=True)
+            return mc + o
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state2 = tx.update(grads, opt_state, params)
+        params2 = optax.apply_updates(params, updates)
+        return params2, opt_state2, loss
+
+    @jax.jit
+    def infer(params, batch):
+        s, _, _ = scn.apply({"params": params}, batch, train=False)
+        return jnp.argmax(s, axis=-1)
+
+    for epoch in range(hscn_cfg.cluster_epochs):
+        t0 = time.time()
+        losses = []
+        for batch in dm.train_batches(epoch_seed=seed + epoch):
+            params, opt_state, loss = step(params, opt_state, batch)
+            losses.append(loss)
+        logger.info(
+            f"Clustering epoch {epoch}: loss="
+            f"{float(np.mean([np.asarray(l) for l in losses])):.4f} "
+            f"({time.time() - t0:.2f}s)")
+
+    # Inference over the full dataset in dataset order.
+    logger.info("Generating cluster assignments...")
+    clusters: list[np.ndarray] = []
+    from graph_hscn_tpu.data.batching import iter_batches
+    for batch in iter_batches(dm.graphs, dm.batch_size, dm.budget,
+                              shuffle=False):
+        assign = np.asarray(infer(params, batch))
+        ng = np.asarray(batch.node_graph)
+        nm = np.asarray(batch.node_mask)
+        for gi in range(int(batch.graph_mask.sum())):
+            clusters.append(assign[nm & (ng == gi)].astype(np.int32))
+    assert len(clusters) == len(dm.graphs)
+    return clusters

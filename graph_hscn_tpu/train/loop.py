@@ -1,0 +1,210 @@
+"""Training + evaluation loops.
+
+TPU-native redesign of the reference train/train.py:54-214:
+
+- one jit-compiled train step (forward + backward + optimizer update) per
+  bucket shape; the epoch loop feeds pre-packed batches, so there is no
+  per-batch host<->device chatter (the reference syncs every batch via
+  ``loss.item()``, train.py:85);
+- predictions/labels accumulate on device and transfer once per epoch for
+  metric computation on host;
+- eval cadence, early stopping (patience counted in eval periods, quirk
+  #13 preserved intentionally: it matches the reference's semantics),
+  min_delta on val loss — all identical to reference train.py:164-214;
+- optional data-parallel sharding over a mesh (parallel/).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Any, Callable, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from graph_hscn_tpu.data.structures import GraphBatch
+from graph_hscn_tpu.train.loss import criterion
+from graph_hscn_tpu.train.metrics import METRICS
+from graph_hscn_tpu.train.optimizers import build_optimizer
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+    rng: jnp.ndarray
+
+
+def is_eval_epoch(epoch: int, max_epochs: int, eval_period: int) -> bool:
+    """Same cadence as reference train/utils.py:1-6."""
+    return ((epoch + 1) % eval_period == 0 or epoch == 0
+            or (epoch + 1) == max_epochs)
+
+
+def make_train_step(model, tx, loss_fn: str, node_level: bool = False,
+                    compat_sigmoid_score: bool = False,
+                    extra_loss_fn: Callable | None = None):
+    """Build the jitted train step.  ``extra_loss_fn(params, batch) ->
+    scalar`` lets callers fold in auxiliary losses (e.g. MinCUT)."""
+
+    def loss_and_score(params, batch: GraphBatch, rng, train: bool):
+        variables = {"params": params}
+        kwargs = {"train": train}
+        if train:
+            kwargs["rngs"] = {"dropout": rng}
+        pred = model.apply(variables, batch, **kwargs)
+        if node_level:
+            true = batch.node_y
+            mask = batch.node_mask
+        else:
+            true = batch.y
+            mask = batch.graph_mask
+        loss, score = criterion(loss_fn, pred, true, mask,
+                                compat_sigmoid_score=compat_sigmoid_score)
+        if extra_loss_fn is not None:
+            loss = loss + extra_loss_fn(params, batch)
+        return loss, (score, true, mask)
+
+    @jax.jit
+    def train_step(state: TrainState, batch: GraphBatch):
+        rng, step_rng = jax.random.split(state.rng)
+        (loss, (score, true, mask)), grads = jax.value_and_grad(
+            loss_and_score, has_aux=True)(state.params, batch, step_rng, True)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=params, opt_state=opt_state,
+                               step=state.step + 1, rng=rng)
+        return new_state, loss, score, true, mask
+
+    @jax.jit
+    def eval_step(state: TrainState, batch: GraphBatch):
+        loss, (score, true, mask) = loss_and_score(
+            state.params, batch, state.rng, False)
+        return loss, score, true, mask
+
+    return train_step, eval_step
+
+
+def init_state(model, tx, example_batch: GraphBatch, seed: int = 0
+               ) -> TrainState:
+    rng = jax.random.PRNGKey(seed)
+    init_rng, state_rng = jax.random.split(rng)
+    variables = model.init({"params": init_rng, "dropout": init_rng},
+                           example_batch, train=False)
+    params = variables["params"]
+    opt_state = tx.init(params)
+    return TrainState(params=params, opt_state=opt_state,
+                      step=jnp.zeros((), jnp.int32), rng=state_rng)
+
+
+def _epoch_metrics(scores, trues, masks, losses, metric_fn, node_level):
+    y_pred = np.concatenate([np.asarray(s) for s in scores])
+    y_true = np.concatenate([np.asarray(t) for t in trues])
+    m = np.concatenate([np.asarray(k) for k in masks])
+    perf = metric_fn(y_true[m], y_pred[m])
+    return float(np.mean([np.asarray(l) for l in losses])), perf
+
+
+@dataclasses.dataclass
+class FitResult:
+    state: TrainState
+    best_val_loss: float
+    history: list
+    stopped_early: bool
+    epochs_run: int
+
+
+def fit(model, train_batches_fn: Callable[[], Iterable[GraphBatch]],
+        val_batches: list[GraphBatch], test_batches: list[GraphBatch],
+        optim_cfg, training_cfg, logger, example_batch: GraphBatch | None = None,
+        node_level: bool = False, compat_sigmoid_score: bool = False,
+        shard_batch: Callable[[GraphBatch], GraphBatch] | None = None,
+        checkpointer=None) -> FitResult:
+    """Full training run with eval cadence + early stopping
+    (mirrors reference train.py:147-214)."""
+    tx = build_optimizer(optim_cfg.optim_type, optim_cfg.lr,
+                         optim_cfg.weight_decay,
+                         optim_cfg.batch_accumulation,
+                         optim_cfg.clip_grad_norm)
+    metric_fn = METRICS[training_cfg.metric]
+    if example_batch is None:
+        example_batch = next(iter(train_batches_fn()))
+    if shard_batch is not None:
+        example_batch = shard_batch(example_batch)
+    state = init_state(model, tx, example_batch, seed=training_cfg.seed)
+    train_step, eval_step = make_train_step(
+        model, tx, training_cfg.loss_fn, node_level=node_level,
+        compat_sigmoid_score=compat_sigmoid_score)
+
+    best_loss = float("inf")
+    num_improvement = 0
+    history = []
+    stopped = False
+    epochs_run = 0
+
+    for epoch in range(training_cfg.epochs):
+        t0 = time.time()
+        losses, scores, trues, masks = [], [], [], []
+        for batch in train_batches_fn():
+            if shard_batch is not None:
+                batch = shard_batch(batch)
+            state, loss, score, true, mask = train_step(state, batch)
+            losses.append(loss)  # device array; sync deferred to epoch end
+            scores.append(score)
+            trues.append(true)
+            masks.append(mask)
+        train_loss, train_perf = _epoch_metrics(
+            scores, trues, masks, losses, metric_fn, node_level)
+        logger.log_train(epoch, train_loss, train_perf, t0)
+        history.append({"epoch": epoch, "train_loss": train_loss,
+                        "train_perf": train_perf})
+        epochs_run = epoch + 1
+
+        if is_eval_epoch(epoch, training_cfg.epochs,
+                         training_cfg.eval_period):
+            for split, batches in (("Validation", val_batches),
+                                   ("Test", test_batches)):
+                losses, scores, trues, masks = [], [], [], []
+                for batch in batches:
+                    if shard_batch is not None:
+                        batch = shard_batch(batch)
+                    loss, score, true, mask = eval_step(state, batch)
+                    losses.append(loss)
+                    scores.append(score)
+                    trues.append(true)
+                    masks.append(mask)
+                ev_loss, ev_perf = _epoch_metrics(
+                    scores, trues, masks, losses, metric_fn, node_level)
+                logger.log_eval(ev_loss, ev_perf, split)
+                history[-1][f"{split.lower()}_loss"] = ev_loss
+                history[-1][f"{split.lower()}_perf"] = ev_perf
+                if split == "Validation":
+                    if ev_loss < best_loss - training_cfg.min_delta:
+                        best_loss = ev_loss
+                        num_improvement = 0
+                        if checkpointer is not None:
+                            checkpointer.save_best(state, epoch, ev_loss)
+                    else:
+                        num_improvement += 1
+                    if (num_improvement >= training_cfg.patience
+                            and epoch != training_cfg.epochs - 1):
+                        logger.info(
+                            f"No improvement by {training_cfg.min_delta} for "
+                            f"more than {training_cfg.patience} eval periods,"
+                            f" stopping early.")
+                        stopped = True
+            if stopped:
+                break
+            if (checkpointer is not None and training_cfg.checkpoint_every
+                    and (epoch // training_cfg.eval_period)
+                    % training_cfg.checkpoint_every == 0):
+                checkpointer.save_latest(state, epoch)
+
+    return FitResult(state=state, best_val_loss=best_loss, history=history,
+                     stopped_early=stopped, epochs_run=epochs_run)

@@ -1,0 +1,49 @@
+"""Optimizers: optax chains matching the torch semantics the reference uses
+(OPTIM_DICT, reference config/config.py:24-28; construction train.py:155-159).
+
+torch-parity notes:
+- torch AdamW decouples weight decay  -> optax.adamw (same update rule).
+- torch Adam's ``weight_decay`` is L2 regularization added to the gradient
+  *before* moment updates -> optax.add_decayed_weights must precede
+  scale_by_adam, so we build the chain manually.
+- torch Adagrad defaults: initial_accumulator_value=0, eps=1e-10; L2 decay
+  added to the gradient like Adam.
+"""
+
+from __future__ import annotations
+
+import optax
+
+
+def build_optimizer(optim_type: str, lr: float, weight_decay: float,
+                    batch_accumulation: int = 1,
+                    clip_grad_norm: bool = False) -> optax.GradientTransformation:
+    t = optim_type.lower()
+    if t == "adamw":
+        core = optax.adamw(lr, b1=0.9, b2=0.999, eps=1e-8,
+                           weight_decay=weight_decay)
+    elif t == "adam":
+        core = optax.chain(
+            optax.add_decayed_weights(weight_decay),
+            optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+            optax.scale(-lr),
+        )
+    elif t == "adagrad":
+        core = optax.chain(
+            optax.add_decayed_weights(weight_decay),
+            optax.scale_by_rss(initial_accumulator_value=0.0, eps=1e-10),
+            optax.scale(-lr),
+        )
+    else:
+        raise ValueError(f"Unknown optimizer {optim_type}")
+
+    parts = []
+    if clip_grad_norm:
+        # Reference calls (deprecated) clip_grad_norm with max_norm=1.0
+        # (train.py:92-93, quirk #14).
+        parts.append(optax.clip_by_global_norm(1.0))
+    parts.append(core)
+    tx = optax.chain(*parts)
+    if batch_accumulation > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=batch_accumulation)
+    return tx

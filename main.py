@@ -1,0 +1,35 @@
+"""CLI entry point: ``python main.py --cfg configs/GCN/peptides_func_GCN.yaml``.
+
+Drop-in replacement for the reference's main.py:28-135 (same flag, same YAML
+schema, same project-name derivation) dispatching to the TPU-native pipeline:
+
+  MPNN path : config -> DataModule -> padded batches -> MPNN -> fit
+  HSCN path : + SCN clustering pre-train -> cluster assignments ->
+              virtual-node hetero batches -> HSCN -> fit
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+from graph_hscn_tpu.config.config import ExperimentConfig, load_config
+from graph_hscn_tpu.runner import run_experiment
+
+LOGS_DIR = Path(__file__).parent / "logs"
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="Graph-HSCN TPU CLI")
+    parser.add_argument("--cfg", type=str, required=True,
+                        help="Config file to use.")
+    args = parser.parse_args()
+    cfg: ExperimentConfig = load_config(args.cfg)
+    LOGS_DIR.mkdir(parents=True, exist_ok=True)
+    log_file = LOGS_DIR / (f"{cfg.data.dataset_name}_"
+                           f"{cfg.training.model_type}.log")
+    run_experiment(cfg, log_file=log_file)
+
+
+if __name__ == "__main__":
+    main()

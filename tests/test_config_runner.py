@@ -1,0 +1,85 @@
+"""Config parsing (reference YAML schema compatibility) + runner smoke tests
+covering both pipelines end-to-end through the CLI code path."""
+
+import numpy as np
+import yaml
+
+from graph_hscn_tpu.config.config import load_config, parse_config
+from graph_hscn_tpu.runner import run_experiment
+
+
+def test_parse_reference_style_yaml(tmp_path):
+    """The reference's shipped YAML must parse unchanged (schema compat),
+    with max_epochs honored (quirk #4 fixed)."""
+    raw = {
+        "data": {"dataset_name": "peptides_func", "batch_size": 32,
+                 "num_workers": 0},
+        "mp": {"conv_type": "gcn", "activation": "relu",
+               "hidden_channels": 16, "num_layers": 3, "dropout": 0.2,
+               "use_batch_norm": False, "use_layer_norm": False},
+        "optim": {"optim_type": "adamW", "batch_accumulation": 1,
+                  "clip_grad_norm": False, "lr": 0.01,
+                  "weight_decay": 5e-4},
+        "pe": {"use": False, "dim_in": 16, "dim_pe": 4, "model": "DeepSet",
+               "layers": 1, "post_layers": 1, "eig_max_freqs": 10,
+               "eigvec_norm": "L2", "eig_lap_norm": "sym",
+               "phi_hidden_dim": 16, "phi_out_dim": 4,
+               "pass_as_var": False, "use_bn": False},
+        "training": {"model_type": "gcn", "use_wandb": False,
+                     "loss_fn": "cross_entropy", "metric": "ap",
+                     "max_epochs": 500, "eval_period": 10,
+                     "min_delta": 0.01, "patience": 2},
+    }
+    cfg = parse_config(raw)
+    assert cfg.mpnn.conv_type == "gcn"
+    assert cfg.training.epochs == 500           # max_epochs honored
+    assert cfg.pe is None                       # pe.use False
+    assert cfg.data.task_level == "graph"
+    assert cfg.project_name == "peptides_func_gcn_3"
+    # use_wandb False is allowed (reference quirk #3 fixed).
+    assert cfg.training.use_wandb is False
+
+
+def test_shipped_configs_parse():
+    for p in ("configs/GCN/peptides_func_GCN.yaml",
+              "configs/HSCN/peptides_func_HSCN.yaml",
+              "configs/GatedGCN/peptides_struct_GatedGCN.yaml"):
+        cfg = load_config(p)
+        assert cfg.model_cfg is not None
+
+
+def test_runner_mpnn_small(tmp_path):
+    cfg = load_config("configs/GCN/peptides_func_GCN.yaml")
+    cfg.data.num_graphs = 48
+    cfg.data.batch_size = 8
+    cfg.training.epochs = 3
+    cfg.training.eval_period = 2
+    result = run_experiment(cfg, log_file=tmp_path / "t.log")
+    assert result.epochs_run >= 1
+    assert np.isfinite(result.history[-1]["train_loss"])
+    assert (tmp_path / "t.log").exists()
+
+
+def test_runner_hscn_small(tmp_path):
+    cfg = load_config("configs/HSCN/peptides_func_HSCN.yaml")
+    cfg.data.num_graphs = 32
+    cfg.data.batch_size = 8
+    cfg.hscn.cluster_epochs = 2
+    cfg.hscn.mp_units = [8]
+    cfg.hscn.hidden_channels = 8
+    cfg.training.epochs = 2
+    cfg.training.eval_period = 2
+    result = run_experiment(cfg, log_file=tmp_path / "h.log")
+    assert np.isfinite(result.history[-1]["train_loss"])
+
+
+def test_runner_gatedgcn_small(tmp_path):
+    cfg = load_config("configs/GatedGCN/peptides_struct_GatedGCN.yaml")
+    cfg.data.num_graphs = 32
+    cfg.data.batch_size = 8
+    cfg.mpnn.hidden_channels = 16
+    cfg.mpnn.num_layers = 2
+    cfg.training.epochs = 2
+    cfg.training.eval_period = 2
+    result = run_experiment(cfg, log_file=tmp_path / "g.log")
+    assert np.isfinite(result.history[-1]["train_loss"])
