@@ -41,6 +41,11 @@ def _use_pallas(num_features: int) -> bool:
         return False
     if _BACKEND == "pallas":
         return True
+    # auto: Pallas only on TPU with lane-aligned features.
+    try:
+        from graph_hscn_tpu.ops.pallas import spmm_kernel  # noqa: F401
+    except ImportError:
+        return False
     return (jax.default_backend() == "tpu" and num_features % 128 == 0)
 
 
