@@ -103,6 +103,7 @@ def pack_batch(
     graphs: Sequence[GraphData],
     budget: PadBudget,
     sort_edges_by_receiver: bool = True,
+    with_spmm_plan: bool = False,
 ) -> GraphBatch:
     """Flatten + pad a list of graphs into one GraphBatch (numpy arrays).
 
@@ -204,12 +205,18 @@ def pack_batch(
         if edge_weight is not None:
             edge_weight = edge_weight[order]
 
+    spmm = None
+    if with_spmm_plan:
+        from graph_hscn_tpu.ops.pallas.spmm_kernel import spmm_plan
+        spmm = spmm_plan(senders, receivers, edge_mask, N)
+
     return GraphBatch(
         node_feat=node_feat, senders=senders, receivers=receivers,
         node_graph=node_graph, n_node=n_node, n_edge=n_edge,
         node_mask=node_mask, edge_mask=edge_mask, graph_mask=graph_mask,
         edge_feat=edge_feat, edge_weight=edge_weight, y=y, node_y=node_y,
         node_pe=node_pe, eigvals=eigvals, eigvecs=eigvecs, cluster=cluster,
+        spmm=spmm,
     )
 
 
@@ -220,6 +227,7 @@ def iter_batches(
     shuffle: bool = False,
     rng: np.random.Generator | None = None,
     drop_last: bool = False,
+    with_spmm_plan: bool = False,
 ) -> Iterable[GraphBatch]:
     """Greedy sequential packing into fixed-budget batches.
 
@@ -242,13 +250,13 @@ def iter_batches(
             or cur_e + g.num_edges > budget.num_edges
         )
         if cur and overflow:
-            yield pack_batch(cur, budget)
+            yield pack_batch(cur, budget, with_spmm_plan=with_spmm_plan)
             cur, cur_n, cur_e = [], 0, 0
         cur.append(g)
         cur_n += g.num_nodes
         cur_e += g.num_edges
     if cur and not drop_last:
-        yield pack_batch(cur, budget)
+        yield pack_batch(cur, budget, with_spmm_plan=with_spmm_plan)
 
 
 def csr_row_pointers(receivers: np.ndarray, num_nodes: int) -> np.ndarray:

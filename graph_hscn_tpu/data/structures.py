@@ -87,6 +87,9 @@ class GraphBatch:
     eigvals: Array | None = None
     eigvecs: Array | None = None
     cluster: Array | None = None
+    # Optional Pallas SpMM tiling metadata (ops/pallas/spmm_kernel.py),
+    # attached host-side by the batcher when enabled.
+    spmm: Any | None = None
 
     # ---- static helpers -------------------------------------------------
     @property

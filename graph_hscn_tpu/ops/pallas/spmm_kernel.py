@@ -1,0 +1,228 @@
+"""Fused CSR SpMM Pallas kernel for TPU.
+
+Computes  out[i] = sum_{e: recv[e]=i} w[e] * x[send[e]]  in ONE kernel —
+no [E, F] message materialization in HBM and no XLA gather (which on TPU
+runs row-at-a-time; measured 648us for 17k x 128 on this chip vs the
+matmul formulation here).
+
+Key idea — windowed one-hot MXU matmuls.  Edges are receiver-sorted and
+batches are graph-contiguous, so every tile of TE consecutive edges touches
+senders and receivers inside narrow node windows (bounded by the span of
+the few graphs the tile overlaps).  Per edge tile t:
+
+    gather :  msgs  = (w_t * G_t) @ x[ws_t : ws_t+WS]   G_t [TE, WS] one-hot
+    scatter:  out[wr_t : wr_t+WR] += P_t^T @ msgs       P_t [TE, WR] one-hot
+
+Both one-hots are built in-register from iota comparisons; the FLOPs are
+"wasted" one-hot matmuls, but on the MXU they beat any per-row gather the
+VPU could do.  The transpose plan (edges re-sorted by sender) makes the
+backward pass dx = A^T dout the *same kernel* with swapped roles, so one
+preprocessing step serves fwd+bwd.
+
+Replaces torch_sparse / PyG MessagePassing gather-scatter (reference
+mpnn.py:52,59 via CONV_DICT — SURVEY §2.3).
+
+The tiling metadata ("plan") is built host-side once per batch by
+:func:`spmm_plan` (the batcher attaches it to GraphBatch.spmm), so inside
+jit the kernel only sees array inputs with static shapes.
+
+v1 constraints (checked by `spmm_plan`, which sets ok=False for fallback):
+  - x fits in VMEM (N * F * 4 <= ~6 MB — true for molecular batches);
+  - per-tile sender/receiver spans fit the WS/WR windows (true for
+    graph-contiguous batches of graphs with <= WINDOW nodes).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_EDGES = 256
+WINDOW = 1024           # both sender and receiver windows
+VMEM_X_BUDGET = 6 * 1024 * 1024
+
+# DEFAULT (bf16 MXU passes) is ~2x faster; HIGHEST makes the one-hot
+# matmuls exact in f32 (use set_precision for parity runs — the parity
+# harness itself uses the XLA path, which is always exact).
+_PRECISION = jax.lax.Precision.DEFAULT
+
+
+def set_precision(p) -> None:
+    global _PRECISION
+    _PRECISION = p
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SpmmPlanArrays:
+    """Tiling metadata as arrays (a pytree — rides inside GraphBatch).
+
+    fwd: out[recv] += x[send];  bwd (transpose): out[send] += g[recv].
+    """
+
+    ws: jnp.ndarray        # [T] sender-window starts
+    wr: jnp.ndarray        # [T] receiver-window starts
+    snd_rel: jnp.ndarray   # [T, TE] sender - ws  (== WINDOW if masked)
+    rcv_rel: jnp.ndarray   # [T, TE] receiver - wr (== WINDOW if masked)
+    t_ws: jnp.ndarray
+    t_wr: jnp.ndarray
+    t_snd_rel: jnp.ndarray
+    t_rcv_rel: jnp.ndarray
+    t_order: jnp.ndarray   # [E] permutation sorting edges by sender
+
+
+def _windows(dst_vals, src_vals, mask, num_nodes, te):
+    E = dst_vals.shape[0]
+    T = E // te
+    dv = dst_vals.reshape(T, te)
+    sv = src_vals.reshape(T, te)
+    m = mask.reshape(T, te)
+    big = np.int32(num_nodes + 1)
+    dv_m = np.where(m, dv, big)
+    sv_m = np.where(m, sv, big)
+    wr = np.where(m.any(1), dv_m.min(1), 0).astype(np.int32)
+    ws = np.where(m.any(1), sv_m.min(1), 0).astype(np.int32)
+    wr = np.minimum(wr, max(num_nodes - WINDOW, 0)).astype(np.int32)
+    ws = np.minimum(ws, max(num_nodes - WINDOW, 0)).astype(np.int32)
+    rcv_rel = np.where(m, dv - wr[:, None], WINDOW).astype(np.int32)
+    snd_rel = np.where(m, sv - ws[:, None], WINDOW).astype(np.int32)
+    if ((rcv_rel != WINDOW) & ((rcv_rel < 0) | (rcv_rel >= WINDOW))).any():
+        return None
+    if ((snd_rel != WINDOW) & ((snd_rel < 0) | (snd_rel >= WINDOW))).any():
+        return None
+    return ws, wr, snd_rel, rcv_rel
+
+
+def spmm_plan(senders: np.ndarray, receivers: np.ndarray,
+              edge_mask: np.ndarray, num_nodes: int,
+              tile_edges: int = TILE_EDGES):
+    """Host-side plan construction.  Returns SpmmPlanArrays or None if the
+    layout violates the window constraints (caller falls back to XLA)."""
+    senders = np.asarray(senders, np.int32)
+    receivers = np.asarray(receivers, np.int32)
+    edge_mask = np.asarray(edge_mask, bool)
+    E = senders.shape[0]
+    if E % tile_edges != 0:
+        # The batcher pads edges to a multiple of 128; require % TE == 0.
+        return None
+    fwd = _windows(receivers, senders, edge_mask, num_nodes, tile_edges)
+    order = np.argsort(senders, kind="stable").astype(np.int32)
+    bwd = _windows(senders[order], receivers[order], edge_mask[order],
+                   num_nodes, tile_edges)
+    if fwd is None or bwd is None:
+        return None
+    ws, wr, snd_rel, rcv_rel = fwd
+    t_ws, t_wr, t_snd_rel, t_rcv_rel = bwd
+    return SpmmPlanArrays(
+        ws=ws, wr=wr, snd_rel=snd_rel, rcv_rel=rcv_rel,
+        t_ws=t_ws, t_wr=t_wr, t_snd_rel=t_snd_rel, t_rcv_rel=t_rcv_rel,
+        t_order=order)
+
+
+def _spmm_kernel(ws_ref, wr_ref, snd_rel_ref, rcv_rel_ref, w_ref, x_ref,
+                 out_ref):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    ws = ws_ref[t]
+    wr = wr_ref[t]
+    x_win = x_ref[pl.ds(ws, WINDOW), :]                       # [WS, F]
+
+    snd_rel = snd_rel_ref[0, 0]                               # [TE]
+    rcv_rel = rcv_rel_ref[0, 0]
+    w = w_ref[0, 0]                                           # [TE]
+    te = snd_rel.shape[0]
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, (te, WINDOW), 1)
+    g_onehot = (snd_rel[:, None] == iota).astype(x_ref.dtype)
+    g_onehot = g_onehot * w[:, None]
+    msgs = jax.lax.dot_general(
+        g_onehot, x_win, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_PRECISION)                                 # [TE, F]
+
+    p_onehot = (rcv_rel[:, None] == iota).astype(x_ref.dtype)
+    partial = jax.lax.dot_general(
+        p_onehot, msgs, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_PRECISION)                                 # [WR, F]
+
+    cur = out_ref[pl.ds(wr, WINDOW), :]
+    out_ref[pl.ds(wr, WINDOW), :] = cur + partial
+
+
+def _spmm_call(x, w, ws, wr, snd_rel, rcv_rel, num_nodes: int,
+               interpret: bool = False):
+    T, te = snd_rel.shape
+    F = x.shape[-1]
+    n_pad = max(num_nodes, WINDOW)
+    if x.shape[0] < n_pad:
+        x = jnp.pad(x, ((0, n_pad - x.shape[0]), (0, 0)))
+    # [T, 1, TE] layout: TPU requires the last two block dims to be
+    # (equal-to-array, divisible by 128); a (1, TE) int32 block is not.
+    w = w.reshape(T, 1, te).astype(x.dtype)
+    snd_rel3 = snd_rel.reshape(T, 1, te)
+    rcv_rel3 = rcv_rel.reshape(T, 1, te)
+    tile_spec = pl.BlockSpec((1, 1, te), lambda t, *_: (t, 0, 0),
+                             memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,                    # ws, wr -> SMEM
+        grid=(T,),
+        in_specs=[
+            tile_spec,                               # snd_rel
+            tile_spec,                               # rcv_rel
+            tile_spec,                               # w
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # x whole
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        _spmm_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, F), jnp.float32),
+        interpret=interpret,
+    )(ws, wr, snd_rel3, rcv_rel3, w, x)
+    return out[:num_nodes]
+
+
+def spmm_pallas(x, plan: SpmmPlanArrays, edge_weight=None,
+                num_nodes: int | None = None, interpret: bool = False):
+    """Differentiable fused SpMM using a batch-attached plan.
+
+    x: [N, F]; edge_weight: [E] in receiver-sorted edge order or None.
+    """
+    n = num_nodes if num_nodes is not None else x.shape[0]
+    E = plan.t_order.shape[0]
+    w = (edge_weight if edge_weight is not None
+         else jnp.ones((E,), x.dtype))
+    # Masked (padding) edges already have rel == WINDOW -> zero one-hot row.
+
+    @jax.custom_vjp
+    def _spmm(x, w):
+        return _spmm_call(x, w, plan.ws, plan.wr, plan.snd_rel,
+                          plan.rcv_rel, n, interpret)
+
+    def fwd(x, w):
+        return _spmm(x, w), (x, w)
+
+    def bwd(res, g):
+        x, w = res
+        w_t = jnp.take(w, plan.t_order, axis=0)
+        dx = _spmm_call(g, w_t, plan.t_ws, plan.t_wr, plan.t_snd_rel,
+                        plan.t_rcv_rel, n, interpret)
+        # d/d(edge_weight) is not emitted (callers with trainable edge
+        # weights must use the XLA path — see gather_scatter's
+        # weight_needs_grad flag); zero cotangent keeps autodiff happy for
+        # the GCN-norm weights, which are data-derived constants.
+        return dx, jnp.zeros_like(w)
+
+    _spmm.defvjp(fwd, bwd)
+    return _spmm(x, w)

@@ -36,17 +36,12 @@ def get_backend() -> str:
     return _BACKEND
 
 
-def _use_pallas(num_features: int) -> bool:
+def _use_pallas() -> bool:
     if _BACKEND == "xla":
         return False
     if _BACKEND == "pallas":
         return True
-    # auto: Pallas only on TPU with lane-aligned features.
-    try:
-        from graph_hscn_tpu.ops.pallas import spmm_kernel  # noqa: F401
-    except ImportError:
-        return False
-    return (jax.default_backend() == "tpu" and num_features % 128 == 0)
+    return jax.default_backend() == "tpu"
 
 
 def gather_scatter(
@@ -57,20 +52,25 @@ def gather_scatter(
     num_nodes: int | None = None,
     edge_weight: jnp.ndarray | None = None,   # [E] or None
     messages_out: bool = False,
+    plan=None,               # SpmmPlanArrays from GraphBatch.spmm
+    weight_needs_grad: bool = False,
 ) -> jnp.ndarray:
     """out[i] = sum over incoming edges of (w_e * x[sender_e]).
 
+    If a Pallas plan is attached and the backend allows, uses the fused
+    windowed one-hot MXU kernel (ops/pallas/spmm_kernel.py); otherwise the
+    XLA gather + sorted-segment-sum path.  ``weight_needs_grad`` forces the
+    XLA path (the Pallas kernel does not yet emit d/d(edge_weight)).
+
     If ``messages_out`` is True also returns the per-edge gathered messages
-    (before reduction), which some layers (GAT backward, GatedGCN) reuse.
+    (before reduction), which some layers (GatedGCN) reuse.
     """
     num_nodes = num_nodes if num_nodes is not None else x.shape[0]
-    if _use_pallas(x.shape[-1]) and edge_weight is None:
-        from graph_hscn_tpu.ops.pallas.spmm_kernel import spmm_csr
-        out = spmm_csr(x, senders, receivers, num_nodes)
-        if messages_out:
-            msgs = jnp.take(x, senders, axis=0)
-            return out, msgs
-        return out
+    if (plan is not None and _use_pallas() and not messages_out
+            and not weight_needs_grad):
+        from graph_hscn_tpu.ops.pallas.spmm_kernel import spmm_pallas
+        return spmm_pallas(x, plan, edge_weight=edge_weight,
+                           num_nodes=num_nodes)
     msgs = jnp.take(x, senders, axis=0)
     if edge_weight is not None:
         msgs = msgs * edge_weight[:, None]
