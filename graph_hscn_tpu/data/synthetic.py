@@ -150,13 +150,15 @@ def make_voc_superpixels(num_graphs: int = 64, seed: int = 2,
         edge_index = np.stack([np.array(src), np.array(dst)]).astype(np.int64)
         x = rng.normal(size=(n, 14)).astype(np.float32)  # 12 RGB stats + 2 pos
         x[:, 12:] = coords / side
-        # Labels correlate with position + features (learnable).
-        logits = (coords[:, :1] / side * 3 + x[:, :NUM_VOC_CLASSES - 1].cumsum(
-            1)[:, -1:] * 0.1 + rng.normal(0, 0.5, size=(n, 1)))
-        labels = np.clip((logits * NUM_VOC_CLASSES / 4).astype(int) %
-                         NUM_VOC_CLASSES, 0, NUM_VOC_CLASSES - 1)
+        # Linear-teacher labels: argmax of a fixed random projection of the
+        # features (+ mild label noise) — cleanly learnable, so tests can
+        # assert above-chance F1.
+        teacher = np.random.default_rng(12345).normal(
+            size=(14, NUM_VOC_CLASSES))
+        logits = x @ teacher + rng.normal(0, 0.5, size=(n, NUM_VOC_CLASSES))
+        labels = logits.argmax(axis=1)
         node_y = np.zeros((n, NUM_VOC_CLASSES), dtype=np.float32)
-        node_y[np.arange(n), labels[:, 0]] = 1.0
+        node_y[np.arange(n), labels] = 1.0
         out.append(GraphData(x=x, edge_index=edge_index, node_y=node_y))
     return out
 

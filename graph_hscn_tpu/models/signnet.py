@@ -1,0 +1,118 @@
+"""SignNet positional-encoding encoder (reference encoder/signnet.py).
+
+Architecture (DeepSet/Masked variant, the reference default
+PE_MODEL="DeepSet", defaults.py:19):
+
+  eigvecs [N, K]  ->  [K, N, 1]  (each frequency is a scalar node signal)
+  phi     = GIN stack, applied to +v and -v with SHARED weights:
+            h_k = phi(v_k) + phi(-v_k)          (sign invariance)
+  mask    = zero out frequencies k >= n_nodes(graph)  (NaN-padded slots)
+  sum_k   -> [N, out]
+  rho     = MLP -> [N, dim_pe]
+  output  x_new = [Linear(x) | pe]   with total width dim_emb
+
+TPU-native notes: the K-channel batch is an ``nn.vmap`` over the leading
+axis with shared parameters (the reference loops via tensor transpose,
+signnet.py:261-287); all graphs in the padded batch are processed in one
+program.  The reference's MLP activation lookup bug (quirk #5 —
+ACT_DICT["activation"] KeyError, signnet.py:49) is fixed: activation is
+relu as intended.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from graph_hscn_tpu.data.structures import GraphBatch
+from graph_hscn_tpu.models.layers import glorot
+from graph_hscn_tpu.ops.spmm import gather_scatter
+
+
+class _GINLayer(nn.Module):
+    """GINConv with an MLP update net (eps=0), vmapped over K channels."""
+
+    features: int
+    mlp_layers: int = 1
+
+    @nn.compact
+    def __call__(self, x, senders, receivers, edge_mask, num_nodes):
+        # x: [K, N, C].  Vectorized over the K channels by folding K into
+        # the feature axis before one shared gather/scatter: [N, K*C].
+        K, N, C = x.shape
+        flat = jnp.transpose(x, (1, 0, 2)).reshape(N, K * C)
+        w = jnp.where(edge_mask, 1.0, 0.0)
+        agg_flat = gather_scatter(flat, senders, receivers,
+                                  num_nodes=num_nodes, edge_weight=w)
+        neigh = jnp.transpose(agg_flat.reshape(N, K, C), (1, 0, 2))
+        h = x + neigh          # (1 + eps) x + sum, eps = 0
+        for i in range(self.mlp_layers - 1):
+            h = nn.relu(nn.Dense(self.features, kernel_init=glorot)(h))
+        h = nn.Dense(self.features, kernel_init=glorot)(h)
+        return h
+
+
+class SignNetNodeEncoder(nn.Module):
+    """Full encoder: phi(+/-v) GIN, masked sum over K, rho MLP, concat."""
+
+    dim_in: int
+    dim_emb: int
+    dim_pe: int = 4
+    phi_hidden_dim: int = 32
+    phi_out_dim: int = 4
+    sign_inv_layers: int = 1
+    rho_layers: int = 1
+    max_freqs: int = 10
+    expand_x: bool = True
+
+    @nn.compact
+    def __call__(self, batch: GraphBatch, train: bool = False):
+        assert batch.eigvecs is not None, (
+            "Precomputed eigenvectors required for SignNetNodeEncoder")
+        N = batch.num_nodes_padded
+        K = self.max_freqs
+
+        ev = batch.eigvecs[:, :K]                     # [N, K]
+        nan_mask = jnp.isnan(ev)
+        ev = jnp.where(nan_mask, 0.0, ev)
+        x = jnp.transpose(ev, (1, 0))[:, :, None]     # [K, N, 1]
+
+        # phi: GIN stack with shared weights for +v / -v.
+        dims = ([self.phi_hidden_dim] * max(self.sign_inv_layers - 1, 0)
+                + [self.phi_out_dim])
+        layers = [
+            _GINLayer(features=d,
+                      mlp_layers=(2 if i == len(dims) - 1 else 1))
+            for i, d in enumerate(dims)
+        ]
+
+        def phi(v):
+            h = v
+            for layer in layers:
+                h = layer(h, batch.senders, batch.receivers,
+                          batch.edge_mask, N)
+            return h
+
+        h = phi(x) + phi(-x)                          # [K, N, out]
+        h = jnp.transpose(h, (1, 0, 2))               # [N, K, out]
+
+        # Mask frequencies beyond each graph's node count
+        # (reference MaskedGINDeepSigns.batched_n_nodes, signnet.py:243-259).
+        n_per_node = batch.n_node[batch.node_graph]   # [N]
+        freq_ids = jnp.arange(K)[None, :]
+        mask = freq_ids < n_per_node[:, None]         # [N, K]
+        h = jnp.where(mask[:, :, None], h, 0.0)
+        h = jnp.sum(h, axis=1)                        # [N, out]
+
+        # rho MLP -> dim_pe.
+        for _ in range(max(self.rho_layers - 1, 0)):
+            h = nn.relu(nn.Dense(self.phi_hidden_dim, kernel_init=glorot)(h))
+        pe = nn.Dense(self.dim_pe, kernel_init=glorot)(h)
+
+        if self.expand_x:
+            base = nn.Dense(self.dim_emb - self.dim_pe,
+                            kernel_init=glorot)(batch.node_feat)
+        else:
+            base = batch.node_feat
+        out = jnp.concatenate([base, pe], axis=-1)
+        return jnp.where(batch.node_mask[:, None], out, 0.0)

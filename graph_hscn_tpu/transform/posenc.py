@@ -1,0 +1,149 @@
+"""Laplacian positional-encoding statistics (reference transform/posenc.py).
+
+Per graph: symmetric-normalized graph Laplacian -> dense eigendecomposition
+-> keep the ``max_freqs`` smallest eigenpairs -> normalize eigenvectors
+(L1/L2/abs-max, posenc.py:85-107) -> NaN-pad when N < max_freqs
+(posenc.py:67-78).
+
+Two implementations:
+- host (numpy/LAPACK) per graph — one-time preprocessing, cached on the
+  GraphData (mirrors the reference's pre_transform_in_memory flow,
+  loader.py:80-86);
+- batched device path (``batched_eigh``) — dense per-graph blocks +
+  vmapped ``jnp.linalg.eigh`` for on-TPU PE computation.
+
+``attach_posenc`` then applies SignNet.  With ``frozen_random=True`` it
+reproduces the reference's quirk #6 (train.py:29-51): a randomly
+initialized, frozen SignNet encoder is mapped once over the dataset and its
+output concatenated into the node features.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from graph_hscn_tpu.data.batching import GraphData
+
+
+def _sym_laplacian(g: GraphData, norm: str | None = "sym") -> np.ndarray:
+    n = g.num_nodes
+    a = np.zeros((n, n), dtype=np.float64)
+    src, dst = g.edge_index
+    np.add.at(a, (dst, src), 1.0)
+    deg = a.sum(axis=1)
+    if norm is None:
+        return np.diag(deg) - a
+    with np.errstate(divide="ignore"):
+        dinv = 1.0 / np.sqrt(deg)
+    dinv[~np.isfinite(dinv)] = 0.0
+    return np.eye(n) - dinv[:, None] * a * dinv[None, :]
+
+
+def eigvec_normalizer(evects: np.ndarray, normalization: str = "L2",
+                      eps: float = 1e-12) -> np.ndarray:
+    """Column-wise normalization (reference posenc.py:85-107)."""
+    if normalization == "L1":
+        denom = np.abs(evects).sum(axis=0, keepdims=True)
+    elif normalization == "L2":
+        denom = np.linalg.norm(evects, axis=0, keepdims=True)
+    elif normalization == "abs-max":
+        denom = np.abs(evects).max(axis=0, keepdims=True)
+    else:
+        raise ValueError(f"Unsupported normalization `{normalization}`")
+    return evects / np.maximum(denom, eps)
+
+
+def compute_posenc_stats(g: GraphData, max_freqs: int = 10,
+                         eigvec_norm: str = "L2",
+                         laplacian_norm: str = "sym") -> GraphData:
+    """Attach eigvals [N, K] / eigvecs [N, K] to one graph (NaN-padded when
+    N < K, like reference posenc.py:67-78)."""
+    n = g.num_nodes
+    norm = None if laplacian_norm.lower() == "none" else laplacian_norm
+    lap = _sym_laplacian(g, norm)
+    evals, evects = np.linalg.eigh(lap)
+    idx = np.argsort(evals)[:max_freqs]
+    evals = np.clip(np.real(evals[idx]), 0.0, None)
+    evects = np.real(evects[:, idx]).astype(np.float32)
+    evects = eigvec_normalizer(evects, eigvec_norm)
+
+    k = len(idx)
+    eigvecs = np.full((n, max_freqs), np.nan, dtype=np.float32)
+    eigvecs[:, :k] = evects
+    eigvals = np.full((max_freqs,), np.nan, dtype=np.float32)
+    eigvals[:k] = evals
+    eigvals = np.broadcast_to(eigvals, (n, max_freqs)).copy()
+    return g.replace(eigvals=eigvals, eigvecs=eigvecs)
+
+
+def batched_eigh(adj_dense, node_mask):
+    """Device path: eigendecomposition of sym-normalized Laplacians of dense
+    per-graph blocks [G, n_max, n_max].  Padding rows/cols are forced to an
+    identity sub-block so their spurious eigenpairs have eigenvalue 1 and
+    zero support on real nodes; callers mask by n_node when slicing the k
+    smallest.  Returns (evals [G, n_max], evects [G, n_max, n_max])."""
+    import jax.numpy as jnp
+
+    m = node_mask.astype(adj_dense.dtype)
+    a = adj_dense * m[:, :, None] * m[:, None, :]
+    deg = jnp.sum(a, axis=-1)
+    dinv = jnp.where(deg > 0, 1.0 / jnp.sqrt(jnp.maximum(deg, 1e-12)), 0.0)
+    n = adj_dense.shape[-1]
+    eye = jnp.eye(n, dtype=adj_dense.dtype)
+    lap = eye - a * dinv[:, :, None] * dinv[:, None, :]
+    # Padding diagonal entries stay 1 (isolated nodes): eigenvalue 1.
+    evals, evects = jnp.linalg.eigh(lap)
+    return evals, evects
+
+
+def attach_posenc(dm, pe_cfg, logger, frozen_random: bool = True,
+                  seed: int = 0) -> None:
+    """Compute eigen stats for every graph, then apply SignNet.
+
+    frozen_random=True (reference quirk #6): random-init SignNet runs once
+    under no-grad as a dataset transform; node features become
+    [Linear(x) | PE] with dim_emb total width.
+    frozen_random=False: eigen fields stay on the batch for end-to-end
+    SignNet training inside the model (the sane fix of quirk #6).
+    """
+    logger.info("Precomputing Laplacian eigen stats for all graphs...")
+    dm.apply_transform(lambda g: compute_posenc_stats(
+        g, max_freqs=pe_cfg.eigen_max_freqs,
+        eigvec_norm=pe_cfg.eigvec_norm,
+        laplacian_norm=pe_cfg.eigen_laplacian_norm))
+
+    if not frozen_random:
+        logger.info("PE stats attached; SignNet trains end-to-end.")
+        return
+
+    import jax
+    import numpy as np  # noqa: F811
+
+    from graph_hscn_tpu.data.batching import iter_batches
+    from graph_hscn_tpu.models.signnet import SignNetNodeEncoder
+
+    enc = SignNetNodeEncoder(
+        dim_in=dm.num_features, dim_emb=pe_cfg.dim_emb,
+        dim_pe=pe_cfg.dim_pe, phi_hidden_dim=pe_cfg.phi_hidden_dim,
+        phi_out_dim=pe_cfg.phi_out_dim, sign_inv_layers=pe_cfg.layers,
+        rho_layers=pe_cfg.post_layers, max_freqs=pe_cfg.eigen_max_freqs)
+    example = dm.example_batch()
+    params = enc.init(jax.random.PRNGKey(seed), example)["params"]
+    apply = jax.jit(lambda b: enc.apply({"params": params}, b))
+
+    logger.info("Applying frozen random SignNet transform "
+                "(reference train.py:29-51 semantics)...")
+    new_graphs = []
+    for batch in iter_batches(dm.graphs, dm.batch_size, dm.budget,
+                              shuffle=False):
+        new_x = np.asarray(apply(batch))
+        ng = np.asarray(batch.node_graph)
+        nm = np.asarray(batch.node_mask)
+        base = len(new_graphs)
+        for gi in range(int(batch.graph_mask.sum())):
+            g = dm.graphs[base + gi]
+            new_graphs.append(g.replace(x=new_x[nm & (ng == gi)]))
+    assert len(new_graphs) == len(dm.graphs)
+    dm.graphs = new_graphs
+    dm.num_features = pe_cfg.dim_emb
+    logger.info(f"PE transform done; node feature dim -> {pe_cfg.dim_emb}")

@@ -1,0 +1,25 @@
+"""Node-level task (VOC-superpixel analog): e2e training via the runner —
+the capability the reference lacks (loader.py:108 NotImplementedError)."""
+
+import numpy as np
+
+from graph_hscn_tpu.config.config import load_config
+from graph_hscn_tpu.runner import run_experiment
+
+
+def test_voc_node_classification(tmp_path):
+    cfg = load_config("configs/GCN/voc_superpixels_GCN.yaml")
+    cfg.data.num_graphs = 24
+    cfg.data.batch_size = 8
+    cfg.mpnn.hidden_channels = 64
+    cfg.mpnn.num_layers = 2
+    cfg.mpnn.dropout = 0.0
+    cfg.optim.lr = 0.01
+    cfg.training.epochs = 25
+    cfg.training.eval_period = 5
+    cfg.training.patience = 50
+    result = run_experiment(cfg, log_file=tmp_path / "voc.log")
+    first, last = result.history[0], result.history[-1]
+    assert last["train_loss"] < first["train_loss"]
+    # Macro-F1 clearly above the 21-class chance floor (~0.02 macro).
+    assert last["validation_perf"] > 0.10
