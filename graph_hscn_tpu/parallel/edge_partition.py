@@ -1,0 +1,225 @@
+"""Edge-partitioned message passing across a device mesh — the graph-domain
+analog of tensor/sequence parallelism (SURVEY §2.4, BASELINE north star).
+
+A single large graph (or a batch too big for one chip) is sharded by
+*contiguous node blocks*: device d owns node rows [d*Nb, (d+1)*Nb) of the
+feature array and every edge whose RECEIVER lies in its block.  Senders may
+live on other devices, so aggregation needs their features ("halo"):
+
+  v1 (this module): all-gather the node features over ICI, aggregate
+      locally into owned rows.  One collective per layer; simple, always
+      correct, bandwidth = N*F per device per layer.
+  v2 (planned): targeted all_to_all of only boundary nodes, overlapped
+      with local aggregation via async collectives + the Pallas SpMM on the
+      local block.
+
+The pooled MinCUT contractions (S^T A S, S^T X — reference hscn.py:63) are
+sharded the same way: each device contracts its node block and a psum
+completes the global result (``sharded_mincut_contractions``).
+
+All functions are shard_map programs over a named mesh axis; tests verify
+bitwise-level equivalence with the single-device computation on the
+8-device CPU mesh.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from graph_hscn_tpu.ops.segment import segment_sum
+
+
+def partition_edges_by_receiver(senders: np.ndarray, receivers: np.ndarray,
+                                edge_mask: np.ndarray, num_nodes: int,
+                                num_devices: int):
+    """Host-side: split edges into per-device groups by receiver block.
+
+    Returns (senders [D, Eb], receivers_local [D, Eb], mask [D, Eb],
+    block_size) with per-device edge arrays padded to a common length
+    (padding edges point at local row 0 with mask False).
+    """
+    assert num_nodes % num_devices == 0, (
+        f"num_nodes {num_nodes} must divide evenly across {num_devices} "
+        "devices — pad the batch budget accordingly")
+    nb = num_nodes // num_devices
+    owner = receivers // nb
+    groups_s, groups_r, groups_m = [], [], []
+    for d in range(num_devices):
+        sel = (owner == d) & edge_mask
+        groups_s.append(senders[sel])
+        groups_r.append(receivers[sel] - d * nb)
+        groups_m.append(np.ones(sel.sum(), bool))
+    eb = max(len(g) for g in groups_s)
+    eb = ((eb + 127) // 128) * 128 if eb else 128
+    D = num_devices
+    out_s = np.zeros((D, eb), np.int32)
+    out_r = np.zeros((D, eb), np.int32)
+    out_m = np.zeros((D, eb), bool)
+    for d in range(D):
+        k = len(groups_s[d])
+        out_s[d, :k] = groups_s[d]
+        out_r[d, :k] = groups_r[d]
+        out_m[d, :k] = groups_m[d]
+    return out_s, out_r, out_m, nb
+
+
+def make_sharded_spmm(mesh: Mesh, axis: str = "data"):
+    """Builds f(x_blocks [D, Nb, F], snd [D, Eb], rcv_local [D, Eb],
+    mask [D, Eb]) -> out_blocks [D, Nb, F] computing the global
+    out[i] = sum_{e->i} x[send[e]] with receiver-owned aggregation."""
+
+    def per_device(x_blk, snd, rcv_local, mask):
+        x_blk = x_blk[0]          # [Nb, F]
+        snd = snd[0]
+        rcv_local = rcv_local[0]
+        mask = mask[0]
+        nb = x_blk.shape[0]
+        # Halo: gather the full node array (v1; v2 = targeted all_to_all).
+        x_full = jax.lax.all_gather(x_blk, axis, tiled=True)   # [N, F]
+        msgs = jnp.take(x_full, snd, axis=0)
+        msgs = jnp.where(mask[:, None], msgs, 0.0)
+        out = segment_sum(msgs, rcv_local, nb)
+        return out[None]
+
+    return jax.jit(jax.shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    ))
+
+
+def plan_halo_exchange(senders: np.ndarray, receivers: np.ndarray,
+                       edge_mask: np.ndarray, num_nodes: int,
+                       num_devices: int):
+    """Host-side plan for the targeted (v2) halo exchange.
+
+    For each (owner o, needer d) pair, the set of o-local node ids whose
+    features d needs (senders of d's edges living in o's block), padded to a
+    uniform halo width H.  Each device's edge senders are remapped to point
+    into ``concat([own block, halo buffer])``.
+
+    Returns dict with:
+      send_idx   [D, D, H]  local ids device o sends to device d
+                            (row o = what o sends, one slot per dest)
+      snd_remap  [D, Eb]    per-device sender index into [Nb + D*H] rows
+      rcv_local  [D, Eb], mask [D, Eb], block_size, halo_width
+    """
+    assert num_nodes % num_devices == 0
+    nb = num_nodes // num_devices
+    D = num_devices
+    snd_d, rcv_d, mask_d, _ = partition_edges_by_receiver(
+        senders, receivers, edge_mask, num_nodes, D)
+    eb = snd_d.shape[1]
+
+    # needed[d][o] = sorted unique global ids in o's block needed by d;
+    # o == d is empty (own-block senders are read locally, no exchange).
+    needed = [[np.unique(snd_d[d][(mask_d[d]) &
+                                  (snd_d[d] // nb == o)])
+               if o != d else np.zeros((0,), np.int64)
+               for o in range(D)] for d in range(D)]
+    H = max((len(ids) for row in needed for ids in row), default=1)
+    H = max(((H + 7) // 8) * 8, 8)
+
+    send_idx = np.zeros((D, D, H), np.int32)
+    for d in range(D):
+        for o in range(D):
+            ids = needed[d][o]
+            send_idx[o, d, :len(ids)] = ids - o * nb   # o-local ids
+
+    # Remap each device's senders into [own Nb | halo D*H] row space.
+    snd_remap = np.zeros((D, eb), np.int32)
+    for d in range(D):
+        lookup = {}
+        for o in range(D):
+            for slot, gid in enumerate(needed[d][o]):
+                lookup[int(gid)] = nb + o * H + slot
+        for e in range(eb):
+            if not mask_d[d, e]:
+                continue
+            gid = int(snd_d[d, e])
+            o = gid // nb
+            if o == d:
+                snd_remap[d, e] = gid - d * nb
+            else:
+                snd_remap[d, e] = lookup[gid]
+    return dict(send_idx=send_idx, snd_remap=snd_remap, rcv_local=rcv_d,
+                mask=mask_d, block_size=nb, halo_width=H)
+
+
+def make_sharded_spmm_halo(mesh: Mesh, axis: str = "data"):
+    """v2 sharded SpMM: all_to_all of only the halo node features
+    (plan from :func:`plan_halo_exchange`), then local aggregation.
+
+    Comms per layer: D * H * F per device (vs N * F for the v1
+    all-gather), where H = max boundary size."""
+
+    def per_device(x_blk, send_idx, snd_remap, rcv_local, mask):
+        x_blk = x_blk[0]           # [Nb, F]
+        send_idx = send_idx[0]     # [D, H] rows to send, one per dest
+        snd_remap = snd_remap[0]
+        rcv_local = rcv_local[0]
+        mask = mask[0]
+        nb = x_blk.shape[0]
+        # Features to ship: [D, H, F]; slot d = what I send to device d.
+        outbound = jnp.take(x_blk, send_idx, axis=0)
+        # all_to_all: swap so inbound[o] = what device o sent me.
+        inbound = jax.lax.all_to_all(outbound, axis, split_axis=0,
+                                     concat_axis=0, tiled=False)
+        halo = inbound.reshape(-1, x_blk.shape[-1])    # [D*H, F]
+        table = jnp.concatenate([x_blk, halo], axis=0)
+        msgs = jnp.take(table, snd_remap, axis=0)
+        msgs = jnp.where(mask[:, None], msgs, 0.0)
+        out = segment_sum(msgs, rcv_local, nb)
+        return out[None]
+
+    return jax.jit(jax.shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    ))
+
+
+def make_sharded_mincut_contractions(mesh: Mesh, axis: str = "data"):
+    """Builds f(s_blocks [D, Nb, K], x_blocks [D, Nb, F], adj arrays) ->
+    (s_t_x [K, F], s_t_a_s [K, K]) — the pooled contractions of MinCUT
+    pooling as sharded matmuls + psum (replaces dense_mincut_pool's
+    single-device einsums, reference hscn.py:63)."""
+
+    def per_device(s_blk, x_blk, snd, rcv_local, mask):
+        s_blk = s_blk[0]              # [Nb, K]
+        x_blk = x_blk[0]              # [Nb, F]
+        snd = snd[0]
+        rcv_local = rcv_local[0]
+        mask = mask[0]
+        nb = s_blk.shape[0]
+        # S^T X: local contraction + psum.
+        stx = jax.lax.psum(s_blk.T @ x_blk, axis)              # [K, F]
+        # S^T A S: (A S) rows owned by receiver; A S = spmm over S.
+        s_full = jax.lax.all_gather(s_blk, axis, tiled=True)   # [N, K]
+        msgs = jnp.take(s_full, snd, axis=0)
+        msgs = jnp.where(mask[:, None], msgs, 0.0)
+        a_s = segment_sum(msgs, rcv_local, nb)                 # [Nb, K]
+        stas = jax.lax.psum(s_blk.T @ a_s, axis)               # [K, K]
+        return stx[None], stas[None]
+
+    def wrapper(s_blocks, x_blocks, snd, rcv_local, mask):
+        stx, stas = _f(s_blocks, x_blocks, snd, rcv_local, mask)
+        return stx[0], stas[0]
+
+    _f = jax.jit(jax.shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis)),
+        check_vma=False,
+    ))
+    return wrapper
+
+
+def shard_arrays(mesh: Mesh, *arrays, axis: str = "data"):
+    sharding = NamedSharding(mesh, P(axis))
+    return tuple(jax.device_put(a, sharding) for a in arrays)
