@@ -104,23 +104,37 @@ def pack_batch(
     budget: PadBudget,
     sort_edges_by_receiver: bool = True,
     with_spmm_plan: bool = False,
+    slot_nodes: int | None = None,
 ) -> GraphBatch:
     """Flatten + pad a list of graphs into one GraphBatch (numpy arrays).
 
     Requires sum(n) < budget.num_nodes (strict: one node is reserved for
     padding) and sum(e) <= budget.num_edges and len(graphs) < num_graphs.
+
+    ``slot_nodes``: slotted dense mode — graph i occupies node rows
+    [i*slot, i*slot + n_i) so the flat node array reshapes to
+    [G-1, slot, F] for the dense MXU execution path; a dense per-graph
+    adjacency is attached as ``dense_adj``.  Requires every graph to fit
+    the slot; overrides budget.num_nodes with (num_graphs-1)*slot.
     """
     G = len(graphs)
     if G >= budget.num_graphs:
         raise ValueError(f"{G} graphs exceeds budget {budget.num_graphs - 1}")
     tot_n = sum(g.num_nodes for g in graphs)
     tot_e = sum(g.num_edges for g in graphs)
-    if tot_n >= budget.num_nodes:
+    if slot_nodes is not None:
+        too_big = max(g.num_nodes for g in graphs)
+        if too_big > slot_nodes:
+            raise ValueError(f"graph with {too_big} nodes exceeds slot "
+                             f"{slot_nodes}")
+    elif tot_n >= budget.num_nodes:
         raise ValueError(f"{tot_n} nodes exceeds budget {budget.num_nodes - 1}")
     if tot_e > budget.num_edges:
         raise ValueError(f"{tot_e} edges exceeds budget {budget.num_edges}")
 
     N, E, GP = budget.num_nodes, budget.num_edges, budget.num_graphs
+    if slot_nodes is not None:
+        N = (GP - 1) * slot_nodes
     F = graphs[0].x.shape[1]
 
     node_feat = np.zeros((N, F), dtype=np.float32)
@@ -167,6 +181,8 @@ def pack_batch(
     n_off = 0
     e_off = 0
     for gi, g in enumerate(graphs):
+        if slot_nodes is not None:
+            n_off = gi * slot_nodes
         n, e = g.num_nodes, g.num_edges
         node_feat[n_off:n_off + n] = g.x.astype(np.float32)
         senders[e_off:e_off + e] = g.edge_index[0] + n_off
@@ -210,13 +226,24 @@ def pack_batch(
         from graph_hscn_tpu.ops.pallas.spmm_kernel import spmm_plan
         spmm = spmm_plan(senders, receivers, edge_mask, N)
 
+    dense_adj = None
+    if slot_nodes is not None:
+        dense_adj = np.zeros((GP - 1, slot_nodes, slot_nodes), np.float32)
+        gi_e = node_graph[receivers]
+        lr = receivers - gi_e * slot_nodes
+        ls = senders - gi_e * slot_nodes
+        w = (edge_weight if edge_weight is not None
+             else np.ones(E, np.float32))
+        sel = edge_mask
+        np.add.at(dense_adj, (gi_e[sel], lr[sel], ls[sel]), w[sel])
+
     return GraphBatch(
         node_feat=node_feat, senders=senders, receivers=receivers,
         node_graph=node_graph, n_node=n_node, n_edge=n_edge,
         node_mask=node_mask, edge_mask=edge_mask, graph_mask=graph_mask,
         edge_feat=edge_feat, edge_weight=edge_weight, y=y, node_y=node_y,
         node_pe=node_pe, eigvals=eigvals, eigvecs=eigvecs, cluster=cluster,
-        spmm=spmm,
+        spmm=spmm, dense_adj=dense_adj,
     )
 
 
@@ -228,6 +255,7 @@ def iter_batches(
     rng: np.random.Generator | None = None,
     drop_last: bool = False,
     with_spmm_plan: bool = False,
+    slot_nodes: int | None = None,
 ) -> Iterable[GraphBatch]:
     """Greedy sequential packing into fixed-budget batches.
 
@@ -246,17 +274,20 @@ def iter_batches(
         g = graphs[int(i)]
         overflow = (
             len(cur) >= batch_size
-            or cur_n + g.num_nodes >= budget.num_nodes
+            or (slot_nodes is None
+                and cur_n + g.num_nodes >= budget.num_nodes)
             or cur_e + g.num_edges > budget.num_edges
         )
         if cur and overflow:
-            yield pack_batch(cur, budget, with_spmm_plan=with_spmm_plan)
+            yield pack_batch(cur, budget, with_spmm_plan=with_spmm_plan,
+                             slot_nodes=slot_nodes)
             cur, cur_n, cur_e = [], 0, 0
         cur.append(g)
         cur_n += g.num_nodes
         cur_e += g.num_edges
     if cur and not drop_last:
-        yield pack_batch(cur, budget, with_spmm_plan=with_spmm_plan)
+        yield pack_batch(cur, budget, with_spmm_plan=with_spmm_plan,
+                         slot_nodes=slot_nodes)
 
 
 def csr_row_pointers(receivers: np.ndarray, num_nodes: int) -> np.ndarray:

@@ -35,6 +35,8 @@ class DataModule:
     num_classes: int
     task_level: str
     seed: int = 0
+    slot_nodes: int | None = None   # slotted dense packing (runner sets it)
+    with_spmm_plan: bool = False    # attach Pallas SpMM plans
 
     @classmethod
     def from_config(cls, data_cfg, pad_safety: float = 1.15) -> "DataModule":
@@ -73,15 +75,30 @@ class DataModule:
         rng = np.random.default_rng(
             self.seed if epoch_seed is None else epoch_seed)
         return iter_batches(self.split("train"), self.batch_size,
-                            self.budget, shuffle=True, rng=rng)
+                            self.budget, shuffle=True, rng=rng,
+                            slot_nodes=self.slot_nodes,
+                            with_spmm_plan=self.with_spmm_plan)
 
     def eval_batches(self, name: str) -> list[GraphBatch]:
         return list(iter_batches(self.split(name), self.batch_size,
-                                 self.budget, shuffle=False))
+                                 self.budget, shuffle=False,
+                                 slot_nodes=self.slot_nodes,
+                                 with_spmm_plan=self.with_spmm_plan))
 
     def example_batch(self) -> GraphBatch:
         gs = self.split("train")[: self.batch_size]
-        return pack_batch(gs, self.budget)
+        return pack_batch(gs, self.budget, slot_nodes=self.slot_nodes,
+                          with_spmm_plan=self.with_spmm_plan)
+
+    def enable_dense_slots(self, multiple: int = 8,
+                           max_slot: int = 512) -> bool:
+        """Turn on slotted dense packing if every graph fits a slot."""
+        slot = ((self.max_nodes_per_graph() + multiple - 1)
+                // multiple) * multiple
+        if slot > max_slot:
+            return False
+        self.slot_nodes = slot
+        return True
 
     def max_nodes_per_graph(self) -> int:
         return max(g.num_nodes for g in self.graphs)

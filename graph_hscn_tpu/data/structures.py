@@ -90,6 +90,15 @@ class GraphBatch:
     # Optional Pallas SpMM tiling metadata (ops/pallas/spmm_kernel.py),
     # attached host-side by the batcher when enabled.
     spmm: Any | None = None
+    # Optional dense per-graph adjacency [G-1, slot, slot] for the slotted
+    # dense execution path: when the batcher packs every graph into a
+    # fixed-size node slot (N == (G-1)*slot), flat<->blocked conversion is
+    # a reshape and conv layers run as batched MXU matmuls.
+    dense_adj: Array | None = None
+
+    @property
+    def slot_size(self) -> int | None:
+        return None if self.dense_adj is None else self.dense_adj.shape[-1]
 
     # ---- static helpers -------------------------------------------------
     @property

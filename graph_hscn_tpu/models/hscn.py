@@ -140,7 +140,8 @@ class HSCN(nn.Module):
             ll = GCNConv(features=self.hidden_channels,
                          add_self_loops=False)
             x_l_new = ll(x_l, batch.senders, batch.receivers,
-                         batch.edge_mask, num_nodes=N)
+                         batch.edge_mask, num_nodes=N,
+                         dense_adj=batch.dense_adj, plan=batch.spmm)
 
             # virtual <- local (bipartite GAT; one edge per real node).
             lv = GATConv(features=self.hidden_channels, heads=1,

@@ -25,6 +25,15 @@ glorot = nn.initializers.glorot_uniform()
 zeros = nn.initializers.zeros
 
 
+def _to_blocks(x, slot: int):
+    """Flat slotted [G*slot, F] -> [G, slot, F] (free reshape)."""
+    return x.reshape(-1, slot, x.shape[-1])
+
+
+def _from_blocks(xb):
+    return xb.reshape(-1, xb.shape[-1])
+
+
 class GCNConv(nn.Module):
     """PyG GCNConv:  X' = D^-1/2 (A + I) D^-1/2 X W + b.
 
@@ -41,25 +50,44 @@ class GCNConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, senders, receivers, edge_mask,
-                 edge_weight=None, num_nodes=None):
+                 edge_weight=None, num_nodes=None, dense_adj=None,
+                 plan=None):
         n = num_nodes or x.shape[0]
         w = self.param("kernel", glorot, (x.shape[-1], self.features))
         h = x @ w
-        if self.normalize:
-            norm_w, diag = gcn_norm_weights(
-                senders, receivers, edge_mask, n,
-                add_self_loops=self.add_self_loops)
-            if edge_weight is not None:
-                norm_w = norm_w * edge_weight
+        if dense_adj is not None:
+            # Slotted dense path: batched MXU matmul with in-degree
+            # normalization — algebraically identical to the sparse path.
+            adj = dense_adj
+            deg = jnp.sum(adj, axis=-1)
+            if self.add_self_loops:
+                deg = deg + 1.0
+            inv = jnp.where(deg > 0,
+                            jax.lax.rsqrt(jnp.maximum(deg, 1e-12)), 0.0)
+            if self.normalize:
+                adj = adj * inv[:, :, None] * inv[:, None, :]
+            hb = _to_blocks(h, adj.shape[-1])[:adj.shape[0]]
+            outb = jnp.einsum("gij,gjf->gif", adj, hb)
+            if self.add_self_loops and self.normalize:
+                outb = outb + (inv * inv)[:, :, None] * hb
+            out = _from_blocks(outb)
+            out = jnp.pad(out, ((0, n - out.shape[0]), (0, 0)))
         else:
-            norm_w = jnp.where(edge_mask,
-                               edge_weight if edge_weight is not None else 1.0,
-                               0.0)
-            diag = None
-        out = gather_scatter(h, senders, receivers, num_nodes=n,
-                             edge_weight=norm_w)
-        if diag is not None:
-            out = out + diag[:, None] * h
+            if self.normalize:
+                norm_w, diag = gcn_norm_weights(
+                    senders, receivers, edge_mask, n,
+                    add_self_loops=self.add_self_loops)
+                if edge_weight is not None:
+                    norm_w = norm_w * edge_weight
+            else:
+                norm_w = jnp.where(
+                    edge_mask,
+                    edge_weight if edge_weight is not None else 1.0, 0.0)
+                diag = None
+            out = gather_scatter(h, senders, receivers, num_nodes=n,
+                                 edge_weight=norm_w, plan=plan)
+            if diag is not None:
+                out = out + diag[:, None] * h
         if self.use_bias:
             out = out + self.param("bias", zeros, (self.features,))
         return out
@@ -77,18 +105,30 @@ class GraphConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, senders, receivers, edge_mask,
-                 edge_weight=None, num_nodes=None, self_weight=None):
+                 edge_weight=None, num_nodes=None, self_weight=None,
+                 dense_adj=None, plan=None):
         n = num_nodes or x.shape[0]
-        w_eff = edge_weight if edge_weight is not None else jnp.ones(
-            senders.shape, x.dtype)
-        w_eff = jnp.where(edge_mask, w_eff, 0.0)
-        agg = gather_scatter(x, senders, receivers, num_nodes=n,
-                             edge_weight=w_eff)
-        if self_weight is not None:
-            # Self-loop contribution routed through the neighbor transform,
-            # matching gcn_norm's materialized self-loop edges feeding
-            # GraphConv in the reference (train_clustering.py:37-47).
-            agg = agg + self_weight[:, None] * x
+        if dense_adj is not None:
+            # Dense path: dense_adj must already carry the desired edge
+            # weights; self_weight (if given) is flat [N].
+            xb = _to_blocks(x, dense_adj.shape[-1])[:dense_adj.shape[0]]
+            aggb = jnp.einsum("gij,gjf->gif", dense_adj, xb)
+            agg = _from_blocks(aggb)
+            agg = jnp.pad(agg, ((0, n - agg.shape[0]), (0, 0)))
+            if self_weight is not None:
+                agg = agg + self_weight[:, None] * x
+        else:
+            w_eff = edge_weight if edge_weight is not None else jnp.ones(
+                senders.shape, x.dtype)
+            w_eff = jnp.where(edge_mask, w_eff, 0.0)
+            agg = gather_scatter(x, senders, receivers, num_nodes=n,
+                                 edge_weight=w_eff, plan=plan)
+            if self_weight is not None:
+                # Self-loop contribution routed through the neighbor
+                # transform, matching gcn_norm's materialized self-loop
+                # edges feeding GraphConv in the reference
+                # (train_clustering.py:37-47).
+                agg = agg + self_weight[:, None] * x
         w_rel = self.param("kernel_rel", glorot, (x.shape[-1], self.features))
         w_root = self.param("kernel_root", glorot,
                             (x.shape[-1], self.features))
@@ -112,13 +152,19 @@ class GINConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, senders, receivers, edge_mask,
-                 edge_weight=None, num_nodes=None):
+                 edge_weight=None, num_nodes=None, dense_adj=None,
+                 plan=None):
         n = num_nodes or x.shape[0]
-        w_eff = jnp.where(edge_mask, 1.0, 0.0)
-        if edge_weight is not None:
-            w_eff = w_eff * edge_weight
-        agg = gather_scatter(x, senders, receivers, num_nodes=n,
-                             edge_weight=w_eff)
+        if dense_adj is not None:
+            xb = _to_blocks(x, dense_adj.shape[-1])[:dense_adj.shape[0]]
+            agg = _from_blocks(jnp.einsum("gij,gjf->gif", dense_adj, xb))
+            agg = jnp.pad(agg, ((0, n - agg.shape[0]), (0, 0)))
+        else:
+            w_eff = jnp.where(edge_mask, 1.0, 0.0)
+            if edge_weight is not None:
+                w_eff = w_eff * edge_weight
+            agg = gather_scatter(x, senders, receivers, num_nodes=n,
+                                 edge_weight=w_eff, plan=plan)
         eps = (self.param("eps", zeros, ()) if self.train_eps else 0.0)
         h = (1.0 + eps) * x + agg
         h = nn.Dense(self.features, kernel_init=glorot)(h)

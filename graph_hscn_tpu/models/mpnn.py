@@ -54,10 +54,14 @@ class MPNN(nn.Module):
 
         dims = ([self.hidden_channels] * (self.num_layers - 1)
                 + [self.num_classes])
+        extra = {}
+        if self.conv_type.lower() in ("gcn", "gin"):
+            # Dense slotted path / Pallas plan flow through where supported.
+            extra = {"dense_adj": batch.dense_adj, "plan": batch.spmm}
         for i, dim in enumerate(dims):
             conv = conv_cls(features=dim)
             x = conv(x, batch.senders, batch.receivers, batch.edge_mask,
-                     num_nodes=n)
+                     num_nodes=n, **extra)
             if i < self.num_layers - 1:
                 if self.compat_double_relu:
                     x = nn.relu(x)

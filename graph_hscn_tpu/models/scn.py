@@ -28,6 +28,7 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from graph_hscn_tpu.data.structures import GraphBatch
@@ -49,17 +50,30 @@ class SCN(nn.Module):
         """Returns (s [N, K] softmax assignments, mc_loss, o_loss)."""
         act = ACTIVATIONS[self.mp_act.lower()]
         n = batch.num_nodes_padded
+        dense = batch.dense_adj is not None
 
         # GCN-normalized weights incl. self-loop diagonal (the reference
         # feeds gcn_norm output into GraphConv, train_clustering.py:37-47).
-        w, diag = gcn_norm_weights(batch.senders, batch.receivers,
-                                   batch.edge_mask, n, add_self_loops=True)
+        if dense:
+            slot = batch.slot_size
+            adj_raw = batch.dense_adj                       # [G, slot, slot]
+            deg = jnp.sum(adj_raw, axis=-1) + 1.0
+            inv = jax.lax.rsqrt(jnp.maximum(deg, 1e-12))
+            adj_norm = adj_raw * inv[:, :, None] * inv[:, None, :]
+            diag = (inv * inv).reshape(-1)                  # flat [N]
+            conv_kwargs = dict(dense_adj=adj_norm, self_weight=diag)
+        else:
+            w, diag = gcn_norm_weights(batch.senders, batch.receivers,
+                                       batch.edge_mask, n,
+                                       add_self_loops=True)
+            conv_kwargs = dict(edge_weight=w, self_weight=diag,
+                               plan=batch.spmm)
 
         x = batch.node_feat
         for units in self.mp_units:
             conv = GraphConv(features=units)
             x = conv(x, batch.senders, batch.receivers, batch.edge_mask,
-                     edge_weight=w, num_nodes=n, self_weight=diag)
+                     num_nodes=n, **conv_kwargs)
             x = act(x)
 
         h = x
@@ -71,10 +85,17 @@ class SCN(nn.Module):
 
         # Dense per-graph blocks for the pooled contractions; adjacency is
         # the raw unweighted one (quirk #7 parity).
-        unweighted = batch.replace(edge_weight=None)
-        _, adj, mask = batch_to_dense(unweighted, self.max_nodes)
-        s_dense = _scatter_dense(s_logits, batch, self.max_nodes)
-        x_dense = _scatter_dense(x, batch, self.max_nodes)
+        if dense:
+            G = adj_raw.shape[0]
+            adj = adj_raw
+            mask = batch.node_mask.reshape(G, slot)
+            s_dense = s_logits.reshape(G, slot, -1)
+            x_dense = x.reshape(G, slot, -1)
+        else:
+            unweighted = batch.replace(edge_weight=None)
+            _, adj, mask = batch_to_dense(unweighted, self.max_nodes)
+            s_dense = _scatter_dense(s_logits, batch, self.max_nodes)
+            x_dense = _scatter_dense(x, batch, self.max_nodes)
         _, _, mc_loss, o_loss = mincut_pool(x_dense, adj, s_dense, mask)
 
         s = nn.softmax(s_logits, axis=-1)

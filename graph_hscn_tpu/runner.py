@@ -31,6 +31,20 @@ def run_experiment(cfg: ExperimentConfig, log_file=None) -> FitResult:
                 f"budget nodes={dm.budget.num_nodes} "
                 f"edges={dm.budget.num_edges}")
 
+    # Execution-path selection: slotted dense blocks (MXU matmuls) for
+    # molecular-scale graphs, Pallas SpMM plans for the sparse path on TPU.
+    from graph_hscn_tpu.config import defaults as D
+    if cfg.runtime.dense_path in ("auto", "dense"):
+        enabled = dm.enable_dense_slots(max_slot=D.DENSE_PATH_MAX_NODES)
+        if enabled:
+            logger.info(f"Dense slotted path on: slot={dm.slot_nodes}")
+        elif cfg.runtime.dense_path == "dense":
+            raise ValueError("dense path requested but a graph exceeds "
+                             f"max slot {D.DENSE_PATH_MAX_NODES}")
+    if cfg.runtime.spmm_backend in ("auto", "pallas") and not dm.slot_nodes:
+        dm.with_spmm_plan = jax.default_backend() == "tpu" or \
+            cfg.runtime.spmm_backend == "pallas"
+
     if cfg.pe is not None:
         from graph_hscn_tpu.transform.posenc import attach_posenc
         attach_posenc(dm, cfg.pe, logger,
