@@ -226,24 +226,13 @@ def pack_batch(
         from graph_hscn_tpu.ops.pallas.spmm_kernel import spmm_plan
         spmm = spmm_plan(senders, receivers, edge_mask, N)
 
-    dense_adj = None
-    if slot_nodes is not None:
-        dense_adj = np.zeros((GP - 1, slot_nodes, slot_nodes), np.float32)
-        gi_e = node_graph[receivers]
-        lr = receivers - gi_e * slot_nodes
-        ls = senders - gi_e * slot_nodes
-        w = (edge_weight if edge_weight is not None
-             else np.ones(E, np.float32))
-        sel = edge_mask
-        np.add.at(dense_adj, (gi_e[sel], lr[sel], ls[sel]), w[sel])
-
     return GraphBatch(
         node_feat=node_feat, senders=senders, receivers=receivers,
         node_graph=node_graph, n_node=n_node, n_edge=n_edge,
         node_mask=node_mask, edge_mask=edge_mask, graph_mask=graph_mask,
         edge_feat=edge_feat, edge_weight=edge_weight, y=y, node_y=node_y,
         node_pe=node_pe, eigvals=eigvals, eigvecs=eigvecs, cluster=cluster,
-        spmm=spmm, dense_adj=dense_adj,
+        spmm=spmm, slot=slot_nodes,
     )
 
 

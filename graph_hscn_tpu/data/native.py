@@ -66,9 +66,12 @@ def _ptr(arr, ctype):
         else None
 
 
-def pack_batch_native(graphs, budget, slot_nodes: int | None = None):
+def pack_batch_native(graphs, budget, slot_nodes: int | None = None,
+                      materialize_dense: bool = False):
     """Native equivalent of batching.pack_batch (graph-level y only).
-    Returns a GraphBatch or None if the native library is unavailable."""
+    Returns a GraphBatch or None if the native library is unavailable.
+    ``materialize_dense`` fills the dense adjacency host-side (normally the
+    model builds it on device — see ops/dense.build_dense_adj)."""
     lib = _load()
     if lib is None:
         return None
@@ -109,7 +112,7 @@ def pack_batch_native(graphs, budget, slot_nodes: int | None = None):
     out_graph_mask = np.empty(GP, np.uint8)
     out_y = np.empty((GP, C), np.float32) if has_y else None
     out_dense = (np.empty((GP - 1, slot, slot), np.float32)
-                 if slot else None)
+                 if (slot and materialize_dense) else None)
 
     rc = lib.pack_batch(
         G, _ptr(node_offsets, ctypes.c_int64),
@@ -139,7 +142,7 @@ def pack_batch_native(graphs, budget, slot_nodes: int | None = None):
         node_mask=out_node_mask.astype(bool),
         edge_mask=out_edge_mask.astype(bool),
         graph_mask=out_graph_mask.astype(bool),
-        y=out_y, dense_adj=out_dense,
+        y=out_y, dense_adj=out_dense, slot=slot_nodes,
     )
 
 

@@ -93,11 +93,19 @@ class GraphBatch:
     # Optional dense per-graph adjacency [G-1, slot, slot] for the slotted
     # dense execution path: when the batcher packs every graph into a
     # fixed-size node slot (N == (G-1)*slot), flat<->blocked conversion is
-    # a reshape and conv layers run as batched MXU matmuls.
+    # a reshape and conv layers run as batched MXU matmuls.  Usually left
+    # None and built ON DEVICE from the edge list (ops/dense.py
+    # build_dense_adj) — host->device bandwidth is precious and the [G,
+    # slot^2] array is ~100x the edge list.
     dense_adj: Array | None = None
+    # Slot width of the slotted layout; static (part of the jit cache key).
+    slot: int | None = dataclasses.field(default=None,
+                                         metadata=dict(static=True))
 
     @property
     def slot_size(self) -> int | None:
+        if self.slot is not None:
+            return self.slot
         return None if self.dense_adj is None else self.dense_adj.shape[-1]
 
     # ---- static helpers -------------------------------------------------

@@ -130,6 +130,8 @@ class HSCN(nn.Module):
         N = batch.num_nodes_padded
         act = ACTIVATIONS[self.activation.lower()]
 
+        from graph_hscn_tpu.ops.dense import resolve_dense_adj
+        dense_adj = resolve_dense_adj(batch)
         x_l = batch.node_feat
         x_v, v_active, vid = virtual_node_features(
             batch, K, index_shift=self.index_shift)
@@ -141,7 +143,7 @@ class HSCN(nn.Module):
                          add_self_loops=False)
             x_l_new = ll(x_l, batch.senders, batch.receivers,
                          batch.edge_mask, num_nodes=N,
-                         dense_adj=batch.dense_adj, plan=batch.spmm)
+                         dense_adj=dense_adj, plan=batch.spmm)
 
             # virtual <- local (bipartite GAT; one edge per real node).
             lv = GATConv(features=self.hidden_channels, heads=1,

@@ -57,7 +57,9 @@ class MPNN(nn.Module):
         extra = {}
         if self.conv_type.lower() in ("gcn", "gin"):
             # Dense slotted path / Pallas plan flow through where supported.
-            extra = {"dense_adj": batch.dense_adj, "plan": batch.spmm}
+            from graph_hscn_tpu.ops.dense import resolve_dense_adj
+            extra = {"dense_adj": resolve_dense_adj(batch),
+                     "plan": batch.spmm}
         for i, dim in enumerate(dims):
             conv = conv_cls(features=dim)
             x = conv(x, batch.senders, batch.receivers, batch.edge_mask,

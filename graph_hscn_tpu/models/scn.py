@@ -33,7 +33,8 @@ import jax.numpy as jnp
 
 from graph_hscn_tpu.data.structures import GraphBatch
 from graph_hscn_tpu.models.layers import ACTIVATIONS, GraphConv, glorot
-from graph_hscn_tpu.ops.dense import batch_to_dense, mincut_pool
+from graph_hscn_tpu.ops.dense import (batch_to_dense, mincut_pool,
+                                      resolve_dense_adj)
 from graph_hscn_tpu.ops.spmm import gcn_norm_weights
 
 
@@ -50,13 +51,15 @@ class SCN(nn.Module):
         """Returns (s [N, K] softmax assignments, mc_loss, o_loss)."""
         act = ACTIVATIONS[self.mp_act.lower()]
         n = batch.num_nodes_padded
-        dense = batch.dense_adj is not None
+        dense = batch.slot_size is not None
 
         # GCN-normalized weights incl. self-loop diagonal (the reference
         # feeds gcn_norm output into GraphConv, train_clustering.py:37-47).
         if dense:
             slot = batch.slot_size
-            adj_raw = batch.dense_adj                       # [G, slot, slot]
+            # Raw unweighted adjacency (quirk #7 parity: MinCUT ignores
+            # edge weights), built on device for slotted batches.
+            adj_raw = resolve_dense_adj(batch, weighted=False)
             deg = jnp.sum(adj_raw, axis=-1) + 1.0
             inv = jax.lax.rsqrt(jnp.maximum(deg, 1e-12))
             adj_norm = adj_raw * inv[:, :, None] * inv[:, None, :]

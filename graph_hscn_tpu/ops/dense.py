@@ -20,6 +20,43 @@ import jax.numpy as jnp
 from graph_hscn_tpu.data.structures import GraphBatch
 
 
+def build_dense_adj(batch: GraphBatch, weighted: bool = True):
+    """Device-side dense per-graph adjacency for the slotted layout:
+    [G-1, slot, slot] with adj[g, dst_local, src_local].
+
+    One scatter-add over the edge list (~E elements) — built on device
+    because shipping the materialized [G, slot^2] array from host costs
+    ~100x the edge list in transfer bytes.
+    """
+    slot = batch.slot
+    assert slot is not None, "build_dense_adj requires slotted packing"
+    G = batch.num_graphs_padded - 1
+    g_e = batch.receivers // slot            # slot id == graph id (slotted)
+    lr = batch.receivers - g_e * slot
+    ls = batch.senders - g_e * slot
+    w = (batch.edge_weight if (weighted and batch.edge_weight is not None)
+         else jnp.ones_like(batch.senders, jnp.float32))
+    w = jnp.where(batch.edge_mask, w, 0.0)
+    # Same-slot guard: padding edges self-loop on node N-1, still inside the
+    # last slot; masked weight 0 makes them harmless, but cross-slot edges
+    # (never produced by the packer) would corrupt rows — clamp for safety.
+    flat = g_e * (slot * slot) + lr * slot + ls
+    flat = jnp.where(batch.edge_mask, flat, G * slot * slot)
+    adj = jnp.zeros((G * slot * slot + 1,), jnp.float32)
+    adj = adj.at[flat].add(w)
+    return adj[:-1].reshape(G, slot, slot)
+
+
+def resolve_dense_adj(batch: GraphBatch, weighted: bool = True):
+    """dense_adj if materialized, else build on device (slotted), else
+    None."""
+    if batch.dense_adj is not None:
+        return batch.dense_adj
+    if batch.slot is not None:
+        return build_dense_adj(batch, weighted=weighted)
+    return None
+
+
 @functools.partial(jax.jit, static_argnames=("max_nodes",))
 def batch_to_dense(batch: GraphBatch, max_nodes: int):
     """GraphBatch -> (x [G, n_max, F], adj [G, n_max, n_max], mask [G, n_max]).

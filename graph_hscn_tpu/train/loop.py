@@ -41,6 +41,29 @@ class TrainState:
     rng: jnp.ndarray
 
 
+def device_prefetch(batches: Iterable[GraphBatch], depth: int = 2
+                    ) -> Iterable[GraphBatch]:
+    """One-ahead async host->device transfer: jax.device_put dispatches
+    asynchronously, so the next batch's transfer overlaps the current
+    step's compute.  Essential here — host->device bandwidth dominates the
+    step time otherwise (the reference pays a synchronous CPU->GPU copy per
+    batch, train.py:75)."""
+    import collections
+    queue: collections.deque = collections.deque()
+    it = iter(batches)
+    try:
+        for _ in range(depth):
+            queue.append(jax.device_put(next(it)))
+    except StopIteration:
+        pass
+    while queue:
+        try:
+            queue.append(jax.device_put(next(it)))
+        except StopIteration:
+            pass
+        yield queue.popleft()
+
+
 def is_eval_epoch(epoch: int, max_epochs: int, eval_period: int) -> bool:
     """Same cadence as reference train/utils.py:1-6."""
     return ((epoch + 1) % eval_period == 0 or epoch == 0
@@ -148,12 +171,15 @@ def fit(model, train_batches_fn: Callable[[], Iterable[GraphBatch]],
     stopped = False
     epochs_run = 0
 
+    def _feed(batches):
+        if shard_batch is not None:
+            return (shard_batch(b) for b in batches)
+        return device_prefetch(batches)
+
     for epoch in range(training_cfg.epochs):
         t0 = time.time()
         losses, scores, trues, masks = [], [], [], []
-        for batch in train_batches_fn():
-            if shard_batch is not None:
-                batch = shard_batch(batch)
+        for batch in _feed(train_batches_fn()):
             state, loss, score, true, mask = train_step(state, batch)
             losses.append(loss)  # device array; sync deferred to epoch end
             scores.append(score)
@@ -171,9 +197,7 @@ def fit(model, train_batches_fn: Callable[[], Iterable[GraphBatch]],
             for split, batches in (("Validation", val_batches),
                                    ("Test", test_batches)):
                 losses, scores, trues, masks = [], [], [], []
-                for batch in batches:
-                    if shard_batch is not None:
-                        batch = shard_batch(batch)
+                for batch in _feed(batches):
                     loss, score, true, mask = eval_step(state, batch)
                     losses.append(loss)
                     scores.append(score)

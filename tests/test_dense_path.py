@@ -32,8 +32,10 @@ def test_dense_batch_layout():
     for gi, g in enumerate(graphs):
         rows = np.asarray(dense.node_feat[gi * slot: gi * slot + g.num_nodes])
         np.testing.assert_allclose(rows, g.x, rtol=1e-6)
-    assert dense.dense_adj.shape == (dense.num_graphs_padded - 1, slot, slot)
-    assert dense.dense_adj.sum() == sum(g.num_edges for g in graphs)
+    from graph_hscn_tpu.ops.dense import build_dense_adj
+    adj = np.asarray(build_dense_adj(dense))
+    assert adj.shape == (dense.num_graphs_padded - 1, slot, slot)
+    assert adj.sum() == sum(g.num_edges for g in graphs)
 
 
 def test_gcn_dense_equals_sparse():

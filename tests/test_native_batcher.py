@@ -16,7 +16,7 @@ def graphs():
     return make_peptides_func(num_graphs=12, seed=50, mean_nodes=50)
 
 
-def _assert_batches_equal(a, b, dense=False):
+def _assert_batches_equal(a, b):
     np.testing.assert_allclose(a.node_feat, b.node_feat)
     np.testing.assert_array_equal(a.senders, b.senders)
     np.testing.assert_array_equal(a.receivers, b.receivers)
@@ -27,8 +27,7 @@ def _assert_batches_equal(a, b, dense=False):
     np.testing.assert_array_equal(a.edge_mask, b.edge_mask)
     np.testing.assert_array_equal(a.graph_mask, b.graph_mask)
     np.testing.assert_allclose(a.y, b.y)
-    if dense:
-        np.testing.assert_allclose(a.dense_adj, b.dense_adj)
+    assert a.slot == b.slot
 
 
 def test_native_matches_numpy_contiguous(graphs):
@@ -42,8 +41,13 @@ def test_native_matches_numpy_slotted(graphs):
     budget = PadBudget.for_dataset(graphs, batch_size=12)
     slot = ((max(g.num_nodes for g in graphs) + 7) // 8) * 8
     ref = pack_batch(graphs, budget, slot_nodes=slot)
-    nat = native.pack_batch_native(graphs, budget, slot_nodes=slot)
-    _assert_batches_equal(nat, ref, dense=True)
+    nat = native.pack_batch_native(graphs, budget, slot_nodes=slot,
+                                   materialize_dense=True)
+    _assert_batches_equal(nat, ref)
+    # Host-materialized adjacency == device-built adjacency.
+    from graph_hscn_tpu.ops.dense import build_dense_adj
+    dev = np.asarray(build_dense_adj(ref))
+    np.testing.assert_allclose(nat.dense_adj, dev)
 
 
 def test_native_spmm_windows_match(graphs):
