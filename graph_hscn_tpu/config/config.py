@@ -176,6 +176,10 @@ class RuntimeConfig:
     matmul_precision: str = D.MATMUL_PRECISION
     dense_path: str = "auto"   # "auto" | "dense" | "sparse"
     spmm_backend: str = "auto"  # "auto" | "xla" | "pallas"
+    # Device-resident dataset + epoch-as-a-program (train/device_data.py):
+    # "auto" enables it when the packed dataset fits device_dataset_max_mb.
+    device_dataset: str = "auto"   # "auto" | "on" | "off"
+    device_dataset_max_mb: int = 2048
     pad_safety: float = D.PAD_SAFETY
     donate_state: bool = True
     profile_dir: str | None = None

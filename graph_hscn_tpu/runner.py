@@ -63,14 +63,40 @@ def run_experiment(cfg: ExperimentConfig, log_file=None) -> FitResult:
     if cfg.training.checkpoint_dir:
         from graph_hscn_tpu.train.checkpoint import Checkpointer
         checkpointer = Checkpointer(cfg.training.checkpoint_dir)
-    result = fit(
-        model,
-        lambda: dm.train_batches(),
-        dm.eval_batches("val"), dm.eval_batches("test"),
-        cfg.optim, cfg.training, logger,
-        node_level=node_level,
-        compat_sigmoid_score=cfg.compat.sigmoid_regression_score,
-        checkpointer=checkpointer,
-    )
+
+    if _use_device_dataset(cfg, dm):
+        from graph_hscn_tpu.train.loop import fit_device
+        logger.info("Device-resident dataset path on "
+                    "(epoch-as-a-program).")
+        result = fit_device(
+            model, dm.split("train"), dm.split("val"), dm.split("test"),
+            batch_size=cfg.data.batch_size,
+            optim_cfg=cfg.optim, training_cfg=cfg.training, logger=logger,
+            node_level=node_level,
+            compat_sigmoid_score=cfg.compat.sigmoid_regression_score,
+            checkpointer=checkpointer, slot=dm.slot_nodes,
+        )
+    else:
+        result = fit(
+            model,
+            lambda: dm.train_batches(),
+            dm.eval_batches("val"), dm.eval_batches("test"),
+            cfg.optim, cfg.training, logger,
+            node_level=node_level,
+            compat_sigmoid_score=cfg.compat.sigmoid_regression_score,
+            checkpointer=checkpointer,
+        )
     logger.finish()
     return result
+
+
+def _use_device_dataset(cfg: ExperimentConfig, dm) -> bool:
+    mode = cfg.runtime.device_dataset
+    if mode == "off":
+        return False
+    slot = dm.slot_nodes or (((dm.max_nodes_per_graph() + 7) // 8) * 8)
+    est_mb = (len(dm.graphs) * slot * dm.num_features * 4) / 1e6
+    fits = est_mb <= cfg.runtime.device_dataset_max_mb
+    if mode == "on":
+        return True
+    return fits

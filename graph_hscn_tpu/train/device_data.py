@@ -1,0 +1,241 @@
+"""Device-resident dataset + on-device batch assembly + epoch-as-a-program.
+
+The highest-leverage TPU data-pipeline design for molecular-scale datasets
+(LRGB peptides is ~100 MB packed): ship the WHOLE dataset to HBM once in
+slotted per-graph form, then every training step assembles its batch on
+device from an index vector — per-step host->device traffic is ~B*4 bytes,
+and a full epoch runs as ONE jitted ``lax.scan`` program (no per-batch
+dispatch).  The reference instead re-collates and re-uploads every batch
+every epoch (loader.py:48-60, train.py:73-77).
+
+Layout (all arrays device-resident, graph-major):
+  nodes      [NG, slot, F]   zero-padded node features
+  n_node     [NG]
+  edges_src  [NG, e_slot]    graph-local, receiver-sorted, padded
+  edges_dst  [NG, e_slot]
+  edge_ok    [NG, e_slot]    bool
+  y          [NG, C]         (graph tasks)  /  node_y [NG, slot, C]
+  cluster    [NG, slot]      optional (HSCN)
+  eigvecs/eigvals [NG, slot, K] optional (PE)
+
+``assemble(data, idx)`` produces a standard GraphBatch (slotted layout) so
+every model runs unchanged; idx entries of -1 are dummy slots (masked).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graph_hscn_tpu.data.structures import GraphBatch
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DeviceDataset:
+    nodes: Any            # [NG, slot, F]
+    n_node: Any           # [NG]
+    edges_src: Any        # [NG, e_slot]
+    edges_dst: Any        # [NG, e_slot]
+    edge_ok: Any          # [NG, e_slot]
+    y: Any = None         # [NG, C]
+    node_y: Any = None    # [NG, slot, C]
+    cluster: Any = None   # [NG, slot]
+    eigvecs: Any = None   # [NG, slot, K]
+    eigvals: Any = None   # [NG, slot, K]
+    slot: int = dataclasses.field(default=0, metadata=dict(static=True))
+    e_slot: int = dataclasses.field(default=0, metadata=dict(static=True))
+
+    @property
+    def num_graphs(self) -> int:
+        return self.nodes.shape[0]
+
+    @staticmethod
+    def build(graphs, slot: int | None = None, e_slot: int | None = None,
+              device_put: bool = True) -> "DeviceDataset":
+        NG = len(graphs)
+        F = graphs[0].x.shape[1]
+        slot = slot or ((max(g.num_nodes for g in graphs) + 7) // 8) * 8
+        e_slot = e_slot or ((max(g.num_edges for g in graphs) + 127)
+                            // 128) * 128
+        nodes = np.zeros((NG, slot, F), np.float32)
+        n_node = np.zeros((NG,), np.int32)
+        src = np.zeros((NG, e_slot), np.int32)
+        dst = np.zeros((NG, e_slot), np.int32)
+        ok = np.zeros((NG, e_slot), bool)
+        has_y = graphs[0].y is not None
+        has_ny = graphs[0].node_y is not None
+        has_cl = graphs[0].cluster is not None
+        has_ev = graphs[0].eigvecs is not None
+        y = (np.zeros((NG, np.asarray(graphs[0].y).reshape(-1).shape[0]),
+                      np.float32) if has_y else None)
+        node_y = (np.zeros((NG, slot, graphs[0].node_y.shape[1]),
+                           np.float32) if has_ny else None)
+        cluster = np.zeros((NG, slot), np.int32) if has_cl else None
+        eigvecs = (np.zeros((NG, slot, graphs[0].eigvecs.shape[1]),
+                            np.float32) if has_ev else None)
+        eigvals = (np.zeros((NG, slot, graphs[0].eigvals.shape[1]),
+                            np.float32) if has_ev else None)
+        for i, g in enumerate(graphs):
+            n, e = g.num_nodes, g.num_edges
+            assert n <= slot and e <= e_slot, (n, e, slot, e_slot)
+            nodes[i, :n] = g.x
+            n_node[i] = n
+            order = np.argsort(g.edge_index[1], kind="stable")
+            src[i, :e] = g.edge_index[0][order]
+            dst[i, :e] = g.edge_index[1][order]
+            ok[i, :e] = True
+            if has_y:
+                y[i] = np.asarray(g.y, np.float32).reshape(-1)
+            if has_ny:
+                node_y[i, :n] = g.node_y
+            if has_cl:
+                cluster[i, :n] = g.cluster
+            if has_ev:
+                eigvecs[i, :n] = np.nan_to_num(g.eigvecs)
+                eigvals[i, :n] = np.nan_to_num(g.eigvals)
+        ds = DeviceDataset(nodes=nodes, n_node=n_node, edges_src=src,
+                           edges_dst=dst, edge_ok=ok, y=y, node_y=node_y,
+                           cluster=cluster, eigvecs=eigvecs,
+                           eigvals=eigvals, slot=slot, e_slot=e_slot)
+        if device_put:
+            ds = jax.tree_util.tree_map(jax.device_put, ds)
+        return ds
+
+
+def assemble(ds: DeviceDataset, idx: jnp.ndarray) -> GraphBatch:
+    """On-device batch assembly: idx [B] graph indices (-1 = dummy slot).
+
+    Returns a slotted GraphBatch with B+1 graph slots (last = dummy),
+    N = B*slot nodes, E = B*e_slot edges (receiver-sorted globally because
+    per-graph lists are receiver-sorted and slots are ascending)."""
+    B = idx.shape[0]
+    slot, e_slot = ds.slot, ds.e_slot
+    real = idx >= 0
+    safe = jnp.clip(idx, 0, ds.num_graphs - 1)
+
+    nodes = jnp.take(ds.nodes, safe, axis=0)            # [B, slot, F]
+    n_node = jnp.where(real, jnp.take(ds.n_node, safe), 0)
+    node_feat = nodes.reshape(B * slot, -1)
+
+    offs = (jnp.arange(B, dtype=jnp.int32) * slot)[:, None]
+    senders = (jnp.take(ds.edges_src, safe, axis=0) + offs).reshape(-1)
+    receivers = (jnp.take(ds.edges_dst, safe, axis=0) + offs).reshape(-1)
+    edge_ok = jnp.take(ds.edge_ok, safe, axis=0)
+    edge_mask = (edge_ok & real[:, None]).reshape(-1)
+    # Padding edges self-loop on the LAST ROW OF THEIR OWN SLOT — this
+    # keeps the concatenated receiver array globally non-decreasing
+    # (required by indices_are_sorted=True segment reductions).  Every
+    # layer masks padded-edge contributions, so it is safe even when a
+    # graph fills its slot exactly.
+    own_last = (offs + slot - 1).repeat(e_slot, axis=1).reshape(-1)
+    senders = jnp.where(edge_mask, senders, own_last)
+    receivers = jnp.where(edge_mask, receivers, own_last)
+
+    in_slot = jax.lax.broadcasted_iota(jnp.int32, (B, slot), 1)
+    node_ok = in_slot < n_node[:, None]
+    node_graph = jnp.where(
+        node_ok, jnp.arange(B, dtype=jnp.int32)[:, None], B).reshape(-1)
+    node_mask = node_ok.reshape(-1)
+
+    def pad_g(x):   # [B, ...] -> [B+1, ...] with zero dummy row
+        return jnp.concatenate(
+            [x, jnp.zeros((1,) + x.shape[1:], x.dtype)], axis=0)
+
+    n_edge = jnp.where(real, jnp.sum(edge_ok, axis=1, dtype=jnp.int32), 0)
+    y = (pad_g(jnp.take(ds.y, safe, axis=0)
+               * real[:, None].astype(jnp.float32))
+         if ds.y is not None else None)
+    node_y = (jnp.take(ds.node_y, safe, axis=0).reshape(B * slot, -1)
+              if ds.node_y is not None else None)
+    cluster = (jnp.take(ds.cluster, safe, axis=0).reshape(-1)
+               if ds.cluster is not None else None)
+    eigvecs = (jnp.take(ds.eigvecs, safe, axis=0).reshape(B * slot, -1)
+               if ds.eigvecs is not None else None)
+    eigvals = (jnp.take(ds.eigvals, safe, axis=0).reshape(B * slot, -1)
+               if ds.eigvals is not None else None)
+
+    return GraphBatch(
+        node_feat=node_feat, senders=senders, receivers=receivers,
+        node_graph=node_graph,
+        n_node=pad_g(n_node), n_edge=pad_g(n_edge),
+        node_mask=node_mask, edge_mask=edge_mask,
+        graph_mask=pad_g(real),
+        y=y, node_y=node_y, cluster=cluster,
+        eigvecs=eigvecs, eigvals=eigvals,
+        slot=slot,
+    )
+
+
+def epoch_permutation(num_graphs: int, batch_size: int, seed: int,
+                      shuffle: bool = True) -> np.ndarray:
+    """[NB, B] index matrix covering the dataset once; -1 pads the tail."""
+    idx = np.arange(num_graphs)
+    if shuffle:
+        np.random.default_rng(seed).shuffle(idx)
+    nb = (num_graphs + batch_size - 1) // batch_size
+    out = np.full((nb, batch_size), -1, np.int32)
+    out.reshape(-1)[:num_graphs] = idx
+    return out
+
+
+def make_epoch_fn(model, tx, loss_fn: str, node_level: bool = False,
+                  compat_sigmoid_score: bool = False):
+    """One jitted program per EPOCH: lax.scan over batch index rows.
+
+    Returns (train_epoch_fn, eval_epoch_fn):
+      train_epoch_fn(state, ds, idx_perm [NB, B]) ->
+          (state, losses [NB], scores, trues, masks)
+    """
+    from graph_hscn_tpu.train.loss import criterion
+    from graph_hscn_tpu.train.loop import TrainState
+    import optax
+
+    def loss_and_score(params, batch, rng, train):
+        kwargs = {"train": train}
+        if train:
+            kwargs["rngs"] = {"dropout": rng}
+        pred = model.apply({"params": params}, batch, **kwargs)
+        if node_level:
+            true, mask = batch.node_y, batch.node_mask
+        else:
+            true, mask = batch.y, batch.graph_mask
+        loss, score = criterion(loss_fn, pred, true, mask,
+                                compat_sigmoid_score=compat_sigmoid_score)
+        return loss, (score, true, mask)
+
+    @jax.jit
+    def train_epoch(state: TrainState, ds: DeviceDataset, idx_perm):
+        def body(state, idx):
+            rng = jax.random.fold_in(state.rng, state.step)
+            batch = assemble(ds, idx)
+            (loss, (score, true, mask)), grads = jax.value_and_grad(
+                loss_and_score, has_aux=True)(state.params, batch, rng,
+                                              True)
+            updates, opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+            params = optax.apply_updates(state.params, updates)
+            new_state = TrainState(params=params, opt_state=opt_state,
+                                   step=state.step + 1, rng=state.rng)
+            return new_state, (loss, score, true, mask)
+
+        state, outs = jax.lax.scan(body, state, idx_perm)
+        return state, outs
+
+    @jax.jit
+    def eval_epoch(state: TrainState, ds: DeviceDataset, idx_perm):
+        def body(carry, idx):
+            batch = assemble(ds, idx)
+            loss, (score, true, mask) = loss_and_score(
+                state.params, batch, state.rng, False)
+            return carry, (loss, score, true, mask)
+
+        _, outs = jax.lax.scan(body, 0, idx_perm)
+        return outs
+
+    return train_epoch, eval_epoch

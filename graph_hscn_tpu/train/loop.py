@@ -143,6 +143,105 @@ class FitResult:
     epochs_run: int
 
 
+def fit_device(model, graphs_train, graphs_val, graphs_test, batch_size,
+               optim_cfg, training_cfg, logger,
+               node_level: bool = False,
+               compat_sigmoid_score: bool = False,
+               checkpointer=None, slot: int | None = None) -> "FitResult":
+    """Device-resident training: the whole dataset lives in HBM, batches
+    are assembled on device from index vectors, and each epoch is ONE
+    jitted lax.scan program (train/device_data.py) — per-epoch host I/O is
+    an [NB, B] int32 permutation plus the metric readback.  Same eval
+    cadence + early-stopping semantics as :func:`fit`."""
+    from graph_hscn_tpu.train.device_data import (DeviceDataset,
+                                                  epoch_permutation,
+                                                  make_epoch_fn)
+
+    tx = build_optimizer(optim_cfg.optim_type, optim_cfg.lr,
+                         optim_cfg.weight_decay,
+                         optim_cfg.batch_accumulation,
+                         optim_cfg.clip_grad_norm)
+    metric_fn = METRICS[training_cfg.metric]
+    splits = {"train": list(graphs_train), "val": list(graphs_val),
+              "test": list(graphs_test)}
+    all_graphs = splits["train"] + splits["val"] + splits["test"]
+    ds = DeviceDataset.build(all_graphs, slot=slot)
+    n_tr, n_va = len(splits["train"]), len(splits["val"])
+    offsets = {"train": 0, "val": n_tr, "test": n_tr + n_va}
+    counts = {k: len(v) for k, v in splits.items()}
+
+    def split_perm(name, seed, shuffle):
+        p = epoch_permutation(counts[name], batch_size, seed, shuffle)
+        return np.where(p >= 0, p + offsets[name], -1).astype(np.int32)
+
+    va_perm = split_perm("val", 0, False)
+    te_perm = split_perm("test", 0, False)
+
+    example = None
+    train_epoch_fn, eval_epoch_fn = make_epoch_fn(
+        model, tx, training_cfg.loss_fn, node_level=node_level,
+        compat_sigmoid_score=compat_sigmoid_score)
+
+    # init params from one assembled batch
+    from graph_hscn_tpu.train.device_data import assemble
+    example = jax.jit(assemble)(ds, jnp.asarray(va_perm[0]))
+    state = init_state(model, tx, example, seed=training_cfg.seed)
+
+    def _collect(outs):
+        loss, score, true, mask = outs
+        sc = np.asarray(score).reshape(-1, score.shape[-1])
+        tr = np.asarray(true).reshape(-1, true.shape[-1])
+        mk = np.asarray(mask).reshape(-1)
+        perf = metric_fn(tr[mk], sc[mk])
+        return float(np.mean(np.asarray(loss))), perf
+
+    best_loss = float("inf")
+    num_improvement = 0
+    history = []
+    stopped = False
+    epochs_run = 0
+
+    for epoch in range(training_cfg.epochs):
+        t0 = time.time()
+        perm = split_perm("train", training_cfg.seed + epoch, True)
+        state, outs = train_epoch_fn(state, ds, jnp.asarray(perm))
+        train_loss, train_perf = _collect(outs)
+        logger.log_train(epoch, train_loss, train_perf, t0)
+        history.append({"epoch": epoch, "train_loss": train_loss,
+                        "train_perf": train_perf})
+        epochs_run = epoch + 1
+
+        if is_eval_epoch(epoch, training_cfg.epochs,
+                         training_cfg.eval_period):
+            for split, perm_eval in (("Validation", va_perm),
+                                     ("Test", te_perm)):
+                outs = eval_epoch_fn(state, ds, jnp.asarray(perm_eval))
+                ev_loss, ev_perf = _collect(outs)
+                logger.log_eval(ev_loss, ev_perf, split)
+                history[-1][f"{split.lower()}_loss"] = ev_loss
+                history[-1][f"{split.lower()}_perf"] = ev_perf
+                if split == "Validation":
+                    if ev_loss < best_loss - training_cfg.min_delta:
+                        best_loss = ev_loss
+                        num_improvement = 0
+                        if checkpointer is not None:
+                            checkpointer.save_best(state, epoch, ev_loss)
+                    else:
+                        num_improvement += 1
+                    if (num_improvement >= training_cfg.patience
+                            and epoch != training_cfg.epochs - 1):
+                        logger.info(
+                            f"No improvement by {training_cfg.min_delta} "
+                            f"for more than {training_cfg.patience} eval "
+                            "periods, stopping early.")
+                        stopped = True
+            if stopped:
+                break
+
+    return FitResult(state=state, best_val_loss=best_loss, history=history,
+                     stopped_early=stopped, epochs_run=epochs_run)
+
+
 def fit(model, train_batches_fn: Callable[[], Iterable[GraphBatch]],
         val_batches: list[GraphBatch], test_batches: list[GraphBatch],
         optim_cfg, training_cfg, logger, example_batch: GraphBatch | None = None,
