@@ -1,0 +1,133 @@
+"""Pallas SDDMM + segment-reduce kernels (companions to spmm_kernel.py).
+
+SDDMM (sampled dense-dense matmul): per-edge dot products
+    e[k] = < h_src[send[k]] , h_dst[recv[k]] >
+— the kernel behind dot-product graph attention (GATv2/Transformer-style
+scores) and the edge-score side of FusedMM-style GNN pipelines; replaces the
+torch_sparse SDDMM the reference would hit inside PyG attention layers
+(SURVEY §2.3).
+
+segment-reduce: out[i] = sum_{e: recv[e]=i} msgs[e] for receiver-sorted
+edges — the standalone scatter stage (graph readout over edges, GatedGCN
+gate normalization), one windowed one-hot matmul per tile.
+
+Both reuse the SpMM plan arrays (window starts + relative indices) built by
+spmm_kernel.spmm_plan / the native batcher.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from graph_hscn_tpu.ops.pallas.spmm_kernel import (WINDOW, SpmmPlanArrays,
+                                                   _PRECISION)
+
+
+def _sddmm_kernel(ws_ref, wr_ref, snd_rel_ref, rcv_rel_ref, hs_ref, hd_ref,
+                  out_ref):
+    t = pl.program_id(0)
+    ws = ws_ref[t]
+    wr = wr_ref[t]
+    snd_rel = snd_rel_ref[0, 0]
+    rcv_rel = rcv_rel_ref[0, 0]
+    te = snd_rel.shape[0]
+
+    hs_win = hs_ref[pl.ds(ws, WINDOW), :]
+    hd_win = hd_ref[pl.ds(wr, WINDOW), :]
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, (te, WINDOW), 1)
+    g1 = (snd_rel[:, None] == iota).astype(hs_ref.dtype)
+    g2 = (rcv_rel[:, None] == iota).astype(hd_ref.dtype)
+    a = jax.lax.dot_general(g1, hs_win, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=_PRECISION)          # [TE, F]
+    b = jax.lax.dot_general(g2, hd_win, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=_PRECISION)          # [TE, F]
+    out_ref[0, 0] = jnp.sum(a * b, axis=-1)
+
+
+def sddmm_pallas(h_src, h_dst, plan: SpmmPlanArrays,
+                 interpret: bool = False):
+    """Per-edge dot products in receiver-sorted edge order: [E] float32.
+    Masked (padding) edge slots return 0."""
+    T, te = plan.snd_rel.shape
+    n_pad = max(h_src.shape[0], WINDOW)
+    if h_src.shape[0] < n_pad:
+        h_src = jnp.pad(h_src, ((0, n_pad - h_src.shape[0]), (0, 0)))
+        h_dst = jnp.pad(h_dst, ((0, n_pad - h_dst.shape[0]), (0, 0)))
+    tile_spec = pl.BlockSpec((1, 1, te), lambda t, *_: (t, 0, 0),
+                             memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T,),
+        in_specs=[
+            tile_spec, tile_spec,
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, te), lambda t, *_: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        _sddmm_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, 1, te), jnp.float32),
+        interpret=interpret,
+    )(plan.ws, plan.wr,
+      plan.snd_rel.reshape(T, 1, te), plan.rcv_rel.reshape(T, 1, te),
+      h_src, h_dst)
+    return out.reshape(T * te)
+
+
+def _segment_reduce_kernel(wr_ref, rcv_rel_ref, msgs_ref, out_ref):
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    wr = wr_ref[t]
+    rcv_rel = rcv_rel_ref[0, 0]
+    te = rcv_rel.shape[0]
+    msgs = msgs_ref[0]                                     # [TE, F]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (te, WINDOW), 1)
+    p_onehot = (rcv_rel[:, None] == iota).astype(msgs_ref.dtype)
+    partial = jax.lax.dot_general(
+        p_onehot, msgs, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_PRECISION)                              # [WR, F]
+    cur = out_ref[pl.ds(wr, WINDOW), :]
+    out_ref[pl.ds(wr, WINDOW), :] = cur + partial
+
+
+def segment_reduce_pallas(msgs, plan: SpmmPlanArrays, num_nodes: int,
+                          interpret: bool = False):
+    """out[i] = sum of msgs over receiver-sorted edges with recv == i.
+    msgs: [E, F] aligned with the plan's edge order (masked slots must be
+    zeroed by the caller)."""
+    T, te = plan.rcv_rel.shape
+    F = msgs.shape[-1]
+    n_pad = max(num_nodes, WINDOW)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, 1, te), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, te, F), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        _segment_reduce_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, F), jnp.float32),
+        interpret=interpret,
+    )(plan.wr, plan.rcv_rel.reshape(T, 1, te),
+      msgs.reshape(T, te, F))
+    return out[:num_nodes]
