@@ -75,6 +75,7 @@ def run_experiment(cfg: ExperimentConfig, log_file=None) -> FitResult:
             node_level=node_level,
             compat_sigmoid_score=cfg.compat.sigmoid_regression_score,
             checkpointer=checkpointer, slot=dm.slot_nodes,
+            profile_dir=cfg.runtime.profile_dir,
         )
     else:
         result = fit(

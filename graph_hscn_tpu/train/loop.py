@@ -147,7 +147,8 @@ def fit_device(model, graphs_train, graphs_val, graphs_test, batch_size,
                optim_cfg, training_cfg, logger,
                node_level: bool = False,
                compat_sigmoid_score: bool = False,
-               checkpointer=None, slot: int | None = None) -> "FitResult":
+               checkpointer=None, slot: int | None = None,
+               profile_dir: str | None = None) -> "FitResult":
     """Device-resident training: the whole dataset lives in HBM, batches
     are assembled on device from index vectors, and each epoch is ONE
     jitted lax.scan program (train/device_data.py) — per-epoch host I/O is
@@ -200,13 +201,17 @@ def fit_device(model, graphs_train, graphs_val, graphs_test, batch_size,
     history = []
     stopped = False
     epochs_run = 0
+    epoch_edges = sum(g.num_edges for g in splits["train"])
 
-    for epoch in range(training_cfg.epochs):
+    from graph_hscn_tpu.utils.profiling import trace
+    with trace(profile_dir):
+      for epoch in range(training_cfg.epochs):
         t0 = time.time()
         perm = split_perm("train", training_cfg.seed + epoch, True)
         state, outs = train_epoch_fn(state, ds, jnp.asarray(perm))
         train_loss, train_perf = _collect(outs)
-        logger.log_train(epoch, train_loss, train_perf, t0)
+        logger.log_train(epoch, train_loss, train_perf, t0,
+                         num_edges=epoch_edges)
         history.append({"epoch": epoch, "train_loss": train_loss,
                         "train_perf": train_perf})
         epochs_run = epoch + 1

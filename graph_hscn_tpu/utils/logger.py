@@ -45,13 +45,19 @@ class Logger:
         self.logger.info(msg)
 
     def log_train(self, epoch: int, loss: float, metric_val: float,
-                  start_time: float) -> None:
+                  start_time: float, num_edges: int | None = None) -> None:
         dur = time.time() - start_time
+        extra = ""
+        scalars = {"train_loss": loss, "train_perf": metric_val}
+        if num_edges:
+            eps = num_edges / max(dur, 1e-9)
+            extra = f", {eps / 1e6:.2f} M edges/s"
+            scalars["edges_per_sec"] = eps
         self.logger.info(
             f"Epoch: {epoch} -- Loss: {loss:.4f}, "
             f"{self.metric_name}: {metric_val:.4f}, "
-            f"Duration: {dur:.4f} seconds")
-        self.wandb_log({"train_loss": loss, "train_perf": metric_val})
+            f"Duration: {dur:.4f} seconds{extra}")
+        self.wandb_log(scalars)
 
     def log_eval(self, loss: float, metric_val: float, split: str) -> None:
         self.logger.info(

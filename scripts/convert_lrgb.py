@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Convert the original LRGB CSVs to the framework's .npz cache.
+
+Run this on a machine WITH network access + RDKit + OGB installed (the
+training environment has neither); copy the resulting
+``<out>/<dataset>.npz`` next to the training job and set
+``data.data_dir`` in the config.
+
+The reference performs the same featurization inline
+(peptides_functional.py:77-106: pandas CSV -> ogb.utils.smiles2graph per
+row -> collate); here the output is the flat array schema documented in
+graph_hscn_tpu/data/lrgb.py.
+
+Usage:
+  python scripts/convert_lrgb.py --dataset peptides_func --csv \
+      peptide_multi_class_dataset.csv.gz --split \
+      splits_random_stratified_peptide.pickle --out data/
+"""
+
+from __future__ import annotations
+
+import argparse
+import pickle
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", required=True,
+                    choices=["peptides_func", "peptides_struct"])
+    ap.add_argument("--csv", required=True)
+    ap.add_argument("--split", required=True)
+    ap.add_argument("--out", default="data")
+    args = ap.parse_args()
+
+    import pandas as pd
+    from ogb.utils import smiles2graph  # requires rdkit
+
+    df = pd.read_csv(args.csv)
+    node_feats, edge_feats, edge_indices = [], [], []
+    node_ptr, edge_ptr = [0], [0]
+    ys = []
+    for i in range(len(df)):
+        g = smiles2graph(df["smiles"].iloc[i])
+        node_feats.append(g["node_feat"])
+        edge_feats.append(g["edge_feat"])
+        edge_indices.append(g["edge_index"] + node_ptr[-1])
+        node_ptr.append(node_ptr[-1] + g["num_nodes"])
+        edge_ptr.append(edge_ptr[-1] + g["edge_index"].shape[1])
+        if args.dataset == "peptides_func":
+            ys.append(eval(df["labels"].iloc[i]))  # noqa: S307 (ref parity)
+        else:
+            ys.append(df[TARGET_NAMES].iloc[i].values)
+
+    y = np.asarray(ys, np.float32)
+    if args.dataset == "peptides_struct":
+        # Per-column z-score, reference peptides_structural.py:83-86.
+        y = (y - np.nanmean(y, 0)) / np.nanstd(y, 0)
+
+    with open(args.split, "rb") as f:
+        splits = pickle.load(f)
+
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(
+        out / f"{args.dataset}.npz",
+        node_feat=np.concatenate(node_feats).astype(np.int16),
+        edge_feat=np.concatenate(edge_feats).astype(np.int16),
+        edge_index=np.concatenate(edge_indices, axis=1).astype(np.int32),
+        node_ptr=np.asarray(node_ptr, np.int64),
+        edge_ptr=np.asarray(edge_ptr, np.int64),
+        y=y,
+        split_train=np.asarray(splits["train"]),
+        split_val=np.asarray(splits["val"]),
+        split_test=np.asarray(splits["test"]),
+    )
+    print(f"wrote {out / (args.dataset + '.npz')}")
+
+
+TARGET_NAMES = [
+    "Inertia_mass_a", "Inertia_mass_b", "Inertia_mass_c",
+    "Inertia_valence_a", "Inertia_valence_b", "Inertia_valence_c",
+    "length_a", "length_b", "length_c", "Spherocity", "Plane_best_fit",
+]
+
+if __name__ == "__main__":
+    main()
