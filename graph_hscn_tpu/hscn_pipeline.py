@@ -22,6 +22,9 @@ def run_hscn_pipeline(cfg: ExperimentConfig, dm: DataModule, logger
                       ) -> FitResult:
     hscn_cfg = cfg.hscn
 
+    if getattr(dm, "use_device_dataset", False):
+        return run_hscn_pipeline_device(cfg, dm, logger)
+
     # Stage 1: clustering pre-train.
     scn = build_scn(hscn_cfg, dm.num_features,
                     max_nodes=_round8(dm.max_nodes_per_graph()))
@@ -50,6 +53,58 @@ def run_hscn_pipeline(cfg: ExperimentConfig, dm: DataModule, logger
         compat_sigmoid_score=cfg.compat.sigmoid_regression_score,
         checkpointer=checkpointer,
     )
+    logger.finish()
+    return result
+
+
+def run_hscn_pipeline_device(cfg: ExperimentConfig, dm: DataModule, logger
+                             ) -> FitResult:
+    """Fully device-resident HSCN pipeline: one HBM dataset shared across
+    the clustering pre-train (epoch-as-a-program), on-device cluster
+    inference (written straight back into the dataset's cluster field),
+    and the supervised HSCN fit."""
+    import numpy as np
+
+    from graph_hscn_tpu.train.clustering import train_clustering_device
+    from graph_hscn_tpu.train.device_data import DeviceDataset
+    from graph_hscn_tpu.train.loop import fit_on_device_dataset
+
+    hscn_cfg = cfg.hscn
+    # Dataset order = train|val|test (matches split id construction).
+    splits = {k: dm.split(k) for k in ("train", "val", "test")}
+    all_graphs = splits["train"] + splits["val"] + splits["test"]
+    ds = DeviceDataset.build(all_graphs, slot=dm.slot_nodes,
+                             with_cluster=True)
+    n_tr, n_va = len(splits["train"]), len(splits["val"])
+    split_ids = {
+        "train": np.arange(n_tr),
+        "val": np.arange(n_tr, n_tr + n_va),
+        "test": np.arange(n_tr + n_va, len(all_graphs)),
+    }
+
+    # Stage 1+2: clustering on the full dataset (reference main.py:107
+    # semantics), clusters written back into the device dataset.
+    scn = build_scn(hscn_cfg, dm.num_features, max_nodes=ds.slot)
+    ds = train_clustering_device(logger, ds, dm.batch_size, scn, hscn_cfg,
+                                 cfg.optim, seed=cfg.training.seed)
+
+    # Stage 3+4: HSCN fit over the same dataset.
+    node_level = dm.task_level == "node"
+    model = build_hscn(hscn_cfg, dm.num_classes,
+                       compat_triangular=cfg.compat.vv_triangular_pattern,
+                       compat_index_shift=cfg.compat.cluster_index_shift,
+                       readout="none" if node_level else "mean")
+    checkpointer = None
+    if cfg.training.checkpoint_dir:
+        from graph_hscn_tpu.train.checkpoint import Checkpointer
+        checkpointer = Checkpointer(cfg.training.checkpoint_dir)
+    result = fit_on_device_dataset(
+        model, ds, split_ids, dm.batch_size, cfg.optim, cfg.training,
+        logger, node_level=node_level,
+        compat_sigmoid_score=cfg.compat.sigmoid_regression_score,
+        checkpointer=checkpointer,
+        profile_dir=cfg.runtime.profile_dir,
+        train_edges=sum(g.num_edges for g in splits["train"]))
     logger.finish()
     return result
 

@@ -54,6 +54,7 @@ def run_experiment(cfg: ExperimentConfig, log_file=None) -> FitResult:
 
     if cfg.hscn is not None:
         from graph_hscn_tpu.hscn_pipeline import run_hscn_pipeline
+        dm.use_device_dataset = _use_device_dataset(cfg, dm)
         return run_hscn_pipeline(cfg, dm, logger)
 
     model = build_mpnn(cfg.mpnn, dm.num_features, dm.num_classes,

@@ -66,7 +66,7 @@ def train_clustering(logger, dm: DataModule, scn: SCN, hscn_cfg, optim_cfg,
     clusters: list[np.ndarray] = []
     from graph_hscn_tpu.data.batching import iter_batches
     for batch in iter_batches(dm.graphs, dm.batch_size, dm.budget,
-                              shuffle=False):
+                              shuffle=False, slot_nodes=dm.slot_nodes):
         assign = np.asarray(infer(params, batch))
         ng = np.asarray(batch.node_graph)
         nm = np.asarray(batch.node_mask)
@@ -74,3 +74,74 @@ def train_clustering(logger, dm: DataModule, scn: SCN, hscn_cfg, optim_cfg,
             clusters.append(assign[nm & (ng == gi)].astype(np.int32))
     assert len(clusters) == len(dm.graphs)
     return clusters
+
+
+def train_clustering_device(logger, ds, batch_size: int, scn, hscn_cfg,
+                            optim_cfg, seed: int = 0):
+    """Device-resident clustering pre-train: the SCN MinCUT objective over
+    the whole HBM-resident dataset, one lax.scan program per epoch, and a
+    final scanned inference pass producing per-graph cluster ids
+    [NG, slot] that are written straight back into the DeviceDataset.
+
+    The reference trains clustering on the FULL dataset (train+val+test,
+    main.py:107 passes `dataset`), which we reproduce.
+    """
+    import jax.numpy as jnp
+
+    from graph_hscn_tpu.train.device_data import (assemble,
+                                                  epoch_permutation)
+
+    tx = build_optimizer(optim_cfg.optim_type, optim_cfg.lr,
+                         optim_cfg.weight_decay)
+    NG = ds.num_graphs
+    perm0 = epoch_permutation(NG, batch_size, seed)
+    example = jax.jit(assemble)(ds, jnp.asarray(perm0[0]))
+    params = scn.init(jax.random.PRNGKey(seed), example,
+                      train=False)["params"]
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def epoch(params, opt_state, ds, perm):
+        def body(carry, idx):
+            params, opt_state = carry
+            batch = assemble(ds, idx)
+
+            def loss_fn(p):
+                _, mc, o = scn.apply({"params": p}, batch, train=True)
+                return mc + o
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state2 = tx.update(grads, opt_state, params)
+            params2 = optax.apply_updates(params, updates)
+            return (params2, opt_state2), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), perm)
+        return params, opt_state, losses
+
+    @jax.jit
+    def infer_all(params, ds, perm):
+        def body(_, idx):
+            batch = assemble(ds, idx)
+            s, _, _ = scn.apply({"params": params}, batch, train=False)
+            # [B*slot] -> [B, slot] cluster ids.
+            return 0, jnp.argmax(s, -1).reshape(idx.shape[0], -1)
+
+        _, out = jax.lax.scan(body, 0, perm)
+        return out
+
+    for ep in range(hscn_cfg.cluster_epochs):
+        t0 = time.time()
+        perm = jnp.asarray(epoch_permutation(NG, batch_size, seed + ep))
+        params, opt_state, losses = epoch(params, opt_state, ds, perm)
+        logger.info(f"Clustering epoch {ep}: loss="
+                    f"{float(jnp.mean(losses)):.4f} "
+                    f"({time.time() - t0:.2f}s)")
+
+    order = epoch_permutation(NG, batch_size, 0, shuffle=False)
+    preds = infer_all(params, ds, jnp.asarray(order))   # [NB, B, slot]
+    flat = np.asarray(preds).reshape(-1, ds.slot)
+    idx_flat = order.reshape(-1)
+    cluster = np.zeros((NG, ds.slot), np.int32)
+    cluster[idx_flat[idx_flat >= 0]] = flat[idx_flat >= 0]
+    return ds.replace(cluster=jax.device_put(jnp.asarray(cluster)))

@@ -55,9 +55,13 @@ class DeviceDataset:
     def num_graphs(self) -> int:
         return self.nodes.shape[0]
 
+    def replace(self, **kw) -> "DeviceDataset":
+        return dataclasses.replace(self, **kw)
+
     @staticmethod
     def build(graphs, slot: int | None = None, e_slot: int | None = None,
-              device_put: bool = True) -> "DeviceDataset":
+              device_put: bool = True,
+              with_cluster: bool = False) -> "DeviceDataset":
         NG = len(graphs)
         F = graphs[0].x.shape[1]
         slot = slot or ((max(g.num_nodes for g in graphs) + 7) // 8) * 8
@@ -70,7 +74,7 @@ class DeviceDataset:
         ok = np.zeros((NG, e_slot), bool)
         has_y = graphs[0].y is not None
         has_ny = graphs[0].node_y is not None
-        has_cl = graphs[0].cluster is not None
+        has_cl = graphs[0].cluster is not None or with_cluster
         has_ev = graphs[0].eigvecs is not None
         y = (np.zeros((NG, np.asarray(graphs[0].y).reshape(-1).shape[0]),
                       np.float32) if has_y else None)
@@ -94,7 +98,7 @@ class DeviceDataset:
                 y[i] = np.asarray(g.y, np.float32).reshape(-1)
             if has_ny:
                 node_y[i, :n] = g.node_y
-            if has_cl:
+            if has_cl and g.cluster is not None:
                 cluster[i, :n] = g.cluster
             if has_ev:
                 eigvecs[i, :n] = np.nan_to_num(g.eigvecs)

@@ -158,22 +158,48 @@ def fit_device(model, graphs_train, graphs_val, graphs_test, batch_size,
                                                   epoch_permutation,
                                                   make_epoch_fn)
 
-    tx = build_optimizer(optim_cfg.optim_type, optim_cfg.lr,
-                         optim_cfg.weight_decay,
-                         optim_cfg.batch_accumulation,
-                         optim_cfg.clip_grad_norm)
-    metric_fn = METRICS[training_cfg.metric]
     splits = {"train": list(graphs_train), "val": list(graphs_val),
               "test": list(graphs_test)}
     all_graphs = splits["train"] + splits["val"] + splits["test"]
     ds = DeviceDataset.build(all_graphs, slot=slot)
     n_tr, n_va = len(splits["train"]), len(splits["val"])
-    offsets = {"train": 0, "val": n_tr, "test": n_tr + n_va}
-    counts = {k: len(v) for k, v in splits.items()}
+    split_ids = {
+        "train": np.arange(n_tr),
+        "val": np.arange(n_tr, n_tr + n_va),
+        "test": np.arange(n_tr + n_va, len(all_graphs)),
+    }
+    edges_per_split = {k: sum(g.num_edges for g in v)
+                       for k, v in splits.items()}
+    return fit_on_device_dataset(
+        model, ds, split_ids, batch_size, optim_cfg, training_cfg, logger,
+        node_level=node_level, compat_sigmoid_score=compat_sigmoid_score,
+        checkpointer=checkpointer, profile_dir=profile_dir,
+        train_edges=edges_per_split["train"])
+
+
+def fit_on_device_dataset(model, ds, split_ids: dict, batch_size,
+                          optim_cfg, training_cfg, logger,
+                          node_level: bool = False,
+                          compat_sigmoid_score: bool = False,
+                          checkpointer=None, profile_dir: str | None = None,
+                          train_edges: int | None = None) -> "FitResult":
+    """fit_device on a prebuilt DeviceDataset (shared across pipeline
+    stages, e.g. HSCN clustering -> hetero training)."""
+    from graph_hscn_tpu.train.device_data import (epoch_permutation,
+                                                  make_epoch_fn)
+
+    tx = build_optimizer(optim_cfg.optim_type, optim_cfg.lr,
+                         optim_cfg.weight_decay,
+                         optim_cfg.batch_accumulation,
+                         optim_cfg.clip_grad_norm)
+    metric_fn = METRICS[training_cfg.metric]
+    counts = {k: len(v) for k, v in split_ids.items()}
 
     def split_perm(name, seed, shuffle):
         p = epoch_permutation(counts[name], batch_size, seed, shuffle)
-        return np.where(p >= 0, p + offsets[name], -1).astype(np.int32)
+        ids = np.asarray(split_ids[name])
+        return np.where(p >= 0, ids[np.clip(p, 0, None)], -1).astype(
+            np.int32)
 
     va_perm = split_perm("val", 0, False)
     te_perm = split_perm("test", 0, False)
@@ -201,7 +227,7 @@ def fit_device(model, graphs_train, graphs_val, graphs_test, batch_size,
     history = []
     stopped = False
     epochs_run = 0
-    epoch_edges = sum(g.num_edges for g in splits["train"])
+    epoch_edges = train_edges
 
     from graph_hscn_tpu.utils.profiling import trace
     with trace(profile_dir):
@@ -252,7 +278,7 @@ def fit(model, train_batches_fn: Callable[[], Iterable[GraphBatch]],
         optim_cfg, training_cfg, logger, example_batch: GraphBatch | None = None,
         node_level: bool = False, compat_sigmoid_score: bool = False,
         shard_batch: Callable[[GraphBatch], GraphBatch] | None = None,
-        checkpointer=None) -> FitResult:
+        checkpointer=None, prefetch: bool = False) -> FitResult:
     """Full training run with eval cadence + early stopping
     (mirrors reference train.py:147-214)."""
     tx = build_optimizer(optim_cfg.optim_type, optim_cfg.lr,
@@ -278,7 +304,10 @@ def fit(model, train_batches_fn: Callable[[], Iterable[GraphBatch]],
     def _feed(batches):
         if shard_batch is not None:
             return (shard_batch(b) for b in batches)
-        return device_prefetch(batches)
+        # Explicit one-ahead device_put is the right pattern on directly
+        # attached TPUs; on this session's RPC relay it measured slower
+        # than jit-arg transfer, so it is opt-in.
+        return device_prefetch(batches) if prefetch else batches
 
     for epoch in range(training_cfg.epochs):
         t0 = time.time()
