@@ -134,6 +134,48 @@ def bench_torch_cpu(batch, x, iters=20, warmup=3):
     return (time.perf_counter() - t0) / iters
 
 
+def bench_model_step(steps: int = 3):
+    """Model-level diagnostic: 5-layer GCN h128 train step throughput via
+    the device-resident epoch-as-a-program path (stderr only)."""
+    import jax
+    import jax.numpy as jnp
+
+    from graph_hscn_tpu.config.config import DataConfig, MPNNConfig
+    from graph_hscn_tpu.data.pipeline import DataModule
+    from graph_hscn_tpu.models.mpnn import build_mpnn
+    from graph_hscn_tpu.train.device_data import (DeviceDataset, assemble,
+                                                  epoch_permutation,
+                                                  make_epoch_fn)
+    from graph_hscn_tpu.train.loop import init_state
+    from graph_hscn_tpu.train.optimizers import build_optimizer
+
+    dm = DataModule.from_config(DataConfig(dataset_name="peptides_func",
+                                           batch_size=32, num_graphs=256))
+    model = build_mpnn(MPNNConfig(conv_type="gcn", activation="relu",
+                                  hidden_channels=128, num_layers=5,
+                                  dropout=0.1), dm.num_features,
+                       dm.num_classes)
+    tx = build_optimizer("adamW", 1e-3, 5e-4)
+    graphs = dm.split("train")
+    ds = DeviceDataset.build(graphs)
+    perm = epoch_permutation(len(graphs), 32, 0)
+    tr_fn, _ = make_epoch_fn(model, tx, "cross_entropy")
+    example = jax.jit(assemble)(ds, jnp.asarray(perm[0]))
+    state = init_state(model, tx, example, seed=0)
+    state, outs = tr_fn(state, ds, jnp.asarray(perm))
+    float(jnp.sum(outs[0]))
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, outs = tr_fn(state, ds, jnp.asarray(perm))
+    float(jnp.sum(outs[0]))
+    dt = (time.perf_counter() - t0) / steps
+    nb = perm.shape[0]
+    e_total = sum(g.num_edges for g in graphs)
+    log(f"model train step (GCN-5 h128, device-resident): "
+        f"{dt / nb * 1e3:.2f} ms/step, epoch {dt * 1e3:.1f} ms, "
+        f"{e_total / dt / 1e6:.1f} M edges/s")
+
+
 def main():
     import jax
     backend = jax.default_backend()
@@ -162,6 +204,11 @@ def main():
     except Exception as e:
         log(f"torch baseline failed: {e}")
         vs = float("nan")
+
+    try:
+        bench_model_step()
+    except Exception as e:
+        log(f"model-step diagnostic failed: {e}")
 
     print(json.dumps({
         "metric": "spmm_fwd_bwd_edges_per_sec_per_chip",

@@ -196,7 +196,7 @@ class GATConv(nn.Module):
     @nn.compact
     def __call__(self, x, senders, receivers, edge_mask,
                  edge_weight=None, num_nodes=None, x_dst=None,
-                 num_dst_nodes=None):
+                 num_dst_nodes=None, dense_adj=None):
         H, C = self.heads, self.features
         bipartite = x_dst is not None
         n_dst = (num_dst_nodes or (x_dst.shape[0] if bipartite
@@ -212,6 +212,34 @@ class GATConv(nn.Module):
 
         att_src = self.param("att_src", glorot, (1, H, C))
         att_dst = self.param("att_dst", glorot, (1, H, C))
+
+        if dense_adj is not None and not bipartite:
+            # Slotted dense path: masked dense attention per graph block.
+            G, S, _ = dense_adj.shape
+            hb = h_src.reshape(G, S, H, C)
+            a_s = jnp.sum(hb * att_src[None], axis=-1)     # [G, S, H]
+            a_d = jnp.sum(hb * att_dst[None], axis=-1)
+            # scores[g, i, j, h] for edge j -> i.
+            e = a_s[:, None, :, :] + a_d[:, :, None, :]
+            e = nn.leaky_relu(e, self.negative_slope)
+            conn = dense_adj > 0                           # [G, S, S]
+            if self.add_self_loops:
+                eye = jnp.eye(S, dtype=bool)
+                conn = conn | eye[None]
+            e = jnp.where(conn[..., None], e, -jnp.inf)
+            m = jnp.max(e, axis=2, keepdims=True)
+            m = jnp.where(jnp.isfinite(m), m, 0.0)
+            ex = jnp.where(conn[..., None], jnp.exp(e - m), 0.0)
+            denom = jnp.maximum(jnp.sum(ex, axis=2, keepdims=True), 1e-16)
+            alpha = ex / denom                             # [G, S, S, H]
+            out = jnp.einsum("gijh,gjhc->gihc", alpha, hb)
+            out = out.reshape(n_dst, H, C)
+            out = (out.reshape(n_dst, H * C) if self.concat
+                   else out.mean(axis=1))
+            if self.use_bias:
+                dim = H * C if self.concat else C
+                out = out + self.param("bias", zeros, (dim,))
+            return out
         a_src = jnp.sum(h_src * att_src, axis=-1)   # [N_src, H]
         a_dst = jnp.sum(h_dst * att_dst, axis=-1)   # [N_dst, H]
 

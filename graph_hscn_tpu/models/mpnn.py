@@ -54,12 +54,15 @@ class MPNN(nn.Module):
 
         dims = ([self.hidden_channels] * (self.num_layers - 1)
                 + [self.num_classes])
+        from graph_hscn_tpu.ops.dense import resolve_dense_adj
+        ct = self.conv_type.lower()
         extra = {}
-        if self.conv_type.lower() in ("gcn", "gin"):
+        if ct in ("gcn", "gin"):
             # Dense slotted path / Pallas plan flow through where supported.
-            from graph_hscn_tpu.ops.dense import resolve_dense_adj
             extra = {"dense_adj": resolve_dense_adj(batch),
                      "plan": batch.spmm}
+        elif ct == "gat":
+            extra = {"dense_adj": resolve_dense_adj(batch)}
         for i, dim in enumerate(dims):
             conv = conv_cls(features=dim)
             x = conv(x, batch.senders, batch.receivers, batch.edge_mask,

@@ -60,6 +60,10 @@ def run_experiment(cfg: ExperimentConfig, log_file=None) -> FitResult:
     model = build_mpnn(cfg.mpnn, dm.num_features, dm.num_classes,
                        compat=cfg.compat.double_relu,
                        readout="none" if node_level else "mean")
+    if cfg.pe is not None and not cfg.compat.frozen_random_signnet:
+        # End-to-end trainable SignNet (the sane fix of quirk #6).
+        from graph_hscn_tpu.models.encoded import wrap_with_signnet
+        model = wrap_with_signnet(model, cfg.pe, dm.num_features)
     checkpointer = None
     if cfg.training.checkpoint_dir:
         from graph_hscn_tpu.train.checkpoint import Checkpointer

@@ -66,6 +66,20 @@ def test_gin_dense_equals_sparse():
                                atol=2e-4)
 
 
+def test_gat_dense_equals_sparse():
+    graphs = _graphs()
+    sparse, dense = _both_batches(graphs)
+    model = MPNN(conv_type="gat", activation="relu", num_features=9,
+                 hidden_channels=16, num_classes=10, num_layers=2,
+                 dropout=0.0)
+    params = model.init(jax.random.PRNGKey(3), sparse, train=False)
+    out_sparse = np.asarray(model.apply(params, sparse, train=False))
+    out_dense = np.asarray(model.apply(params, dense, train=False))
+    G = int(sparse.graph_mask.sum())
+    np.testing.assert_allclose(out_dense[:G], out_sparse[:G], rtol=2e-4,
+                               atol=2e-4)
+
+
 def test_scn_dense_equals_sparse():
     graphs = _graphs()
     sparse, dense = _both_batches(graphs)
