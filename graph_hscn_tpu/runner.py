@@ -22,6 +22,9 @@ from graph_hscn_tpu.utils.logger import Logger
 def run_experiment(cfg: ExperimentConfig, log_file=None) -> FitResult:
     jax.config.update("jax_default_matmul_precision",
                       cfg.runtime.matmul_precision)
+    if cfg.runtime.spmm_backend in ("xla", "pallas"):
+        from graph_hscn_tpu.ops import spmm as spmm_mod
+        spmm_mod.set_backend(cfg.runtime.spmm_backend)
     logger = Logger(log_file=log_file, metric_name=cfg.training.metric,
                     use_wandb=cfg.training.use_wandb,
                     wandb_project=cfg.training.wandb_proj_name
