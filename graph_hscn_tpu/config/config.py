@@ -180,6 +180,10 @@ class RuntimeConfig:
     # "auto" enables it when the packed dataset fits device_dataset_max_mb.
     device_dataset: str = "auto"   # "auto" | "on" | "off"
     device_dataset_max_mb: int = 2048
+    # Fused multi-layer Pallas GCN stack (gcn + relu + dropout=0 + dense
+    # slots only); "auto" enables it on TPU when eligible.
+    fused_stack: str = "auto"      # "auto" | "on" | "off"
+    debug_nans: bool = False
     pad_safety: float = D.PAD_SAFETY
     donate_state: bool = True
     profile_dir: str | None = None

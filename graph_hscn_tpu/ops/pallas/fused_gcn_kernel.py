@@ -1,0 +1,186 @@
+"""Fused multi-layer dense GCN stack — one Pallas kernel per direction.
+
+For slotted molecular batches the dense path runs each layer as a separate
+batched matmul; with L layers the forward+backward costs ~4L dispatched ops.
+This kernel runs the ENTIRE stack in one op per direction:
+
+  forward:  h_0 = x;  h_l = act_l( A_hat @ (h_{l-1} @ W_l) + b_l )
+            where A_hat = D^-1/2 (A) D^-1/2 + diag(1/(deg+1)) — the folded
+            self-loop GCN operator (identical math to
+            models.layers.GCNConv / ops.dense path), act_l = relu for
+            hidden layers, identity for the last.
+  backward: reverse sweep re-using the stored per-layer activations;
+            dW/db accumulate across graph blocks in revisited VMEM
+            outputs (sequential TPU grid).
+
+Grid: one step per graph block; weights replicated in VMEM; activations
+[G, S, F_l] streamed per block.  Padding rows carry relu(b) garbage exactly
+like the unfused dense path (masked by the model before readout) and
+receive zero cotangents, so gradients are clean.
+
+Constraint: dropout must be 0 (in-kernel PRNG dropout is future work).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_PREC = jax.lax.Precision.DEFAULT
+
+
+def _fwd_kernel(adj_ref, x_ref, *refs, num_layers: int):
+    # refs: W_1..W_L, b_1..b_L, out h_1..h_L
+    ws = refs[:num_layers]
+    bs = refs[num_layers:2 * num_layers]
+    outs = refs[2 * num_layers:]
+    a = adj_ref[0]                       # [S, S] folded operator
+    h = x_ref[0]
+    for l in range(num_layers):
+        y = jax.lax.dot_general(h, ws[l][:], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=_PREC)
+        z = jax.lax.dot_general(a, y, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=_PREC)
+        z = z + bs[l][:]
+        h = jnp.maximum(z, 0.0) if l < num_layers - 1 else z
+        outs[l][0] = h
+
+
+def _bwd_kernel(adj_ref, x_ref, *refs, num_layers: int):
+    # refs: W_1..W_L, h_1..h_L (acts), g (dL/dh_L),
+    #       outputs: dx, dW_1..dW_L, db_1..db_L
+    L = num_layers
+    ws = refs[:L]
+    acts = refs[L:2 * L]
+    g_ref = refs[2 * L]
+    dx_ref = refs[2 * L + 1]
+    dws = refs[2 * L + 2: 2 * L + 2 + L]
+    dbs = refs[2 * L + 2 + L:]
+
+    first = pl.program_id(0) == 0
+
+    @pl.when(first)
+    def _():
+        for l in range(L):
+            dws[l][:] = jnp.zeros_like(dws[l])
+            dbs[l][:] = jnp.zeros_like(dbs[l])
+
+    a = adj_ref[0]
+    dz = g_ref[0]                        # cotangent of h_L (pre-masked)
+    for l in range(L - 1, -1, -1):
+        h_prev = x_ref[0] if l == 0 else acts[l - 1][0]
+        # out = A (h_prev W) + b ; act applied after (handled via dz).
+        dbs[l][0] += jnp.sum(dz, axis=0)
+        dy = jax.lax.dot_general(a, dz, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32,
+                                 precision=_PREC)         # A^T dz
+        dws[l][:] += jax.lax.dot_general(
+            h_prev, dy, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_PREC)
+        dh = jax.lax.dot_general(dy, ws[l][:], (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32,
+                                 precision=_PREC)         # dy W^T
+        if l > 0:
+            dz = dh * (acts[l - 1][0] > 0.0)
+        else:
+            dx_ref[0] = dh
+
+
+def _folded_operator(adj, add_self_loops=True):
+    """A_hat = D^-1/2 A D^-1/2 + diag(1/(deg+1)) on dense blocks."""
+    deg = jnp.sum(adj, axis=-1) + (1.0 if add_self_loops else 0.0)
+    inv = jax.lax.rsqrt(jnp.maximum(deg, 1e-12))
+    a = adj * inv[:, :, None] * inv[:, None, :]
+    if add_self_loops:
+        s = adj.shape[-1]
+        eye = jnp.eye(s, dtype=adj.dtype)
+        a = a + eye * (inv * inv)[:, :, None]
+    return a
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_gcn_stack(x_blocks, adj, params, interpret=False):
+    """x_blocks [G, S, F0], adj [G, S, S] raw adjacency,
+    params: list of {kernel [F_in, F_out], bias [F_out]}.
+    Returns h_L [G, S, F_L]."""
+    outs = _fwd(x_blocks, adj, params, interpret)
+    return outs[-1]
+
+
+def _block_specs_params(params):
+    return [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in params]
+
+
+def _fwd(x_blocks, adj, params, interpret):
+    G, S, F0 = x_blocks.shape
+    L = len(params)
+    a_hat = _folded_operator(adj)
+    ws = [p["kernel"] for p in params]
+    bs = [p["bias"].reshape(1, -1) for p in params]
+    out_shapes = [jax.ShapeDtypeStruct((G, S, w.shape[1]), jnp.float32)
+                  for w in ws]
+    blk = lambda shape: pl.BlockSpec((1,) + shape[1:],
+                                     lambda g: (g,) + (0,) * (len(shape) - 1),
+                                     memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        partial(_fwd_kernel, num_layers=L),
+        grid=(G,),
+        in_specs=([blk(a_hat.shape), blk(x_blocks.shape)]
+                  + _block_specs_params(ws) + _block_specs_params(bs)),
+        out_specs=[blk(s.shape) for s in out_shapes],
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(a_hat, x_blocks, *ws, *bs)
+    return outs
+
+
+def _fused_fwd(x_blocks, adj, params, interpret):
+    outs = _fwd(x_blocks, adj, params, interpret)
+    return outs[-1], (x_blocks, adj, params, outs)
+
+
+def _fused_bwd(interpret, res, g):
+    x_blocks, adj, params, acts = res
+    G, S, F0 = x_blocks.shape
+    L = len(params)
+    a_hat = _folded_operator(adj)
+    ws = [p["kernel"] for p in params]
+    blk = lambda shape: pl.BlockSpec((1,) + shape[1:],
+                                     lambda gg: (gg,) + (0,) * (len(shape) - 1),
+                                     memory_space=pltpu.VMEM)
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_shapes = ([jax.ShapeDtypeStruct((G, S, F0), jnp.float32)]
+                  + [jax.ShapeDtypeStruct(w.shape, jnp.float32)
+                     for w in ws]
+                  + [jax.ShapeDtypeStruct((1, w.shape[1]), jnp.float32)
+                     for w in ws])
+    out_specs = ([blk((G, S, F0))] + [full() for _ in ws]
+                 + [full() for _ in ws])
+    results = pl.pallas_call(
+        partial(_bwd_kernel, num_layers=L),
+        grid=(G,),
+        in_specs=([blk(a_hat.shape), blk(x_blocks.shape)]
+                  + _block_specs_params(ws)
+                  + [blk(a.shape) for a in acts]
+                  + [blk(g.shape)]),
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(a_hat, x_blocks, *ws, *acts, g)
+    dx = results[0]
+    dws = results[1:1 + L]
+    dbs = results[1 + L:]
+    dparams = [{"kernel": dws[l], "bias": dbs[l].reshape(-1)}
+               for l in range(L)]
+    # adj is data-derived (no gradient).
+    return dx, jnp.zeros_like(adj), dparams
+
+
+fused_gcn_stack.defvjp(_fused_fwd, _fused_bwd)

@@ -25,6 +25,9 @@ def run_experiment(cfg: ExperimentConfig, log_file=None) -> FitResult:
     if cfg.runtime.spmm_backend in ("xla", "pallas"):
         from graph_hscn_tpu.ops import spmm as spmm_mod
         spmm_mod.set_backend(cfg.runtime.spmm_backend)
+    if cfg.runtime.debug_nans:
+        from graph_hscn_tpu.utils.profiling import nan_guard
+        nan_guard(True)
     logger = Logger(log_file=log_file, metric_name=cfg.training.metric,
                     use_wandb=cfg.training.use_wandb,
                     wandb_project=cfg.training.wandb_proj_name
@@ -60,9 +63,19 @@ def run_experiment(cfg: ExperimentConfig, log_file=None) -> FitResult:
         dm.use_device_dataset = _use_device_dataset(cfg, dm)
         return run_hscn_pipeline(cfg, dm, logger)
 
-    model = build_mpnn(cfg.mpnn, dm.num_features, dm.num_classes,
-                       compat=cfg.compat.double_relu,
-                       readout="none" if node_level else "mean")
+    if _use_fused_stack(cfg, dm, node_level):
+        from graph_hscn_tpu.models.fused_gcn import FusedDenseGCN
+        logger.info("Fused Pallas GCN stack on.")
+        model = FusedDenseGCN(
+            hidden_channels=cfg.mpnn.hidden_channels,
+            num_classes=dm.num_classes,
+            num_layers=cfg.mpnn.num_layers,
+            readout="none" if node_level else "mean",
+            interpret=jax.default_backend() != "tpu")
+    else:
+        model = build_mpnn(cfg.mpnn, dm.num_features, dm.num_classes,
+                           compat=cfg.compat.double_relu,
+                           readout="none" if node_level else "mean")
     if cfg.pe is not None and not cfg.compat.frozen_random_signnet:
         # End-to-end trainable SignNet (the sane fix of quirk #6).
         from graph_hscn_tpu.models.encoded import wrap_with_signnet
@@ -97,6 +110,25 @@ def run_experiment(cfg: ExperimentConfig, log_file=None) -> FitResult:
         )
     logger.finish()
     return result
+
+
+def _use_fused_stack(cfg: ExperimentConfig, dm, node_level: bool) -> bool:
+    mode = cfg.runtime.fused_stack
+    if mode == "off" or cfg.mpnn is None:
+        return False
+    eligible = (cfg.mpnn.conv_type.lower() == "gcn"
+                and cfg.mpnn.activation.lower() == "relu"
+                and cfg.mpnn.dropout == 0.0
+                and not cfg.mpnn.use_batch_norm
+                and not cfg.mpnn.use_layer_norm
+                and dm.slot_nodes is not None)
+    if mode == "on":
+        if not eligible:
+            raise ValueError("fused_stack requested but config ineligible "
+                             "(needs gcn+relu+dropout=0+dense slots)")
+        return True
+    import jax as _jax
+    return eligible and _jax.default_backend() == "tpu"
 
 
 def _use_device_dataset(cfg: ExperimentConfig, dm) -> bool:
