@@ -43,6 +43,7 @@ class DeviceDataset:
     edges_src: Any        # [NG, e_slot]
     edges_dst: Any        # [NG, e_slot]
     edge_ok: Any          # [NG, e_slot]
+    edge_feat: Any = None  # [NG, e_slot, Fe]
     y: Any = None         # [NG, C]
     node_y: Any = None    # [NG, slot, C]
     cluster: Any = None   # [NG, slot]
@@ -76,6 +77,9 @@ class DeviceDataset:
         has_ny = graphs[0].node_y is not None
         has_cl = graphs[0].cluster is not None or with_cluster
         has_ev = graphs[0].eigvecs is not None
+        has_ea = graphs[0].edge_attr is not None
+        edge_feat = (np.zeros((NG, e_slot, graphs[0].edge_attr.shape[1]),
+                              np.float32) if has_ea else None)
         y = (np.zeros((NG, np.asarray(graphs[0].y).reshape(-1).shape[0]),
                       np.float32) if has_y else None)
         node_y = (np.zeros((NG, slot, graphs[0].node_y.shape[1]),
@@ -94,6 +98,8 @@ class DeviceDataset:
             src[i, :e] = g.edge_index[0][order]
             dst[i, :e] = g.edge_index[1][order]
             ok[i, :e] = True
+            if has_ea:
+                edge_feat[i, :e] = g.edge_attr[order]
             if has_y:
                 y[i] = np.asarray(g.y, np.float32).reshape(-1)
             if has_ny:
@@ -104,7 +110,8 @@ class DeviceDataset:
                 eigvecs[i, :n] = np.nan_to_num(g.eigvecs)
                 eigvals[i, :n] = np.nan_to_num(g.eigvals)
         ds = DeviceDataset(nodes=nodes, n_node=n_node, edges_src=src,
-                           edges_dst=dst, edge_ok=ok, y=y, node_y=node_y,
+                           edges_dst=dst, edge_ok=ok, edge_feat=edge_feat,
+                           y=y, node_y=node_y,
                            cluster=cluster, eigvecs=eigvecs,
                            eigvals=eigvals, slot=slot, e_slot=e_slot)
         if device_put:
@@ -152,6 +159,9 @@ def assemble(ds: DeviceDataset, idx: jnp.ndarray) -> GraphBatch:
             [x, jnp.zeros((1,) + x.shape[1:], x.dtype)], axis=0)
 
     n_edge = jnp.where(real, jnp.sum(edge_ok, axis=1, dtype=jnp.int32), 0)
+    edge_feat = (jnp.take(ds.edge_feat, safe, axis=0)
+                 .reshape(B * e_slot, -1)
+                 if ds.edge_feat is not None else None)
     y = (pad_g(jnp.take(ds.y, safe, axis=0)
                * real[:, None].astype(jnp.float32))
          if ds.y is not None else None)
@@ -171,7 +181,7 @@ def assemble(ds: DeviceDataset, idx: jnp.ndarray) -> GraphBatch:
         node_mask=node_mask, edge_mask=edge_mask,
         graph_mask=pad_g(real),
         y=y, node_y=node_y, cluster=cluster,
-        eigvecs=eigvecs, eigvals=eigvals,
+        eigvecs=eigvecs, eigvals=eigvals, edge_feat=edge_feat,
         slot=slot,
     )
 
