@@ -181,8 +181,11 @@ class RuntimeConfig:
     device_dataset: str = "auto"   # "auto" | "on" | "off"
     device_dataset_max_mb: int = 2048
     # Fused multi-layer Pallas GCN stack (gcn + relu + dropout=0 + dense
-    # slots only); "auto" enables it on TPU when eligible.
-    fused_stack: str = "auto"      # "auto" | "on" | "off"
+    # slots only).  Opt-in: on this session's relay, Pallas grid steps pay
+    # the same per-op overhead as separate XLA ops, so fusion shows no
+    # local gain (it remains the right design for directly attached TPUs);
+    # its remote compile is also slow (~2 min).
+    fused_stack: str = "off"       # "auto" | "on" | "off"
     debug_nans: bool = False
     pad_safety: float = D.PAD_SAFETY
     donate_state: bool = True
