@@ -65,15 +65,26 @@ class DataModule:
         return cls(graphs=graphs, split_idx=split_idx, budget=budget,
                    batch_size=data_cfg.batch_size, num_features=num_features,
                    num_classes=num_classes, task_level=data_cfg.task_level,
-                   seed=data_cfg.seed)
+                   seed=data_cfg.seed, num_workers=data_cfg.num_workers)
 
     def split(self, name: str) -> list[GraphData]:
         return [self.graphs[int(i)] for i in self.split_idx[name]]
 
+    num_workers: int = 0   # >0: background-thread packing (PrefetchLoader)
+
     def train_batches(self, epoch_seed: int | None = None
                       ) -> Iterator[GraphBatch]:
-        rng = np.random.default_rng(
-            self.seed if epoch_seed is None else epoch_seed)
+        seed = self.seed if epoch_seed is None else epoch_seed
+        if self.num_workers > 0:
+            # The analog of the reference DataLoader's num_workers
+            # (loader.py:57-58): background packing via the native batcher.
+            from graph_hscn_tpu.data.loader import PrefetchLoader
+            loader = PrefetchLoader(
+                self.split("train"), self.batch_size, self.budget,
+                shuffle=True, seed=seed, slot_nodes=self.slot_nodes,
+                with_spmm_plan=self.with_spmm_plan)
+            return loader.epoch(seed)
+        rng = np.random.default_rng(seed)
         return iter_batches(self.split("train"), self.batch_size,
                             self.budget, shuffle=True, rng=rng,
                             slot_nodes=self.slot_nodes,
