@@ -109,6 +109,34 @@ class DenseGCN(nn.Module):
         return out + self.param("bias", zeros, (self.features,))
 
 
+class DenseGAT(nn.Module):
+    """Single-head GATConv on a dense batched adjacency (vv relation
+    alternative; PyG semantics with add_self_loops=False)."""
+
+    features: int
+    negative_slope: float = 0.2
+
+    @nn.compact
+    def __call__(self, x, adj):
+        w = self.param("kernel_src", glorot, (x.shape[-1], self.features))
+        h = x @ w                                   # [G, K, C]
+        att_src = self.param("att_src", glorot, (1, 1, self.features))
+        att_dst = self.param("att_dst", glorot, (1, 1, self.features))
+        a_s = jnp.sum(h * att_src, axis=-1)         # [G, K]
+        a_d = jnp.sum(h * att_dst, axis=-1)
+        e = a_s[:, None, :] + a_d[:, :, None]       # [G, dst, src]
+        e = nn.leaky_relu(e, self.negative_slope)
+        conn = adj > 0
+        e = jnp.where(conn, e, -jnp.inf)
+        m = jnp.max(e, axis=-1, keepdims=True)
+        m = jnp.where(jnp.isfinite(m), m, 0.0)
+        ex = jnp.where(conn, jnp.exp(e - m), 0.0)
+        denom = jnp.maximum(jnp.sum(ex, axis=-1, keepdims=True), 1e-16)
+        alpha = ex / denom
+        out = jnp.einsum("gij,gjc->gic", alpha, h)
+        return out + self.param("bias", zeros, (self.features,))
+
+
 class HSCN(nn.Module):
     lv_conv: str
     ll_conv: str
@@ -138,21 +166,34 @@ class HSCN(nn.Module):
         adj_vv = _vv_adjacency(v_active, G, K, self.vv_pattern, x_l.dtype)
 
         for _ in range(self.num_layers):
-            # local <- local (GCN without self-loops, reference hscn.py:121).
-            ll = GCNConv(features=self.hidden_channels,
-                         add_self_loops=False)
-            x_l_new = ll(x_l, batch.senders, batch.receivers,
-                         batch.edge_mask, num_nodes=N,
-                         dense_adj=dense_adj, plan=batch.spmm)
+            # local <- local (reference hscn.py:121, add_self_loops=False;
+            # conv type per config — GCN default, GAT supported).
+            if self.ll_conv.upper() == "GAT":
+                ll = GATConv(features=self.hidden_channels, heads=1,
+                             add_self_loops=False)
+                x_l_new = ll(x_l, batch.senders, batch.receivers,
+                             batch.edge_mask, num_nodes=N,
+                             dense_adj=dense_adj)
+            else:
+                ll = GCNConv(features=self.hidden_channels,
+                             add_self_loops=False)
+                x_l_new = ll(x_l, batch.senders, batch.receivers,
+                             batch.edge_mask, num_nodes=N,
+                             dense_adj=dense_adj, plan=batch.spmm)
 
-            # virtual <- local (bipartite GAT; one edge per real node).
+            # virtual <- local (bipartite GAT — the only lazily-inferable
+            # bipartite conv, reference's "must be GAT" slot,
+            # config.py:80).
             lv = GATConv(features=self.hidden_channels, heads=1,
                          add_self_loops=False)
             lv_out = lv(x_l, jnp.arange(N, dtype=jnp.int32), vid,
                         batch.node_mask, x_dst=x_v, num_dst_nodes=G * K)
 
-            # virtual <- virtual (dense batched GCN on the K x K pattern).
-            vv = DenseGCN(features=self.hidden_channels)
+            # virtual <- virtual (dense batched conv on the K x K pattern;
+            # conv type per config).
+            vv_cls = (DenseGAT if self.vv_conv.upper() == "GAT"
+                      else DenseGCN)
+            vv = vv_cls(features=self.hidden_channels)
             vv_out = vv(x_v.reshape(G, K, -1), adj_vv).reshape(G * K, -1)
 
             # HeteroConv aggr="sum" + per-type ReLU (hscn.py:97,110).

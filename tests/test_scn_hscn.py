@@ -121,6 +121,29 @@ def test_clustering_loss_decreases():
     assert multi > 16
 
 
+def test_hscn_relation_conv_types():
+    """ll/vv conv types from config are honored (GAT variants)."""
+    data_cfg = DataConfig(dataset_name="peptides_func", batch_size=4,
+                          num_graphs=12)
+    dm = DataModule.from_config(data_cfg)
+    rng = np.random.default_rng(3)
+    dm.graphs = [g.replace(cluster=rng.integers(0, 4, size=g.num_nodes)
+                           .astype(np.int32)) for g in dm.graphs]
+    cfg = HSCNConfig(activation="relu", num_clusters=4, num_layers=2,
+                     hidden_channels=8, ll_conv_type="GAT",
+                     vv_conv_type="GAT")
+    model = build_hscn(cfg, dm.num_classes)
+    batch = dm.example_batch()
+    params = model.init(jax.random.PRNGKey(0), batch, train=False)
+    out = np.asarray(model.apply(params, batch, train=False))
+    assert np.isfinite(out).all()
+    # Param structure contains GAT (att_src) for both relations.
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    names = "/".join(str(k) for k, _ in flat)
+    assert "att_src" in names
+    assert "DenseGAT" in names
+
+
 def test_hscn_end_to_end():
     data_cfg = DataConfig(dataset_name="peptides_func", batch_size=8,
                           num_graphs=48)
