@@ -16,7 +16,7 @@ def average_precision(y_true: np.ndarray, y_score: np.ndarray) -> float:
     """Binary AP, identical to sklearn.average_precision_score:
     AP = sum_n (R_n - R_{n-1}) * P_n over descending-score thresholds."""
     order = np.argsort(-y_score, kind="stable")
-    y_true = y_true[order]
+    y_true = y_true[order].astype(np.float64)
     tp = np.cumsum(y_true)
     fp = np.cumsum(1 - y_true)
     n_pos = tp[-1] if len(tp) else 0
