@@ -193,6 +193,100 @@ def _spmm_call(x, w, ws, wr, snd_rel, rcv_rel, num_nodes: int,
     return out[:num_nodes]
 
 
+def _spmm_hbm_kernel(ws_ref, wr_ref, snd_rel_ref, rcv_rel_ref, w_ref,
+                     x_hbm, out_ref, scratch, sems):
+    """Large-graph variant: x stays in HBM; per-tile sender windows are
+    DMA'd into a double-buffered VMEM scratch, overlapping the next tile's
+    fetch with the current tile's matmuls."""
+    t = pl.program_id(0)
+    n_t = pl.num_programs(0)
+
+    def dma(slot, tile):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(ws_ref[tile], WINDOW), :],
+            scratch.at[slot],
+            sems.at[slot])
+
+    @pl.when(t == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+        dma(0, 0).start()
+
+    cur = jax.lax.rem(t, 2)
+    nxt = jax.lax.rem(t + 1, 2)
+
+    @pl.when(t + 1 < n_t)
+    def _():
+        dma(nxt, t + 1).start()
+
+    dma(cur, t).wait()
+    x_win = scratch[cur]                                      # [WS, F]
+
+    snd_rel = snd_rel_ref[0, 0]
+    rcv_rel = rcv_rel_ref[0, 0]
+    w = w_ref[0, 0]
+    te = snd_rel.shape[0]
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, (te, WINDOW), 1)
+    g_onehot = (snd_rel[:, None] == iota).astype(x_win.dtype) * w[:, None]
+    msgs = jax.lax.dot_general(
+        g_onehot, x_win, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_PRECISION)
+    p_onehot = (rcv_rel[:, None] == iota).astype(x_win.dtype)
+    partial = jax.lax.dot_general(
+        p_onehot, msgs, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_PRECISION)
+    acc = out_ref[pl.ds(wr_ref[t], WINDOW), :]
+    out_ref[pl.ds(wr_ref[t], WINDOW), :] = acc + partial
+
+
+def _spmm_hbm_call(x, w, ws, wr, snd_rel, rcv_rel, num_nodes: int,
+                   interpret: bool = False):
+    T, te = snd_rel.shape
+    F = x.shape[-1]
+    n_pad = max(num_nodes, WINDOW)
+    if x.shape[0] < n_pad:
+        x = jnp.pad(x, ((0, n_pad - x.shape[0]), (0, 0)))
+    w = w.reshape(T, 1, te).astype(x.dtype)
+    tile_spec = pl.BlockSpec((1, 1, te), lambda t, *_: (t, 0, 0),
+                             memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T,),
+        in_specs=[
+            tile_spec, tile_spec, tile_spec,
+            pl.BlockSpec(memory_space=pltpu.ANY),    # x stays off-chip
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, WINDOW, F), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        _spmm_hbm_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, F), jnp.float32),
+        interpret=interpret,
+    )(ws, wr, snd_rel.reshape(T, 1, te), rcv_rel.reshape(T, 1, te), w, x)
+    return out[:num_nodes]
+
+
+def spmm_pallas_hbm(x, plan: SpmmPlanArrays, edge_weight=None,
+                    num_nodes: int | None = None,
+                    interpret: bool = False):
+    """Large-graph fused SpMM: node features stream from HBM via
+    double-buffered window DMA (no x-fits-in-VMEM constraint).  Forward
+    only is exposed for now; training paths at this scale use the sharded
+    edge-partition machinery (parallel/)."""
+    n = num_nodes if num_nodes is not None else x.shape[0]
+    E = plan.t_order.shape[0]
+    w = (edge_weight if edge_weight is not None
+         else jnp.ones((E,), x.dtype))
+    return _spmm_hbm_call(x, w, plan.ws, plan.wr, plan.snd_rel,
+                          plan.rcv_rel, n, interpret)
+
+
 def spmm_pallas(x, plan: SpmmPlanArrays, edge_weight=None,
                 num_nodes: int | None = None, interpret: bool = False):
     """Differentiable fused SpMM using a batch-attached plan.

@@ -114,3 +114,16 @@ def test_gather_scatter_uses_plan(planned_batch, monkeypatch):
     ref = xla_ref(x, b)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_hbm_streamed_forward_matches_xla(planned_batch):
+    """Large-graph variant: double-buffered HBM window DMA."""
+    from graph_hscn_tpu.ops.pallas.spmm_kernel import spmm_pallas_hbm
+    b = planned_batch
+    n = b.num_nodes_padded
+    x = jnp.asarray(np.random.default_rng(9).normal(size=(n, 128))
+                    .astype(np.float32))
+    out = spmm_pallas_hbm(x, b.spmm, num_nodes=n, interpret=True)
+    ref = xla_ref(x, b)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
