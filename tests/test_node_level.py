@@ -23,3 +23,20 @@ def test_voc_node_classification(tmp_path):
     assert last["train_loss"] < first["train_loss"]
     # Macro-F1 clearly above the 21-class chance floor (~0.02 macro).
     assert last["validation_perf"] > 0.10
+
+
+def test_hscn_node_level_runs(tmp_path):
+    """Full HSCN pipeline (clustering -> hetero conv) on a node-level task
+    — BASELINE config 5's model/task pairing."""
+    cfg = load_config("configs/HSCN/voc_superpixels_HSCN.yaml")
+    cfg.data.num_graphs = 16
+    cfg.data.batch_size = 4
+    cfg.hscn.cluster_epochs = 2
+    cfg.hscn.hidden_channels = 8
+    cfg.hscn.num_layers = 2
+    cfg.training.epochs = 3
+    cfg.training.eval_period = 2
+    cfg.training.patience = 50
+    result = run_experiment(cfg, log_file=tmp_path / "hv.log")
+    assert np.isfinite(result.history[-1]["train_loss"])
+    assert result.history[-1]["train_loss"] < result.history[0]["train_loss"]
