@@ -312,11 +312,11 @@ def spmm_pallas(x, plan: SpmmPlanArrays, edge_weight=None,
         w_t = jnp.take(w, plan.t_order, axis=0)
         dx = _spmm_call(g, w_t, plan.t_ws, plan.t_wr, plan.t_snd_rel,
                         plan.t_rcv_rel, n, interpret)
-        # d/d(edge_weight) is not emitted (callers with trainable edge
-        # weights must use the XLA path — see gather_scatter's
-        # weight_needs_grad flag); zero cotangent keeps autodiff happy for
-        # the GCN-norm weights, which are data-derived constants.
-        return dx, jnp.zeros_like(w)
+        # dw[e] = <g[recv e], x[send e]> — exactly the SDDMM kernel with
+        # (h_src = x, h_dst = g); masked slots return 0.
+        from graph_hscn_tpu.ops.pallas.sddmm_kernel import sddmm_pallas
+        dw = sddmm_pallas(x, g, plan, interpret=interpret)
+        return dx, dw
 
     _spmm.defvjp(fwd, bwd)
     return _spmm(x, w)

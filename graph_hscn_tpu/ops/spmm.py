@@ -58,16 +58,16 @@ def gather_scatter(
     """out[i] = sum over incoming edges of (w_e * x[sender_e]).
 
     If a Pallas plan is attached and the backend allows, uses the fused
-    windowed one-hot MXU kernel (ops/pallas/spmm_kernel.py); otherwise the
-    XLA gather + sorted-segment-sum path.  ``weight_needs_grad`` forces the
-    XLA path (the Pallas kernel does not yet emit d/d(edge_weight)).
+    windowed one-hot MXU kernel (ops/pallas/spmm_kernel.py), including
+    d/d(edge_weight) via the SDDMM kernel; otherwise the XLA gather +
+    sorted-segment-sum path.  ``weight_needs_grad`` is accepted for API
+    stability (both paths now differentiate edge weights).
 
     If ``messages_out`` is True also returns the per-edge gathered messages
     (before reduction), which some layers (GatedGCN) reuse.
     """
     num_nodes = num_nodes if num_nodes is not None else x.shape[0]
-    if (plan is not None and _use_pallas() and not messages_out
-            and not weight_needs_grad):
+    if plan is not None and _use_pallas() and not messages_out:
         from graph_hscn_tpu.ops.pallas.spmm_kernel import spmm_pallas
         return spmm_pallas(x, plan, edge_weight=edge_weight,
                            num_nodes=num_nodes)

@@ -127,3 +127,27 @@ def test_hbm_streamed_forward_matches_xla(planned_batch):
     ref = xla_ref(x, b)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_weight_gradients_match_xla(planned_batch):
+    """d/d(edge_weight) through the Pallas path (SDDMM-powered)."""
+    b = planned_batch
+    n = b.num_nodes_padded
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.normal(size=(n, 128)).astype(np.float32))
+    w0 = jnp.asarray(rng.uniform(0.5, 1.5,
+                                 size=b.senders.shape).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(n, 128)).astype(np.float32))
+
+    def f_pallas(w):
+        return jnp.vdot(spmm_pallas(x, b.spmm, edge_weight=w, num_nodes=n,
+                                    interpret=True), g)
+
+    def f_ref(w):
+        return jnp.vdot(xla_ref(x, b, w), g)
+
+    dw_pallas = np.asarray(jax.grad(f_pallas)(w0))
+    dw_ref = np.asarray(jax.grad(f_ref)(w0))
+    mask = np.asarray(b.edge_mask)
+    np.testing.assert_allclose(dw_pallas[mask], dw_ref[mask], rtol=1e-4,
+                               atol=1e-4)
