@@ -14,9 +14,8 @@ import argparse
 from pathlib import Path
 
 from graph_hscn_tpu.config.config import ExperimentConfig, load_config
+from graph_hscn_tpu.constants import LOGS_DIR
 from graph_hscn_tpu.runner import run_experiment
-
-LOGS_DIR = Path(__file__).parent / "logs"
 
 
 def main() -> None:
