@@ -18,7 +18,16 @@ Grid: one step per graph block; weights replicated in VMEM; activations
 like the unfused dense path (masked by the model before readout) and
 receive zero cotangents, so gradients are clean.
 
-Constraint: dropout must be 0 (in-kernel PRNG dropout is future work).
+Dropout (hidden layers, post-activation — same placement as the unfused
+MPNN, models/mpnn.py): masks are generated IN-KERNEL via the TPU hardware
+PRNG (`pltpu.prng_seed` / `prng_random_bits`), seeded per (graph block,
+layer) from one traced scalar, so no [G, S, F] mask arrays ever touch HBM.
+The stored per-layer activations are POST-dropout; the backward pass needs
+no bits at all — for an element of h_post, h_post > 0 iff (kept and
+pre-relu z > 0), and the kept value carries the 1/(1-p) scale, so
+dz = dh * (h_post > 0) * 1/(1-p) reproduces relu'∘mask exactly.  CPU tests
+(where the TPU PRNG has no interpret-mode implementation) pass externally
+generated uint32 bits through the identical post-bits math.
 """
 
 from __future__ import annotations
@@ -34,14 +43,27 @@ from jax.experimental.pallas import tpu as pltpu
 _PREC = jax.lax.Precision.DEFAULT
 
 
-def _fwd_kernel(adj_ref, x_ref, *refs, num_layers: int):
-    # refs: W_1..W_L, b_1..b_L, out h_1..h_L
-    ws = refs[:num_layers]
-    bs = refs[num_layers:2 * num_layers]
-    outs = refs[2 * num_layers:]
+def _fwd_kernel(adj_ref, x_ref, *refs, num_layers: int, rate: float = 0.0,
+                bits_source: str = "none"):
+    # refs: W_1..W_L, b_1..b_L, [seed | bits_1..bits_{L-1}], out h_1..h_L
+    L = num_layers
+    ws = refs[:L]
+    bs = refs[L:2 * L]
+    k = 2 * L
+    seed_ref = None
+    bits_refs = None
+    if rate > 0.0 and bits_source == "seed":
+        seed_ref = refs[k]
+        k += 1
+    elif rate > 0.0 and bits_source == "bits":
+        bits_refs = refs[k:k + L - 1]
+        k += L - 1
+    outs = refs[k:]
     a = adj_ref[0]                       # [S, S] folded operator
     h = x_ref[0]
-    for l in range(num_layers):
+    thr = np.uint32(min(int(rate * 2 ** 32), 2 ** 32 - 1))
+    scale = np.float32(1.0 / (1.0 - rate)) if rate > 0.0 else None
+    for l in range(L):
         y = jax.lax.dot_general(h, ws[l][:], (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32,
                                 precision=_PREC)
@@ -49,11 +71,24 @@ def _fwd_kernel(adj_ref, x_ref, *refs, num_layers: int):
                                 preferred_element_type=jnp.float32,
                                 precision=_PREC)
         z = z + bs[l][:]
-        h = jnp.maximum(z, 0.0) if l < num_layers - 1 else z
+        if l < L - 1:
+            h = jnp.maximum(z, 0.0)
+            if rate > 0.0:
+                if seed_ref is not None:
+                    # Distinct stream per (graph block, layer).
+                    pltpu.prng_seed(seed_ref[0]
+                                    + pl.program_id(0) * L + l)
+                    bits = pltpu.bitcast(pltpu.prng_random_bits(h.shape),
+                                         jnp.uint32)
+                else:
+                    bits = bits_refs[l][0]
+                h = jnp.where(bits >= thr, h * scale, 0.0)
+        else:
+            h = z
         outs[l][0] = h
 
 
-def _bwd_kernel(adj_ref, x_ref, *refs, num_layers: int):
+def _bwd_kernel(adj_ref, x_ref, *refs, num_layers: int, rate: float = 0.0):
     # refs: W_1..W_L, h_1..h_L (acts), g (dL/dh_L),
     #       outputs: dx, dW_1..dW_L, db_1..db_L
     L = num_layers
@@ -88,7 +123,12 @@ def _bwd_kernel(adj_ref, x_ref, *refs, num_layers: int):
                                  preferred_element_type=jnp.float32,
                                  precision=_PREC)         # dy W^T
         if l > 0:
-            dz = dh * (acts[l - 1][0] > 0.0)
+            # acts are POST-dropout: h_post > 0 iff kept and z > 0; kept
+            # values carry the 1/(1-p) scale, so this is mask ∘ relu'.
+            keep = (acts[l - 1][0] > 0.0).astype(jnp.float32)
+            if rate > 0.0:
+                keep = keep * np.float32(1.0 / (1.0 - rate))
+            dz = dh * keep
         else:
             dx_ref[0] = dh
 
@@ -105,12 +145,16 @@ def _folded_operator(adj, add_self_loops=True):
     return a
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3,))
-def fused_gcn_stack(x_blocks, adj, params, interpret=False):
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def fused_gcn_stack(x_blocks, adj, params, dropout=None, rate=0.0,
+                    interpret=False):
     """x_blocks [G, S, F0], adj [G, S, S] raw adjacency,
     params: list of {kernel [F_in, F_out], bias [F_out]}.
+    ``dropout`` (used only when ``rate`` > 0): {"seed": int32[1]} for
+    in-kernel TPU PRNG masks, or {"bits": [uint32[G,S,F_l] per hidden
+    layer]} for externally generated bits (CPU tests).
     Returns h_L [G, S, F_L]."""
-    outs = _fwd(x_blocks, adj, params, interpret)
+    outs = _fwd(x_blocks, adj, params, dropout, rate, interpret)
     return outs[-1]
 
 
@@ -118,7 +162,23 @@ def _block_specs_params(params):
     return [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in params]
 
 
-def _fwd(x_blocks, adj, params, interpret):
+def _dropout_inputs(dropout, rate, num_layers, blk):
+    """(bits_source, extra inputs, extra in_specs) for the fwd call."""
+    if rate <= 0.0:
+        return "none", [], []
+    if dropout is None or not isinstance(dropout, dict):
+        raise ValueError("rate > 0 needs dropout={'seed': ...} or "
+                         "{'bits': [...]}")
+    if "seed" in dropout:
+        return "seed", [dropout["seed"]], [
+            pl.BlockSpec(memory_space=pltpu.SMEM)]
+    bits = dropout["bits"]
+    assert len(bits) == num_layers - 1, (
+        f"need {num_layers - 1} hidden-layer bit arrays, got {len(bits)}")
+    return "bits", list(bits), [blk(b.shape) for b in bits]
+
+
+def _fwd(x_blocks, adj, params, dropout, rate, interpret):
     G, S, F0 = x_blocks.shape
     L = len(params)
     a_hat = _folded_operator(adj)
@@ -129,25 +189,28 @@ def _fwd(x_blocks, adj, params, interpret):
     blk = lambda shape: pl.BlockSpec((1,) + shape[1:],
                                      lambda g: (g,) + (0,) * (len(shape) - 1),
                                      memory_space=pltpu.VMEM)
+    source, extra_in, extra_specs = _dropout_inputs(dropout, rate, L, blk)
     outs = pl.pallas_call(
-        partial(_fwd_kernel, num_layers=L),
+        partial(_fwd_kernel, num_layers=L, rate=float(rate),
+                bits_source=source),
         grid=(G,),
         in_specs=([blk(a_hat.shape), blk(x_blocks.shape)]
-                  + _block_specs_params(ws) + _block_specs_params(bs)),
+                  + _block_specs_params(ws) + _block_specs_params(bs)
+                  + extra_specs),
         out_specs=[blk(s.shape) for s in out_shapes],
         out_shape=out_shapes,
         interpret=interpret,
-    )(a_hat, x_blocks, *ws, *bs)
+    )(a_hat, x_blocks, *ws, *bs, *extra_in)
     return outs
 
 
-def _fused_fwd(x_blocks, adj, params, interpret):
-    outs = _fwd(x_blocks, adj, params, interpret)
-    return outs[-1], (x_blocks, adj, params, outs)
+def _fused_fwd(x_blocks, adj, params, dropout, rate, interpret):
+    outs = _fwd(x_blocks, adj, params, dropout, rate, interpret)
+    return outs[-1], (x_blocks, adj, params, dropout, outs)
 
 
-def _fused_bwd(interpret, res, g):
-    x_blocks, adj, params, acts = res
+def _fused_bwd(rate, interpret, res, g):
+    x_blocks, adj, params, dropout, acts = res
     G, S, F0 = x_blocks.shape
     L = len(params)
     a_hat = _folded_operator(adj)
@@ -164,7 +227,7 @@ def _fused_bwd(interpret, res, g):
     out_specs = ([blk((G, S, F0))] + [full() for _ in ws]
                  + [full() for _ in ws])
     results = pl.pallas_call(
-        partial(_bwd_kernel, num_layers=L),
+        partial(_bwd_kernel, num_layers=L, rate=float(rate)),
         grid=(G,),
         in_specs=([blk(a_hat.shape), blk(x_blocks.shape)]
                   + _block_specs_params(ws)
@@ -179,8 +242,11 @@ def _fused_bwd(interpret, res, g):
     dbs = results[1 + L:]
     dparams = [{"kernel": dws[l], "bias": dbs[l].reshape(-1)}
                for l in range(L)]
-    # adj is data-derived (no gradient).
-    return dx, jnp.zeros_like(adj), dparams
+    # adj is data-derived (no gradient); dropout seeds/bits are integer
+    # inputs whose cotangent type is float0.
+    d_dropout = jax.tree.map(
+        lambda a: np.zeros(a.shape, jax.dtypes.float0), dropout)
+    return dx, jnp.zeros_like(adj), dparams, d_dropout
 
 
 fused_gcn_stack.defvjp(_fused_fwd, _fused_bwd)

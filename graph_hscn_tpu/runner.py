@@ -70,6 +70,7 @@ def run_experiment(cfg: ExperimentConfig, log_file=None) -> FitResult:
             hidden_channels=cfg.mpnn.hidden_channels,
             num_classes=dm.num_classes,
             num_layers=cfg.mpnn.num_layers,
+            dropout=cfg.mpnn.dropout,
             readout="none" if node_level else "mean",
             interpret=jax.default_backend() != "tpu")
     else:
@@ -118,14 +119,13 @@ def _use_fused_stack(cfg: ExperimentConfig, dm, node_level: bool) -> bool:
         return False
     eligible = (cfg.mpnn.conv_type.lower() == "gcn"
                 and cfg.mpnn.activation.lower() == "relu"
-                and cfg.mpnn.dropout == 0.0
                 and not cfg.mpnn.use_batch_norm
                 and not cfg.mpnn.use_layer_norm
                 and dm.slot_nodes is not None)
     if mode == "on":
         if not eligible:
             raise ValueError("fused_stack requested but config ineligible "
-                             "(needs gcn+relu+dropout=0+dense slots)")
+                             "(needs gcn+relu+dense slots)")
         return True
     import jax as _jax
     return eligible and _jax.default_backend() == "tpu"

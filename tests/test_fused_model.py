@@ -58,3 +58,106 @@ def test_fused_model_trains():
                  dm.eval_batches("val"), dm.eval_batches("test"),
                  optim_cfg, training_cfg, Logger(metric_name="ap"))
     assert result.history[-1]["train_loss"] < result.history[0]["train_loss"]
+
+
+def test_fused_dropout_stats_and_grads():
+    """In-kernel dropout (external-bits path on CPU): correct drop
+    fraction, deterministic under a fixed rng, and backward matches a
+    pure-jnp oracle built from the masks recovered from the stored
+    post-dropout activations."""
+    import jax.numpy as jnp
+
+    from graph_hscn_tpu.ops.pallas.fused_gcn_kernel import (_folded_operator,
+                                                            fused_gcn_stack)
+
+    rng = np.random.default_rng(3)
+    G, S, F0, H, C, L = 4, 16, 9, 32, 10, 3
+    rate = 0.4
+    x = jnp.asarray(rng.normal(size=(G, S, F0)).astype(np.float32))
+    adj_np = (rng.random((G, S, S)) < 0.2).astype(np.float32)
+    adj_np = np.maximum(adj_np, adj_np.transpose(0, 2, 1))
+    adj = jnp.asarray(adj_np)
+    dims = [F0, H, H, C]
+    params = [{"kernel": jnp.asarray(
+                   rng.normal(size=(dims[i], dims[i + 1]))
+                   .astype(np.float32) * 0.3),
+               "bias": jnp.asarray(rng.normal(size=(dims[i + 1],))
+                                   .astype(np.float32) * 0.1)}
+              for i in range(L)]
+    key = jax.random.PRNGKey(7)
+    bits = [jax.random.bits(jax.random.fold_in(key, l), (G, S, dims[l + 1]),
+                            dtype=jnp.uint32) for l in range(L - 1)]
+    dropout = {"bits": bits}
+
+    # --- statistics: each hidden layer drops ~rate of its entries ---
+    from graph_hscn_tpu.ops.pallas.fused_gcn_kernel import _fwd
+    acts = _fwd(x, adj, params, dropout, rate, True)
+    thr = np.uint32(int(rate * 2 ** 32))
+    for l in range(L - 1):
+        kept = np.asarray(bits[l]) >= thr
+        frac = kept.mean()
+        assert abs(frac - (1 - rate)) < 0.03
+        a = np.asarray(acts[l])
+        assert (a[~kept] == 0).all()
+
+    # determinism: same bits -> same output
+    out1 = fused_gcn_stack(x, adj, params, dropout, rate, True)
+    out2 = fused_gcn_stack(x, adj, params, dropout, rate, True)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+    # --- grads vs oracle with the same masks ---
+    a_hat = _folded_operator(adj)
+    masks = [jnp.where(jnp.asarray(b) >= thr,
+                       np.float32(1 / (1 - rate)), 0.0) for b in bits]
+
+    def oracle(x, params):
+        h = x
+        for l in range(L):
+            z = jnp.einsum("gij,gjf->gif", a_hat,
+                           jnp.einsum("gsf,fo->gso", h,
+                                      params[l]["kernel"]))
+            z = z + params[l]["bias"]
+            if l < L - 1:
+                h = jnp.maximum(z, 0.0) * masks[l]
+            else:
+                h = z
+        return jnp.sum(h ** 2)
+
+    def fused(x, params):
+        return jnp.sum(fused_gcn_stack(x, adj, params, dropout, rate,
+                                       True) ** 2)
+
+    np.testing.assert_allclose(float(oracle(x, params)),
+                               float(fused(x, params)), rtol=1e-5)
+    gx_o, gp_o = jax.grad(oracle, argnums=(0, 1))(x, params)
+    gx_f, gp_f = jax.grad(fused, argnums=(0, 1))(x, params)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_o),
+                               rtol=2e-4, atol=2e-4)
+    for l in range(L):
+        np.testing.assert_allclose(np.asarray(gp_f[l]["kernel"]),
+                                   np.asarray(gp_o[l]["kernel"]),
+                                   rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(gp_f[l]["bias"]),
+                                   np.asarray(gp_o[l]["bias"]),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_fused_model_trains_with_dropout():
+    from graph_hscn_tpu.config.config import OptimConfig, TrainingConfig
+    from graph_hscn_tpu.train.loop import fit
+    from graph_hscn_tpu.utils.logger import Logger
+
+    dm = DataModule.from_config(DataConfig(dataset_name="peptides_func",
+                                           batch_size=8, num_graphs=32))
+    dm.enable_dense_slots()
+    model = FusedDenseGCN(hidden_channels=32, num_classes=10, num_layers=3,
+                          dropout=0.3, interpret=True)
+    optim_cfg = OptimConfig(optim_type="adamW", lr=0.005, weight_decay=5e-4)
+    training_cfg = TrainingConfig(model_type="gcn",
+                                  loss_fn="cross_entropy", metric="ap",
+                                  epochs=4, eval_period=2, patience=50,
+                                  min_delta=0.0)
+    result = fit(model, lambda: dm.train_batches(),
+                 dm.eval_batches("val"), dm.eval_batches("test"),
+                 optim_cfg, training_cfg, Logger(metric_name="ap"))
+    assert result.history[-1]["train_loss"] < result.history[0]["train_loss"]
