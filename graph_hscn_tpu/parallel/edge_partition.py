@@ -107,6 +107,12 @@ def plan_halo_exchange(senders: np.ndarray, receivers: np.ndarray,
                             (row o = what o sends, one slot per dest)
       snd_remap  [D, Eb]    per-device sender index into [Nb + D*H] rows
       rcv_local  [D, Eb], mask [D, Eb], block_size, halo_width
+    plus the local/halo SPLIT of the same edges (v3 overlap path —
+    local-sender edges have no data dependency on the all_to_all, so XLA's
+    latency-hiding scheduler can run the collective concurrently with the
+    local aggregation):
+      snd_loc [D, El], rcv_loc [D, El], mask_loc [D, El]   (own-block ids)
+      snd_hal [D, Eh], rcv_hal [D, Eh], mask_hal [D, Eh]   (halo-table ids)
     """
     assert num_nodes % num_devices == 0
     nb = num_nodes // num_devices
@@ -146,8 +152,43 @@ def plan_halo_exchange(senders: np.ndarray, receivers: np.ndarray,
                 snd_remap[d, e] = gid - d * nb
             else:
                 snd_remap[d, e] = lookup[gid]
-    return dict(send_idx=send_idx, snd_remap=snd_remap, rcv_local=rcv_d,
+    plan = dict(send_idx=send_idx, snd_remap=snd_remap, rcv_local=rcv_d,
                 mask=mask_d, block_size=nb, halo_width=H)
+    plan.update(_split_local_halo(snd_remap, rcv_d, mask_d, nb))
+    return plan
+
+
+def _split_local_halo(snd_remap, rcv_local, mask, nb):
+    """Split each device's edges into local-sender (id < Nb) and
+    halo-sender groups, padded separately to 128-multiples."""
+    D = snd_remap.shape[0]
+    groups = {"loc": ([], []), "hal": ([], [])}
+    for d in range(D):
+        m = mask[d]
+        is_loc = (snd_remap[d] < nb) & m
+        is_hal = (snd_remap[d] >= nb) & m
+        groups["loc"][0].append(snd_remap[d][is_loc])
+        groups["loc"][1].append(rcv_local[d][is_loc])
+        groups["hal"][0].append(snd_remap[d][is_hal] - nb)
+        groups["hal"][1].append(rcv_local[d][is_hal])
+
+    def pad(ss, rr):
+        e = max(max((len(g) for g in ss), default=0), 1)
+        e = ((e + 127) // 128) * 128
+        s = np.zeros((D, e), np.int32)
+        r = np.zeros((D, e), np.int32)
+        mk = np.zeros((D, e), bool)
+        for d in range(D):
+            k = len(ss[d])
+            s[d, :k] = ss[d]
+            r[d, :k] = rr[d]
+            mk[d, :k] = True
+        return s, r, mk
+
+    ls, lr, lm = pad(*groups["loc"])
+    hs, hr, hm = pad(*groups["hal"])
+    return dict(snd_loc=ls, rcv_loc=lr, mask_loc=lm,
+                snd_hal=hs, rcv_hal=hr, mask_hal=hm)
 
 
 def make_sharded_spmm_halo(mesh: Mesh, axis: str = "data"):
@@ -179,6 +220,46 @@ def make_sharded_spmm_halo(mesh: Mesh, axis: str = "data"):
     return jax.jit(jax.shard_map(
         per_device, mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(axis),
+        check_vma=False,
+    ))
+
+
+def make_sharded_spmm_overlap(mesh: Mesh, axis: str = "data"):
+    """v3 sharded SpMM: the halo all_to_all is issued FIRST and consumed
+    LAST, with the local-sender aggregation (the bulk of the edges for a
+    well-partitioned graph) in between.  Neither depends on the other, so
+    XLA's latency-hiding scheduler runs the collective concurrently with
+    the local segment-sum — the communication cost is hidden behind
+    compute instead of serializing with it (ROADMAP item: halo overlap).
+
+    Numerically identical to make_sharded_spmm_halo (same edges, same
+    additions up to float reassociation across the two groups)."""
+
+    def per_device(x_blk, send_idx, snd_loc, rcv_loc, m_loc,
+                   snd_hal, rcv_hal, m_hal):
+        x_blk = x_blk[0]
+        send_idx = send_idx[0]
+        snd_loc, rcv_loc, m_loc = snd_loc[0], rcv_loc[0], m_loc[0]
+        snd_hal, rcv_hal, m_hal = snd_hal[0], rcv_hal[0], m_hal[0]
+        nb = x_blk.shape[0]
+        # 1) Launch the exchange (no dependency on the local aggregation).
+        outbound = jnp.take(x_blk, send_idx, axis=0)       # [D, H, F]
+        inbound = jax.lax.all_to_all(outbound, axis, split_axis=0,
+                                     concat_axis=0, tiled=False)
+        # 2) Local-sender edges aggregate while the collective flies.
+        msgs = jnp.where(m_loc[:, None], jnp.take(x_blk, snd_loc, axis=0),
+                         0.0)
+        out = segment_sum(msgs, rcv_loc, nb)
+        # 3) Consume the halo.
+        halo = inbound.reshape(-1, x_blk.shape[-1])        # [D*H, F]
+        msgs_h = jnp.where(m_hal[:, None], jnp.take(halo, snd_hal, axis=0),
+                           0.0)
+        return (out + segment_sum(msgs_h, rcv_hal, nb))[None]
+
+    return jax.jit(jax.shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P(axis),) * 8,
         out_specs=P(axis),
         check_vma=False,
     ))

@@ -11,6 +11,12 @@ self loops), verified against the unsharded model in tests.
 Degree normalization needs each edge's *sender* degree, which may be
 remote; the degree vector is halo-exchanged once up front (it is layer-
 independent), then each layer exchanges only the current features.
+
+Overlap (v3): each device's edges are pre-split into LOCAL-sender and
+HALO-sender groups (plan_halo_exchange's snd_loc/snd_hal arrays).  Per
+layer the all_to_all is issued before the local aggregation and consumed
+after it; the two have no data dependency, so XLA's latency-hiding
+scheduler hides the collective behind the local segment-sum.
 """
 
 from __future__ import annotations
@@ -57,32 +63,34 @@ def make_sharded_gcn(mesh: Mesh, num_layers: int, axis: str = "data"):
     ``axis``; params are replicated.
     """
 
-    def per_device_forward(params, x_blk, send_idx, snd_remap, rcv_local,
-                           mask):
+    def per_device_forward(params, x_blk, send_idx, snd_loc, rcv_loc,
+                           m_loc, snd_hal, rcv_hal, m_hal):
         x = x_blk[0]
         send_idx = send_idx[0]
-        snd_remap = snd_remap[0]
-        rcv_local = rcv_local[0]
-        mask = mask[0]
+        snd_loc, rcv_loc, m_loc = snd_loc[0], rcv_loc[0], m_loc[0]
+        snd_hal, rcv_hal, m_hal = snd_hal[0], rcv_hal[0], m_hal[0]
         nb = x.shape[0]
 
         # Global in-degree of owned nodes (all owned edges are local).
-        ones = jnp.where(mask, 1.0, 0.0)
-        deg = segment_sum(ones, rcv_local, nb) + 1.0     # + self loop
+        deg = (segment_sum(jnp.where(m_loc, 1.0, 0.0), rcv_loc, nb)
+               + segment_sum(jnp.where(m_hal, 1.0, 0.0), rcv_hal, nb)
+               + 1.0)                                    # + self loop
         dinv = jax.lax.rsqrt(deg)
         # Sender-side dinv may be remote: exchange once.
-        dinv_table = jnp.concatenate(
-            [dinv[:, None], _halo(dinv[:, None], send_idx, axis)], axis=0)
-        w_edge = dinv_table[snd_remap, 0] * dinv[rcv_local]
-        w_edge = jnp.where(mask, w_edge, 0.0)
+        dinv_halo = _halo(dinv[:, None], send_idx, axis)[:, 0]
+        w_loc = jnp.where(m_loc, dinv[snd_loc] * dinv[rcv_loc], 0.0)
+        w_hal = jnp.where(m_hal, dinv_halo[snd_hal] * dinv[rcv_hal], 0.0)
         diag = dinv * dinv
 
         h = x
         for layer in params:
             h = h @ layer["kernel"]
-            table = jnp.concatenate([h, _halo(h, send_idx, axis)], axis=0)
-            msgs = table[snd_remap] * w_edge[:, None]
-            agg = segment_sum(msgs, rcv_local, nb)
+            # Issue the exchange first; aggregate local edges while the
+            # all_to_all is in flight; consume the halo last.
+            halo = _halo(h, send_idx, axis)
+            agg = segment_sum(h[snd_loc] * w_loc[:, None], rcv_loc, nb)
+            agg = agg + segment_sum(halo[snd_hal] * w_hal[:, None],
+                                    rcv_hal, nb)
             h = agg + diag[:, None] * h + layer["bias"]
             if layer is not params[-1]:
                 h = jax.nn.relu(h)
@@ -90,16 +98,18 @@ def make_sharded_gcn(mesh: Mesh, num_layers: int, axis: str = "data"):
 
     forward = jax.jit(jax.shard_map(
         per_device_forward, mesh=mesh,
-        in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        in_specs=(P(),) + (P(axis),) * 8,
         out_specs=P(axis),
         check_vma=False,
     ))
 
-    def per_device_value_grad(params, x_blk, send_idx, snd_remap,
-                              rcv_local, mask, y_blk, node_ok_blk, gcnt):
+    def per_device_value_grad(params, x_blk, send_idx, snd_loc, rcv_loc,
+                              m_loc, snd_hal, rcv_hal, m_hal, y_blk,
+                              node_ok_blk, gcnt):
         def local_loss(params):
             logits = per_device_forward(
-                params, x_blk, send_idx, snd_remap, rcv_local, mask)[0]
+                params, x_blk, send_idx, snd_loc, rcv_loc, m_loc,
+                snd_hal, rcv_hal, m_hal)[0]
             y = y_blk[0]
             ok = node_ok_blk[0].astype(logits.dtype)
             logp = jax.nn.log_softmax(logits, axis=-1)
@@ -112,23 +122,23 @@ def make_sharded_gcn(mesh: Mesh, num_layers: int, axis: str = "data"):
                                        grads)
         return loss, grads
 
+    _PLAN_KEYS = ("send_idx", "snd_loc", "rcv_loc", "mask_loc",
+                  "snd_hal", "rcv_hal", "mask_hal")
+
     def value_and_grad(params, x_blocks, plan, y_blocks, node_ok_blocks):
         gcnt = float(np.maximum(np.asarray(node_ok_blocks).sum(), 1.0))
-        return _vg(params, x_blocks, plan["send_idx"], plan["snd_remap"],
-                   plan["rcv_local"], plan["mask"], y_blocks,
-                   node_ok_blocks, gcnt)
+        return _vg(params, x_blocks, *(plan[k] for k in _PLAN_KEYS),
+                   y_blocks, node_ok_blocks, gcnt)
 
     _vg = jax.jit(jax.shard_map(
         per_device_value_grad, mesh=mesh,
-        in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis),
-                  P(axis), P(axis), None),
+        in_specs=(P(),) + (P(axis),) * 10 + (None,),
         out_specs=(P(), P()),
         check_vma=False,
-    ), static_argnums=(8,))
+    ), static_argnums=(11,))
 
     def forward_wrapper(params, x_blocks, plan):
-        return forward(params, x_blocks, plan["send_idx"],
-                       plan["snd_remap"], plan["rcv_local"], plan["mask"])
+        return forward(params, x_blocks, *(plan[k] for k in _PLAN_KEYS))
 
     return forward_wrapper, value_and_grad
 
