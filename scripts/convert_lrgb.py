@@ -11,10 +11,17 @@ The reference performs the same featurization inline
 row -> collate); here the output is the flat array schema documented in
 graph_hscn_tpu/data/lrgb.py.
 
-Usage:
+Usage (auto-download, like the reference's dataset class):
+  python scripts/convert_lrgb.py --dataset peptides_func --out data/
+
+or with pre-downloaded files:
   python scripts/convert_lrgb.py --dataset peptides_func --csv \
       peptide_multi_class_dataset.csv.gz --split \
       splits_random_stratified_peptide.pickle --out data/
+
+Without --csv/--split the script downloads the official LRGB files from
+the same Dropbox URLs the reference uses and verifies the same md5 sums
+(reference loader/dataset/constants.py:1-17, peptides_functional.py:63-75).
 """
 
 from __future__ import annotations
@@ -29,17 +36,72 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import numpy as np
 
 
+# Official LRGB sources + checksums, identical to the reference's
+# loader/dataset/constants.py:1-17.
+SOURCES = {
+    "peptides_func": {
+        "csv_url": "https://www.dropbox.com/s/ol2v01usvaxbsr8/"
+                   "peptide_multi_class_dataset.csv.gz?dl=1",
+        "csv_md5": "701eb743e899f4d793f0e13c8fa5a1b4",
+        "csv_name": "peptide_multi_class_dataset.csv.gz",
+        "split_url": "https://www.dropbox.com/s/j4zcnx2eipuo0xz/"
+                     "splits_random_stratified_peptide.pickle?dl=1",
+        "split_md5": "5a0114bdadc80b94fc7ae974f13ef061",
+        "split_name": "splits_random_stratified_peptide.pickle",
+    },
+    "peptides_struct": {
+        "csv_url": "https://www.dropbox.com/s/464u3303eu2u4zp/"
+                   "peptide_structure_dataset.csv.gz?dl=1",
+        "csv_md5": "9786061a34298a0684150f2e4ff13f47",
+        "csv_name": "peptide_structure_dataset.csv.gz",
+        "split_url": "https://www.dropbox.com/s/9dfifzft1hqgow6/"
+                     "splits_random_stratified_peptide_structure.pickle?dl=1",
+        "split_md5": "5a0114bdadc80b94fc7ae974f13ef061",
+        "split_name": "splits_random_stratified_peptide_structure.pickle",
+    },
+}
+
+
+def _fetch(url: str, dest: Path, md5: str) -> Path:
+    """Download with md5 verification (reference
+    peptides_functional.py:63-75 semantics: reject on mismatch)."""
+    import hashlib
+    import urllib.request
+
+    if not dest.exists():
+        print(f"downloading {url} -> {dest}")
+        urllib.request.urlretrieve(url, dest)  # noqa: S310
+    digest = hashlib.md5(dest.read_bytes()).hexdigest()  # noqa: S324
+    if digest != md5:
+        dest.unlink()
+        raise RuntimeError(f"md5 mismatch for {dest}: {digest} != {md5}")
+    return dest
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dataset", required=True,
                     choices=["peptides_func", "peptides_struct"])
-    ap.add_argument("--csv", required=True)
-    ap.add_argument("--split", required=True)
+    ap.add_argument("--csv", default=None,
+                    help="pre-downloaded CSV (default: fetch from the "
+                         "official Dropbox URL and verify md5)")
+    ap.add_argument("--split", default=None,
+                    help="pre-downloaded split pickle (default: fetch)")
     ap.add_argument("--out", default="data")
     args = ap.parse_args()
 
     import pandas as pd
     from ogb.utils import smiles2graph  # requires rdkit
+
+    src = SOURCES[args.dataset]
+    raw = Path(args.out) / "raw"
+    raw.mkdir(parents=True, exist_ok=True)
+    if args.csv is None:
+        args.csv = _fetch(src["csv_url"], raw / src["csv_name"],
+                          src["csv_md5"])
+    if args.split is None:
+        args.split = _fetch(src["split_url"], raw / src["split_name"],
+                            src["split_md5"])
 
     df = pd.read_csv(args.csv)
     node_feats, edge_feats, edge_indices = [], [], []
