@@ -45,6 +45,7 @@ class DataConfig:
     num_graphs: int = 512          # synthetic dataset size (tests/bench)
     data_dir: str | None = None    # real cached arrays if present
     seed: int = 0
+    num_buckets: int = 1           # >1: shape-bucketed pad budgets
 
     def __post_init__(self):
         if self.task_level is None:
@@ -52,6 +53,7 @@ class DataConfig:
             self.task_level = ("graph" if "peptides" in self.dataset_name
                                else "node")
         _check(self.batch_size > 0, "batch_size must be positive")
+        _check(self.num_buckets >= 1, "num_buckets must be >= 1")
 
 
 @dataclasses.dataclass

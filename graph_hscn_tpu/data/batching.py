@@ -99,6 +99,60 @@ class PadBudget:
         )
 
 
+def bucketed_budgets(
+    graphs: Sequence[GraphData],
+    batch_size: int,
+    num_buckets: int = 3,
+    node_multiple: int = 8,
+    edge_multiple: int = 128,
+    safety: float = 1.15,
+    samples: int = 512,
+) -> tuple[PadBudget, ...]:
+    """K ascending budgets at quantiles of the batch-total distribution.
+
+    Shape-bucketed batching (SURVEY §7 design stance): each emitted batch
+    is padded to the SMALLEST bucket that fits it, so under-mean batches
+    waste less FLOPs/HBM, while jit compiles at most K programs.  The last
+    bucket is ``PadBudget.for_dataset``'s (covers everything the greedy
+    packer emits).  Useful when the dataset's graph sizes are heavily
+    skewed; with modest variance a single budget (num_buckets=1) is best.
+    """
+    base = PadBudget.for_dataset(graphs, batch_size, node_multiple,
+                                 edge_multiple, safety)
+    if num_buckets <= 1 or len(graphs) <= batch_size:
+        return (base,)
+    n = np.array([g.num_nodes for g in graphs])
+    e = np.array([g.num_edges for g in graphs])
+    rng = np.random.default_rng(0)
+    sel = rng.integers(0, len(graphs), size=(samples, batch_size))
+    sums_n = n[sel].sum(axis=1)
+    sums_e = e[sel].sum(axis=1)
+    buckets: list[PadBudget] = []
+    for q in np.linspace(0.0, 1.0, num_buckets + 1)[1:-1]:
+        bn = round_up(int(np.quantile(sums_n, q)) + 2, node_multiple)
+        be = round_up(int(np.quantile(sums_e, q) * 1.02), edge_multiple)
+        b = PadBudget(num_nodes=min(bn, base.num_nodes),
+                      num_edges=min(be, base.num_edges),
+                      num_graphs=base.num_graphs)
+        if not buckets or (b.num_nodes, b.num_edges) > (
+                buckets[-1].num_nodes, buckets[-1].num_edges):
+            buckets.append(b)
+    buckets.append(base)
+    return tuple(buckets)
+
+
+def pick_bucket(buckets: Sequence[PadBudget], num_nodes: int,
+                num_edges: int, num_graphs: int) -> PadBudget:
+    """Smallest bucket that fits (node budget is strict: one row reserved
+    for padding, same rule as pack_batch)."""
+    for b in buckets:
+        if (num_nodes < b.num_nodes and num_edges <= b.num_edges
+                and num_graphs < b.num_graphs):
+            return b
+    raise ValueError(f"no bucket fits n={num_nodes} e={num_edges} "
+                     f"g={num_graphs}")
+
+
 def pack_batch(
     graphs: Sequence[GraphData],
     budget: PadBudget,
@@ -239,7 +293,7 @@ def pack_batch(
 def iter_batches(
     graphs: Sequence[GraphData],
     batch_size: int,
-    budget: PadBudget,
+    budget: PadBudget | Sequence[PadBudget],
     shuffle: bool = False,
     rng: np.random.Generator | None = None,
     drop_last: bool = False,
@@ -252,7 +306,21 @@ def iter_batches(
     (loader.py:48-60) but additionally respects node/edge budgets: if the
     next graph would overflow, the batch is emitted early (rare with the
     default 15% safety margin).
+
+    ``budget`` may be a sequence of ascending buckets (bucketed_budgets):
+    groups are formed against the LARGEST bucket, then each group is
+    packed to the smallest bucket that fits it.
     """
+    buckets = (tuple(budget) if isinstance(budget, (tuple, list))
+               else (budget,))
+    largest = buckets[-1]
+
+    def emit(group: list[GraphData], n: int, e: int) -> GraphBatch:
+        b = (largest if len(buckets) == 1
+             else pick_bucket(buckets, n, e, len(group)))
+        return pack_batch(group, b, with_spmm_plan=with_spmm_plan,
+                          slot_nodes=slot_nodes)
+
     idx = np.arange(len(graphs))
     if shuffle:
         rng = rng or np.random.default_rng(0)
@@ -264,19 +332,17 @@ def iter_batches(
         overflow = (
             len(cur) >= batch_size
             or (slot_nodes is None
-                and cur_n + g.num_nodes >= budget.num_nodes)
-            or cur_e + g.num_edges > budget.num_edges
+                and cur_n + g.num_nodes >= largest.num_nodes)
+            or cur_e + g.num_edges > largest.num_edges
         )
         if cur and overflow:
-            yield pack_batch(cur, budget, with_spmm_plan=with_spmm_plan,
-                             slot_nodes=slot_nodes)
+            yield emit(cur, cur_n, cur_e)
             cur, cur_n, cur_e = [], 0, 0
         cur.append(g)
         cur_n += g.num_nodes
         cur_e += g.num_edges
     if cur and not drop_last:
-        yield pack_batch(cur, budget, with_spmm_plan=with_spmm_plan,
-                         slot_nodes=slot_nodes)
+        yield emit(cur, cur_n, cur_e)
 
 
 def csr_row_pointers(receivers: np.ndarray, num_nodes: int) -> np.ndarray:

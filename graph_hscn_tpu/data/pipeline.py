@@ -14,7 +14,8 @@ from typing import Callable, Iterator, Sequence
 import numpy as np
 
 from graph_hscn_tpu.data import synthetic
-from graph_hscn_tpu.data.batching import (GraphData, PadBudget, iter_batches,
+from graph_hscn_tpu.data.batching import (GraphData, PadBudget,
+                                          bucketed_budgets, iter_batches,
                                           pack_batch)
 from graph_hscn_tpu.data.structures import GraphBatch
 
@@ -37,6 +38,7 @@ class DataModule:
     seed: int = 0
     slot_nodes: int | None = None   # slotted dense packing (runner sets it)
     with_spmm_plan: bool = False    # attach Pallas SpMM plans
+    budgets: tuple[PadBudget, ...] | None = None  # shape buckets (ascending)
 
     @classmethod
     def from_config(cls, data_cfg, pad_safety: float = 1.15) -> "DataModule":
@@ -54,8 +56,10 @@ class DataModule:
                            seed=data_cfg.seed)
             split_idx = synthetic.split_indices(len(graphs),
                                                 seed=data_cfg.seed + 42)
-        budget = PadBudget.for_dataset(graphs, data_cfg.batch_size,
-                                       safety=pad_safety)
+        budgets = bucketed_budgets(graphs, data_cfg.batch_size,
+                                   num_buckets=data_cfg.num_buckets,
+                                   safety=pad_safety)
+        budget = budgets[-1]
         g0 = graphs[0]
         num_features = g0.x.shape[1]
         if data_cfg.task_level == "graph":
@@ -65,7 +69,8 @@ class DataModule:
         return cls(graphs=graphs, split_idx=split_idx, budget=budget,
                    batch_size=data_cfg.batch_size, num_features=num_features,
                    num_classes=num_classes, task_level=data_cfg.task_level,
-                   seed=data_cfg.seed, num_workers=data_cfg.num_workers)
+                   seed=data_cfg.seed, num_workers=data_cfg.num_workers,
+                   budgets=budgets)
 
     def split(self, name: str) -> list[GraphData]:
         return [self.graphs[int(i)] for i in self.split_idx[name]]
@@ -86,15 +91,22 @@ class DataModule:
             return loader.epoch(seed)
         rng = np.random.default_rng(seed)
         return iter_batches(self.split("train"), self.batch_size,
-                            self.budget, shuffle=True, rng=rng,
+                            self._budgets(), shuffle=True, rng=rng,
                             slot_nodes=self.slot_nodes,
                             with_spmm_plan=self.with_spmm_plan)
 
     def eval_batches(self, name: str) -> list[GraphBatch]:
         return list(iter_batches(self.split(name), self.batch_size,
-                                 self.budget, shuffle=False,
+                                 self._budgets(), shuffle=False,
                                  slot_nodes=self.slot_nodes,
                                  with_spmm_plan=self.with_spmm_plan))
+
+    def _budgets(self) -> tuple[PadBudget, ...]:
+        # Slotted dense packing fixes N to (G-1)*slot — bucketing by node
+        # budget would be a no-op there, so fall back to the single budget.
+        if self.budgets is None or self.slot_nodes is not None:
+            return (self.budget,)
+        return self.budgets
 
     def example_batch(self) -> GraphBatch:
         gs = self.split("train")[: self.batch_size]

@@ -36,6 +36,9 @@ def run_experiment(cfg: ExperimentConfig, log_file=None) -> FitResult:
     logger.info(f"Dataset {cfg.data.dataset_name}: {len(dm.graphs)} graphs, "
                 f"budget nodes={dm.budget.num_nodes} "
                 f"edges={dm.budget.num_edges}")
+    if dm.budgets is not None and len(dm.budgets) > 1:
+        logger.info("Shape buckets: " + ", ".join(
+            f"(n={b.num_nodes}, e={b.num_edges})" for b in dm.budgets))
 
     # Execution-path selection: slotted dense blocks (MXU matmuls) for
     # molecular-scale graphs, Pallas SpMM plans for the sparse path on TPU.

@@ -72,3 +72,42 @@ def test_dense_round_trip(graphs):
     g0 = graphs[0]
     for s, r in g0.edge_index.T[:20]:
         assert d.adj[0, r, s] == 1.0
+
+
+def test_bucketed_budgets_cover_and_save_padding():
+    """Shape-bucketed batching: <= K distinct compiled shapes, every graph
+    packed exactly once, and less node padding than the single budget on a
+    size-skewed dataset."""
+    from graph_hscn_tpu.data.batching import (GraphData, PadBudget,
+                                              bucketed_budgets, iter_batches)
+
+    rng = np.random.default_rng(11)
+    # Heavy size skew: small molecules + a long tail of big ones.
+    graphs = []
+    for i in range(160):
+        n = int(rng.integers(10, 30)) if i % 4 else int(rng.integers(80, 150))
+        ei = np.stack([rng.integers(0, n, 3 * n), rng.integers(0, n, 3 * n)])
+        graphs.append(GraphData(x=rng.normal(size=(n, 5)).astype(np.float32),
+                                edge_index=ei.astype(np.int64),
+                                y=np.zeros(3, np.float32)))
+    bs = 16
+    buckets = bucketed_budgets(graphs, bs, num_buckets=3)
+    assert 1 < len(buckets) <= 3
+    assert all(b.num_nodes <= buckets[-1].num_nodes for b in buckets)
+
+    batches = list(iter_batches(graphs, bs, buckets, shuffle=True,
+                                rng=np.random.default_rng(0)))
+    shapes = {b.node_feat.shape for b in batches}
+    assert len(shapes) <= 3
+    # Every graph exactly once.
+    assert sum(int(b.graph_mask.sum()) for b in batches) == len(graphs)
+    for b in batches:
+        assert int(b.node_mask.sum()) == sum(
+            int(n) for n in b.n_node[np.asarray(b.graph_mask)])
+
+    single = PadBudget.for_dataset(graphs, bs)
+    padded_bucketed = sum(b.node_feat.shape[0] for b in batches)
+    batches_single = list(iter_batches(graphs, bs, single, shuffle=True,
+                                       rng=np.random.default_rng(0)))
+    padded_single = sum(b.node_feat.shape[0] for b in batches_single)
+    assert padded_bucketed < padded_single
