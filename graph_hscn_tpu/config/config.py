@@ -129,6 +129,16 @@ class PEConfig:
     # end-to-end instead.
     trainable: bool = False
 
+    def __post_init__(self):
+        # Reference signnet.py:298-299 / :305-306.
+        _check(self.model in ("MLP", "DeepSet"),
+               f"Unexpected SignNet model {self.model}")
+        _check(self.post_layers >= 1,
+               "Num layers in rho model has to be positive.")
+        _check(self.dim_emb - self.dim_pe >= 1,
+               f"SignNet PE size {self.dim_pe} is too large for desired "
+               f"embedding size of {self.dim_emb}.")
+
 
 @dataclasses.dataclass
 class TrainingConfig:

@@ -35,5 +35,5 @@ def wrap_with_signnet(core: nn.Module, pe_cfg, num_features: int
         phi_hidden_dim=pe_cfg.phi_hidden_dim,
         phi_out_dim=pe_cfg.phi_out_dim,
         sign_inv_layers=pe_cfg.layers, rho_layers=pe_cfg.post_layers,
-        max_freqs=pe_cfg.eigen_max_freqs)
+        max_freqs=pe_cfg.eigen_max_freqs, model_type=pe_cfg.model)
     return EncodedModel(encoder=enc, core=core)

@@ -53,7 +53,15 @@ class _GINLayer(nn.Module):
 
 
 class SignNetNodeEncoder(nn.Module):
-    """Full encoder: phi(+/-v) GIN, masked sum over K, rho MLP, concat."""
+    """Full encoder: phi(+/-v) GIN, K-aggregation, rho MLP, concat.
+
+    ``model_type`` selects the reference's two sign-invariant nets
+    (signnet.py:290-340):
+      "DeepSet" (default, PE_MODEL) -> MaskedGINDeepSigns: zero out
+        frequencies k >= n_nodes(graph), SUM over K (signnet.py:216-287).
+      "MLP" -> GINDeepSigns: CONCAT over all K frequencies, rho takes
+        K * phi_out_dim inputs (signnet.py:164-213).
+    """
 
     dim_in: int
     dim_emb: int
@@ -64,6 +72,7 @@ class SignNetNodeEncoder(nn.Module):
     rho_layers: int = 1
     max_freqs: int = 10
     expand_x: bool = True
+    model_type: str = "DeepSet"
 
     @nn.compact
     def __call__(self, batch: GraphBatch, train: bool = False):
@@ -96,13 +105,17 @@ class SignNetNodeEncoder(nn.Module):
         h = phi(x) + phi(-x)                          # [K, N, out]
         h = jnp.transpose(h, (1, 0, 2))               # [N, K, out]
 
-        # Mask frequencies beyond each graph's node count
-        # (reference MaskedGINDeepSigns.batched_n_nodes, signnet.py:243-259).
-        n_per_node = batch.n_node[batch.node_graph]   # [N]
-        freq_ids = jnp.arange(K)[None, :]
-        mask = freq_ids < n_per_node[:, None]         # [N, K]
-        h = jnp.where(mask[:, :, None], h, 0.0)
-        h = jnp.sum(h, axis=1)                        # [N, out]
+        if self.model_type == "MLP":
+            # GINDeepSigns: concat over K (signnet.py:205-212).
+            h = h.reshape(h.shape[0], -1)             # [N, K*out]
+        else:
+            # Mask frequencies beyond each graph's node count (reference
+            # MaskedGINDeepSigns.batched_n_nodes, signnet.py:243-259).
+            n_per_node = batch.n_node[batch.node_graph]   # [N]
+            freq_ids = jnp.arange(K)[None, :]
+            mask = freq_ids < n_per_node[:, None]         # [N, K]
+            h = jnp.where(mask[:, :, None], h, 0.0)
+            h = jnp.sum(h, axis=1)                        # [N, out]
 
         # rho MLP -> dim_pe.
         for _ in range(max(self.rho_layers - 1, 0)):

@@ -126,7 +126,8 @@ def attach_posenc(dm, pe_cfg, logger, frozen_random: bool = True,
         dim_in=dm.num_features, dim_emb=pe_cfg.dim_emb,
         dim_pe=pe_cfg.dim_pe, phi_hidden_dim=pe_cfg.phi_hidden_dim,
         phi_out_dim=pe_cfg.phi_out_dim, sign_inv_layers=pe_cfg.layers,
-        rho_layers=pe_cfg.post_layers, max_freqs=pe_cfg.eigen_max_freqs)
+        rho_layers=pe_cfg.post_layers, max_freqs=pe_cfg.eigen_max_freqs,
+        model_type=pe_cfg.model)
     example = dm.example_batch()
     params = enc.init(jax.random.PRNGKey(seed), example)["params"]
     apply = jax.jit(lambda b: enc.apply({"params": params}, b))

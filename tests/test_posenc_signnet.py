@@ -100,3 +100,27 @@ def test_frozen_random_transform():
     for g in dm.graphs:
         assert g.x.shape[1] == 16
         assert np.isfinite(g.x).all()
+
+
+def test_signnet_mlp_variant_sign_invariance():
+    """GINDeepSigns ("MLP" model_type): concat over K, still
+    sign-invariant, and its rho consumes K*phi_out_dim inputs."""
+    dm, batch = _pe_batch()
+    enc = SignNetNodeEncoder(dim_in=dm.num_features, dim_emb=16, dim_pe=4,
+                             max_freqs=10, phi_out_dim=3,
+                             model_type="MLP")
+    params = enc.init(jax.random.PRNGKey(0), batch)
+    out1 = enc.apply(params, batch)
+    out2 = enc.apply(params, batch.replace(eigvecs=-batch.eigvecs))
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                               rtol=1e-5, atol=1e-5)
+    assert out1.shape == (batch.num_nodes_padded, 16)
+    # rho input width = K * phi_out_dim (reference signnet.py:189).
+    rho_kernel = params["params"]["Dense_0"]["kernel"]
+    assert rho_kernel.shape[0] == 10 * 3
+    # Differs from the DeepSet aggregation with the same seed.
+    enc_ds = SignNetNodeEncoder(dim_in=dm.num_features, dim_emb=16,
+                                dim_pe=4, max_freqs=10, phi_out_dim=3)
+    params_ds = enc_ds.init(jax.random.PRNGKey(0), batch)
+    out_ds = enc_ds.apply(params_ds, batch)
+    assert not np.allclose(np.asarray(out1), np.asarray(out_ds))
