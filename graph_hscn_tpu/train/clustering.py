@@ -56,10 +56,12 @@ def train_clustering(logger, dm: DataModule, scn: SCN, hscn_cfg, optim_cfg,
         for batch in dm.train_batches(epoch_seed=seed + epoch):
             params, opt_state, loss = step(params, opt_state, batch)
             losses.append(loss)
+        mean_loss = float(np.mean([np.asarray(l) for l in losses]))
         logger.info(
-            f"Clustering epoch {epoch}: loss="
-            f"{float(np.mean([np.asarray(l) for l in losses])):.4f} "
+            f"Clustering epoch {epoch}: loss={mean_loss:.4f} "
             f"({time.time() - t0:.2f}s)")
+        # Reference logs cluster_loss to wandb (train_clustering.py:52-53).
+        logger.wandb_log({"cluster_loss": mean_loss})
 
     # Inference over the full dataset in dataset order.
     logger.info("Generating cluster assignments...")
@@ -134,9 +136,10 @@ def train_clustering_device(logger, ds, batch_size: int, scn, hscn_cfg,
         t0 = time.time()
         perm = jnp.asarray(epoch_permutation(NG, batch_size, seed + ep))
         params, opt_state, losses = epoch(params, opt_state, ds, perm)
-        logger.info(f"Clustering epoch {ep}: loss="
-                    f"{float(jnp.mean(losses)):.4f} "
+        mean_loss = float(jnp.mean(losses))
+        logger.info(f"Clustering epoch {ep}: loss={mean_loss:.4f} "
                     f"({time.time() - t0:.2f}s)")
+        logger.wandb_log({"cluster_loss": mean_loss})
 
     order = epoch_permutation(NG, batch_size, 0, shuffle=False)
     preds = infer_all(params, ds, jnp.asarray(order))   # [NB, B, slot]

@@ -143,6 +143,18 @@ class FitResult:
     epochs_run: int
 
 
+def _maybe_resume(state, checkpointer, logger):
+    """Auto-resume from the latest resumable snapshot if one exists
+    (params + opt state + step + rng; SURVEY §5 plan: resumable
+    checkpoints — the reference never saves anything)."""
+    if checkpointer is None or not checkpointer.has("latest"):
+        return state, 0
+    state, meta = checkpointer.restore("latest", state)
+    start_epoch = int(meta.get("epoch", -1)) + 1
+    logger.info(f"Resumed from latest checkpoint (epoch {start_epoch}).")
+    return state, start_epoch
+
+
 def fit_device(model, graphs_train, graphs_val, graphs_test, batch_size,
                optim_cfg, training_cfg, logger,
                node_level: bool = False,
@@ -213,6 +225,7 @@ def fit_on_device_dataset(model, ds, split_ids: dict, batch_size,
     from graph_hscn_tpu.train.device_data import assemble
     example = jax.jit(assemble)(ds, jnp.asarray(va_perm[0]))
     state = init_state(model, tx, example, seed=training_cfg.seed)
+    state, start_epoch = _maybe_resume(state, checkpointer, logger)
 
     def _collect(outs):
         loss, score, true, mask = outs
@@ -226,12 +239,12 @@ def fit_on_device_dataset(model, ds, split_ids: dict, batch_size,
     num_improvement = 0
     history = []
     stopped = False
-    epochs_run = 0
+    epochs_run = start_epoch
     epoch_edges = train_edges
 
     from graph_hscn_tpu.utils.profiling import trace
     with trace(profile_dir):
-      for epoch in range(training_cfg.epochs):
+      for epoch in range(start_epoch, training_cfg.epochs):
         t0 = time.time()
         perm = split_perm("train", training_cfg.seed + epoch, True)
         state, outs = train_epoch_fn(state, ds, jnp.asarray(perm))
@@ -268,6 +281,10 @@ def fit_on_device_dataset(model, ds, split_ids: dict, batch_size,
                         stopped = True
             if stopped:
                 break
+            if (checkpointer is not None and training_cfg.checkpoint_every
+                    and (epoch // training_cfg.eval_period)
+                    % training_cfg.checkpoint_every == 0):
+                checkpointer.save_latest(state, epoch)
 
     return FitResult(state=state, best_val_loss=best_loss, history=history,
                      stopped_early=stopped, epochs_run=epochs_run)
@@ -291,6 +308,7 @@ def fit(model, train_batches_fn: Callable[[], Iterable[GraphBatch]],
     if shard_batch is not None:
         example_batch = shard_batch(example_batch)
     state = init_state(model, tx, example_batch, seed=training_cfg.seed)
+    state, start_epoch = _maybe_resume(state, checkpointer, logger)
     train_step, eval_step = make_train_step(
         model, tx, training_cfg.loss_fn, node_level=node_level,
         compat_sigmoid_score=compat_sigmoid_score)
@@ -299,7 +317,7 @@ def fit(model, train_batches_fn: Callable[[], Iterable[GraphBatch]],
     num_improvement = 0
     history = []
     stopped = False
-    epochs_run = 0
+    epochs_run = start_epoch
 
     def _feed(batches):
         if shard_batch is not None:
@@ -309,7 +327,7 @@ def fit(model, train_batches_fn: Callable[[], Iterable[GraphBatch]],
         # than jit-arg transfer, so it is opt-in.
         return device_prefetch(batches) if prefetch else batches
 
-    for epoch in range(training_cfg.epochs):
+    for epoch in range(start_epoch, training_cfg.epochs):
         t0 = time.time()
         losses, scores, trues, masks = [], [], [], []
         for batch in _feed(train_batches_fn()):

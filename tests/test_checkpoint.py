@@ -48,3 +48,42 @@ def test_checkpoint_roundtrip(tmp_path):
     a = jax.tree_util.tree_leaves(fresh.params)[0]
     b = jax.tree_util.tree_leaves(restored.params)[0]
     assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_auto_resume_from_latest(tmp_path):
+    """fit with a checkpointer resumes from the latest snapshot: a second
+    fit call with the same checkpoint_dir starts past the saved epoch and
+    continues with the restored optimizer state."""
+    from graph_hscn_tpu.config.config import (DataConfig, MPNNConfig,
+                                              OptimConfig, TrainingConfig)
+    from graph_hscn_tpu.data.pipeline import DataModule
+    from graph_hscn_tpu.models.mpnn import build_mpnn
+    from graph_hscn_tpu.train.checkpoint import Checkpointer
+    from graph_hscn_tpu.train.loop import fit
+    from graph_hscn_tpu.utils.logger import Logger
+
+    dm = DataModule.from_config(DataConfig(dataset_name="peptides_func",
+                                           batch_size=8, num_graphs=24))
+    model = build_mpnn(MPNNConfig(conv_type="gcn", activation="relu",
+                                  hidden_channels=8, num_layers=2,
+                                  dropout=0.0), dm.num_features,
+                       dm.num_classes)
+    optim_cfg = OptimConfig(optim_type="adamW", lr=0.005,
+                            weight_decay=5e-4)
+    tcfg = dict(model_type="gcn", loss_fn="cross_entropy", metric="ap",
+                eval_period=2, min_delta=0.0, patience=50,
+                checkpoint_every=1)
+    ck = Checkpointer(tmp_path)
+    r1 = fit(model, lambda: dm.train_batches(), dm.eval_batches("val"),
+             dm.eval_batches("test"), optim_cfg,
+             TrainingConfig(epochs=4, **tcfg), Logger(metric_name="ap"),
+             checkpointer=ck)
+    assert ck.has("latest")
+    r2 = fit(model, lambda: dm.train_batches(), dm.eval_batches("val"),
+             dm.eval_batches("test"), optim_cfg,
+             TrainingConfig(epochs=6, **tcfg), Logger(metric_name="ap"),
+             checkpointer=Checkpointer(tmp_path))
+    resumed_epochs = [h["epoch"] for h in r2.history]
+    # Resumed run must not repeat epoch 0.
+    assert min(resumed_epochs) > 0
+    assert r2.epochs_run == 6

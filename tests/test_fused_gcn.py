@@ -46,7 +46,7 @@ def setup():
 
 def test_fused_forward_matches_reference(setup):
     x, adj, params = setup
-    out = fused_gcn_stack(x, adj, params, True)
+    out = fused_gcn_stack(x, adj, params, None, 0.0, True)
     ref = _ref_stack(x, adj, params)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
@@ -59,7 +59,7 @@ def test_fused_backward_matches_reference(setup):
         .astype(np.float32))
 
     def f_fused(x, params):
-        return jnp.vdot(fused_gcn_stack(x, adj, params, True), g)
+        return jnp.vdot(fused_gcn_stack(x, adj, params, None, 0.0, True), g)
 
     def f_ref(x, params):
         return jnp.vdot(_ref_stack(x, adj, params), g)
