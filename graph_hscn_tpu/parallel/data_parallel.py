@@ -38,12 +38,17 @@ def stack_device_batches(device_batches: list[GraphBatch]) -> GraphBatch:
 def pack_for_devices(graphs: list[GraphData], num_devices: int,
                      budget: PadBudget) -> GraphBatch:
     """Round-robin graphs across devices, pack one sub-batch per device with
-    the *same* per-device budget, stack along a leading device axis."""
+    the *same* per-device budget, stack along a leading device axis.
+    Node-count load balancing, capped at the budget's graph capacity."""
+    cap = budget.num_graphs - 1
     shards: list[list[GraphData]] = [[] for _ in range(num_devices)]
     order = np.argsort([-g.num_nodes for g in graphs])  # big-first balance
     loads = np.zeros(num_devices)
     for i in order:
-        d = int(np.argmin(loads))
+        open_devs = [d for d in range(num_devices) if len(shards[d]) < cap]
+        assert open_devs, (f"{len(graphs)} graphs exceed capacity "
+                           f"{cap} * {num_devices} devices")
+        d = min(open_devs, key=lambda d: loads[d])
         shards[d].append(graphs[int(i)])
         loads[d] += graphs[int(i)].num_nodes
     batches = [pack_batch(s, budget) if s else _empty_batch(graphs[0], budget)
@@ -145,3 +150,146 @@ def shard_stacked_batch(batch: GraphBatch, mesh: Mesh, axis: str = "data"
     sharding = NamedSharding(mesh, P(axis))
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch)
+
+
+def make_dp_eval_step(model, loss_fn: str, mesh: Mesh,
+                      node_level: bool = False,
+                      compat_sigmoid_score: bool = False,
+                      axis: str = "data") -> Callable:
+    """Psum-reduced DP eval step (loss via the shared criterion; scores
+    gathered per device for host-side metric computation)."""
+    from graph_hscn_tpu.train.loss import criterion
+
+    def per_device(params, batch: GraphBatch):
+        batch = jax.tree_util.tree_map(lambda x: x[0], batch)
+        pred = model.apply({"params": params}, batch, train=False)
+        if node_level:
+            true, mask = batch.node_y, batch.node_mask
+        else:
+            true, mask = batch.y, batch.graph_mask
+        loss, score = criterion(loss_fn, pred, true, mask,
+                                compat_sigmoid_score=compat_sigmoid_score)
+        cnt = jnp.maximum(jnp.sum(mask.astype(jnp.float32)), 0.0)
+        num = jax.lax.psum(loss * cnt, axis)
+        den = jnp.maximum(jax.lax.psum(cnt, axis), 1.0)
+        return num / den, score[None], true[None], mask[None]
+
+    return jax.jit(jax.shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=(P(), P(axis), P(axis), P(axis)),
+        check_vma=False,
+    ))
+
+
+def fit_dp(model, dm, mesh: Mesh, optim_cfg, training_cfg, logger,
+           node_level: bool = False, compat_sigmoid_score: bool = False,
+           checkpointer=None, axis: str = "data"):
+    """Data-parallel training from the CLI (runner wires cfg.mesh here):
+    same eval cadence / early-stop / checkpoint semantics as train.loop.fit
+    but each step is one psum-reduced shard_map program over the mesh.
+
+    Each global batch is ``batch_size`` graphs, load-balanced across the
+    mesh's devices (pack_for_devices) with a per-device budget."""
+    import time
+
+    from graph_hscn_tpu.train.loop import (FitResult, _epoch_metrics,
+                                           _maybe_resume, init_state,
+                                           is_eval_epoch)
+    from graph_hscn_tpu.train.metrics import METRICS
+    from graph_hscn_tpu.train.optimizers import build_optimizer
+
+    D = int(np.prod(mesh.devices.shape))
+    per_dev = max(1, -(-dm.batch_size // D))      # ceil(batch / D)
+    budget = PadBudget.for_dataset(dm.graphs, per_dev)
+
+    def batches(split: str, shuffle: bool, seed: int):
+        graphs = dm.split(split)
+        idx = np.arange(len(graphs))
+        if shuffle:
+            np.random.default_rng(seed).shuffle(idx)
+        for i in range(0, len(idx), dm.batch_size):
+            chunk = [graphs[int(j)] for j in idx[i:i + dm.batch_size]]
+            yield shard_stacked_batch(
+                pack_for_devices(chunk, D, budget), mesh, axis)
+
+    tx = build_optimizer(optim_cfg.optim_type, optim_cfg.lr,
+                         optim_cfg.weight_decay,
+                         optim_cfg.batch_accumulation,
+                         optim_cfg.clip_grad_norm)
+    metric_fn = METRICS[training_cfg.metric]
+    example = jax.tree_util.tree_map(
+        lambda x: x[0], next(batches("train", False, 0)))
+    state = init_state(model, tx, example, seed=training_cfg.seed)
+    state, start_epoch = _maybe_resume(state, checkpointer, logger)
+    train_step = make_dp_train_step(model, tx, training_cfg.loss_fn, mesh,
+                                    node_level=node_level, axis=axis)
+    eval_step = make_dp_eval_step(
+        model, training_cfg.loss_fn, mesh, node_level=node_level,
+        compat_sigmoid_score=compat_sigmoid_score, axis=axis)
+
+    def flatten(x):
+        # [D, ...] device axis folded back into the batch axis.
+        return np.asarray(x).reshape(-1, *np.asarray(x).shape[2:])
+
+    best_loss = float("inf")
+    num_improvement = 0
+    history = []
+    stopped = False
+    epochs_run = start_epoch
+    for epoch in range(start_epoch, training_cfg.epochs):
+        t0 = time.time()
+        losses, scores, trues, masks = [], [], [], []
+        for batch in batches("train", True, training_cfg.seed + epoch):
+            state, loss, score, true, mask = train_step(state, batch)
+            losses.append(loss)
+            scores.append(flatten(score))
+            trues.append(flatten(true))
+            masks.append(flatten(mask))
+        train_loss, train_perf = _epoch_metrics(
+            scores, trues, masks, losses, metric_fn, node_level)
+        logger.log_train(epoch, train_loss, train_perf, t0)
+        history.append({"epoch": epoch, "train_loss": train_loss,
+                        "train_perf": train_perf})
+        epochs_run = epoch + 1
+
+        if is_eval_epoch(epoch, training_cfg.epochs,
+                         training_cfg.eval_period):
+            for split_name, label in (("val", "Validation"),
+                                      ("test", "Test")):
+                losses, scores, trues, masks = [], [], [], []
+                for batch in batches(split_name, False, 0):
+                    loss, score, true, mask = eval_step(state.params, batch)
+                    losses.append(loss)
+                    scores.append(flatten(score))
+                    trues.append(flatten(true))
+                    masks.append(flatten(mask))
+                ev_loss, ev_perf = _epoch_metrics(
+                    scores, trues, masks, losses, metric_fn, node_level)
+                logger.log_eval(ev_loss, ev_perf, label)
+                history[-1][f"{label.lower()}_loss"] = ev_loss
+                history[-1][f"{label.lower()}_perf"] = ev_perf
+                if label == "Validation":
+                    if ev_loss < best_loss - training_cfg.min_delta:
+                        best_loss = ev_loss
+                        num_improvement = 0
+                        if checkpointer is not None:
+                            checkpointer.save_best(state, epoch, ev_loss)
+                    else:
+                        num_improvement += 1
+                    if (num_improvement >= training_cfg.patience
+                            and epoch != training_cfg.epochs - 1):
+                        logger.info(
+                            f"No improvement by {training_cfg.min_delta} "
+                            f"for more than {training_cfg.patience} eval "
+                            "periods, stopping early.")
+                        stopped = True
+            if stopped:
+                break
+            if (checkpointer is not None and training_cfg.checkpoint_every
+                    and (epoch // training_cfg.eval_period)
+                    % training_cfg.checkpoint_every == 0):
+                checkpointer.save_latest(state, epoch)
+
+    return FitResult(state=state, best_val_loss=best_loss, history=history,
+                     stopped_early=stopped, epochs_run=epochs_run)

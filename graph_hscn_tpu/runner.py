@@ -89,6 +89,29 @@ def run_experiment(cfg: ExperimentConfig, log_file=None) -> FitResult:
         from graph_hscn_tpu.train.checkpoint import Checkpointer
         checkpointer = Checkpointer(cfg.training.checkpoint_dir)
 
+    import numpy as _np
+    mesh_size = int(_np.prod(list(cfg.mesh.shape)))
+    if mesh_size > 1:
+        # Data-parallel SPMD over the configured mesh (SURVEY §2.4 DP row):
+        # psum-reduced shard_map steps, update identical to single-device.
+        from graph_hscn_tpu.parallel.data_parallel import fit_dp
+        from graph_hscn_tpu.parallel.mesh import make_mesh
+        if len(jax.devices()) < mesh_size:
+            raise ValueError(
+                f"mesh.shape={list(cfg.mesh.shape)} needs {mesh_size} "
+                f"devices, have {len(jax.devices())}")
+        mesh = make_mesh(tuple(cfg.mesh.axes), tuple(cfg.mesh.shape),
+                         devices=jax.devices()[:mesh_size])
+        logger.info(f"Data-parallel training over {mesh_size} devices "
+                    f"(mesh axes {list(cfg.mesh.axes)}).")
+        result = fit_dp(model, dm, mesh, cfg.optim, cfg.training, logger,
+                        node_level=node_level,
+                        compat_sigmoid_score=(
+                            cfg.compat.sigmoid_regression_score),
+                        checkpointer=checkpointer)
+        logger.finish()
+        return result
+
     if _use_device_dataset(cfg, dm):
         from graph_hscn_tpu.train.loop import fit_device
         logger.info("Device-resident dataset path on "

@@ -83,3 +83,26 @@ def test_runner_gatedgcn_small(tmp_path):
     cfg.training.eval_period = 2
     result = run_experiment(cfg, log_file=tmp_path / "g.log")
     assert np.isfinite(result.history[-1]["train_loss"])
+
+
+def test_runner_data_parallel_mesh(tmp_path):
+    """mesh.shape > 1 routes the runner through fit_dp (psum shard_map
+    steps) on the 8 virtual CPU devices; training runs and evals."""
+    raw = {
+        "data": {"dataset_name": "peptides_func", "batch_size": 16,
+                 "num_graphs": 48},
+        "mp": {"conv_type": "gcn", "activation": "relu",
+               "hidden_channels": 8, "num_layers": 2, "dropout": 0.0},
+        "optim": {"optim_type": "adamW", "lr": 0.01,
+                  "weight_decay": 5e-4},
+        "training": {"model_type": "gcn", "use_wandb": False,
+                     "loss_fn": "cross_entropy", "metric": "ap",
+                     "max_epochs": 3, "eval_period": 2, "min_delta": 0.0,
+                     "patience": 50},
+        "mesh": {"axes": ["data"], "shape": [8]},
+    }
+    cfg = parse_config(raw)
+    result = run_experiment(cfg)
+    assert result.epochs_run == 3
+    assert "validation_loss" in result.history[-1]
+    assert np.isfinite(result.history[-1]["train_loss"])
