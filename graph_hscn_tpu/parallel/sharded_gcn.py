@@ -152,3 +152,119 @@ def shard_node_blocks(mesh: Mesh, num_devices: int, *arrays,
         nb = n // num_devices
         out.append(a.reshape(num_devices, nb, *a.shape[1:]))
     return shard_arrays(mesh, *out, axis=axis)
+
+
+def fit_edge_partitioned(dm, mesh: Mesh, mpnn_cfg, optim_cfg, training_cfg,
+                         logger, checkpointer=None, axis: str = "data"):
+    """CLI-reachable edge-partitioned training (mesh.edge_partition: true):
+    each split is packed into ONE padded batch whose node blocks shard
+    across the mesh — full-batch gradient descent per epoch, the standard
+    regime for giant-graph node classification.  Same eval cadence /
+    early-stop semantics as train.loop.fit.  Node-level softmax CE only
+    (the sharded GCN's loss, per_device_value_grad above)."""
+    import time
+
+    from graph_hscn_tpu.data.batching import PadBudget, pack_batch
+    from graph_hscn_tpu.parallel.edge_partition import plan_halo_exchange
+    from graph_hscn_tpu.train.loop import FitResult, is_eval_epoch
+    from graph_hscn_tpu.train.metrics import METRICS
+
+    assert training_cfg.loss_fn in ("cross_entropy",), (
+        "edge-partitioned path supports node-level cross entropy")
+    D = int(np.prod(mesh.devices.shape))
+    metric_fn = METRICS[training_cfg.metric]
+
+    def packed(split):
+        graphs = dm.split(split)
+        budget = PadBudget.for_dataset(graphs, batch_size=len(graphs),
+                                       node_multiple=D * 8)
+        b = pack_batch(graphs, budget)
+        n = b.num_nodes_padded
+        plan_np = plan_halo_exchange(np.asarray(b.senders),
+                                     np.asarray(b.receivers),
+                                     np.asarray(b.edge_mask), n, D)
+        plan = {k: jnp.asarray(v) for k, v in plan_np.items()
+                if k not in ("block_size", "halo_width")}
+        node_ok = np.asarray(b.node_mask)
+        xb, yb, okb = shard_node_blocks(mesh, D, np.asarray(b.node_feat),
+                                        np.asarray(b.node_y), node_ok)
+        return b, plan, xb, yb, okb
+
+    splits = {name: packed(name) for name in ("train", "val", "test")}
+    dims = ([dm.num_features]
+            + [mpnn_cfg.hidden_channels] * (mpnn_cfg.num_layers - 1)
+            + [dm.num_classes])
+    params = init_sharded_gcn_params(
+        jax.random.PRNGKey(training_cfg.seed), dims)
+    forward, value_and_grad = make_sharded_gcn(
+        mesh, num_layers=len(dims) - 1, axis=axis)
+    tx = build_optimizer_for_ep(optim_cfg)
+    opt_state = tx.init(params)
+    apply_updates = jax.jit(
+        lambda p, o, g: _apply(tx, p, o, g))
+
+    def evaluate(split):
+        b, plan, xb, yb, okb = splits[split]
+        logits = np.asarray(forward(params, xb, plan)).reshape(
+            b.num_nodes_padded, -1)
+        mask = np.asarray(b.node_mask)
+        y = np.asarray(b.node_y)
+        logp = jax.nn.log_softmax(jnp.asarray(logits[mask]), axis=-1)
+        loss = float(-jnp.mean(jnp.sum(jnp.asarray(y[mask]) * logp, -1)))
+        return loss, metric_fn(y[mask], logits[mask])
+
+    best_loss = float("inf")
+    num_improvement = 0
+    history = []
+    stopped = False
+    epochs_run = 0
+    b_tr, plan_tr, xb, yb, okb = splits["train"]
+    for epoch in range(training_cfg.epochs):
+        t0 = time.time()
+        loss, grads = value_and_grad(params, xb, plan_tr, yb, okb)
+        params, opt_state = apply_updates(params, opt_state, grads)
+        train_loss = float(loss)
+        eval_now = is_eval_epoch(epoch, training_cfg.epochs,
+                                 training_cfg.eval_period)
+        # Train metric needs a forward pass; compute it at eval epochs only.
+        train_perf = evaluate("train")[1] if eval_now else float("nan")
+        logger.log_train(epoch, train_loss, train_perf, t0,
+                         num_edges=int(np.asarray(b_tr.edge_mask).sum()))
+        history.append({"epoch": epoch, "train_loss": train_loss})
+        epochs_run = epoch + 1
+        if is_eval_epoch(epoch, training_cfg.epochs,
+                         training_cfg.eval_period):
+            for split, label in (("val", "Validation"), ("test", "Test")):
+                ev_loss, ev_perf = evaluate(split)
+                logger.log_eval(ev_loss, ev_perf, label)
+                history[-1][f"{label.lower()}_loss"] = ev_loss
+                history[-1][f"{label.lower()}_perf"] = ev_perf
+                if split == "val":
+                    if ev_loss < best_loss - training_cfg.min_delta:
+                        best_loss = ev_loss
+                        num_improvement = 0
+                    else:
+                        num_improvement += 1
+                    if (num_improvement >= training_cfg.patience
+                            and epoch != training_cfg.epochs - 1):
+                        logger.info("No improvement, stopping early.")
+                        stopped = True
+            if stopped:
+                break
+    return FitResult(state=params, best_val_loss=best_loss,
+                     history=history, stopped_early=stopped,
+                     epochs_run=epochs_run)
+
+
+def build_optimizer_for_ep(optim_cfg):
+    from graph_hscn_tpu.train.optimizers import build_optimizer
+    return build_optimizer(optim_cfg.optim_type, optim_cfg.lr,
+                           optim_cfg.weight_decay,
+                           optim_cfg.batch_accumulation,
+                           optim_cfg.clip_grad_norm)
+
+
+def _apply(tx, params, opt_state, grads):
+    import optax
+    updates, opt_state = tx.update(grads, opt_state, params)
+    return optax.apply_updates(params, updates), opt_state

@@ -102,6 +102,20 @@ def run_experiment(cfg: ExperimentConfig, log_file=None) -> FitResult:
                 f"devices, have {len(jax.devices())}")
         mesh = make_mesh(tuple(cfg.mesh.axes), tuple(cfg.mesh.shape),
                          devices=jax.devices()[:mesh_size])
+        if cfg.mesh.edge_partition:
+            # TP/SP-analog: node blocks sharded, per-layer halo exchange.
+            from graph_hscn_tpu.parallel.sharded_gcn import \
+                fit_edge_partitioned
+            if not node_level:
+                raise ValueError("mesh.edge_partition targets node-level "
+                                 "tasks (giant-graph full-batch training)")
+            logger.info(f"Edge-partitioned training over {mesh_size} "
+                        "devices (halo-exchange sharded GCN).")
+            result = fit_edge_partitioned(dm, mesh, cfg.mpnn, cfg.optim,
+                                          cfg.training, logger,
+                                          checkpointer=checkpointer)
+            logger.finish()
+            return result
         logger.info(f"Data-parallel training over {mesh_size} devices "
                     f"(mesh axes {list(cfg.mesh.axes)}).")
         result = fit_dp(model, dm, mesh, cfg.optim, cfg.training, logger,

@@ -106,3 +106,26 @@ def test_runner_data_parallel_mesh(tmp_path):
     assert result.epochs_run == 3
     assert "validation_loss" in result.history[-1]
     assert np.isfinite(result.history[-1]["train_loss"])
+
+
+def test_runner_edge_partitioned_mesh():
+    """mesh.edge_partition routes node-level configs through the
+    halo-exchange sharded GCN (full-batch per epoch)."""
+    raw = {
+        "data": {"dataset_name": "voc_superpixels", "batch_size": 4,
+                 "num_graphs": 12},
+        "mp": {"conv_type": "gcn", "activation": "relu",
+               "hidden_channels": 8, "num_layers": 2, "dropout": 0.0},
+        "optim": {"optim_type": "adamW", "lr": 0.01,
+                  "weight_decay": 5e-4},
+        "training": {"model_type": "gcn", "use_wandb": False,
+                     "loss_fn": "cross_entropy", "metric": "f1",
+                     "max_epochs": 3, "eval_period": 2, "min_delta": 0.0,
+                     "patience": 50},
+        "mesh": {"axes": ["data"], "shape": [8], "edge_partition": True},
+    }
+    cfg = parse_config(raw)
+    result = run_experiment(cfg)
+    assert result.epochs_run == 3
+    assert np.isfinite(result.history[-1]["train_loss"])
+    assert "validation_perf" in result.history[-1]
