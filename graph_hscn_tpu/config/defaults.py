@@ -55,4 +55,5 @@ DENSE_PATH_MAX_NODES = 512     # use dense MXU path when graphs fit
 
 # Mesh / parallelism
 MESH_AXES = ("data",)
-MESH_SHAPE = (-1,)             # -1 = all devices on that axis
+MESH_SHAPE = (1,)              # single device; set [N] or [-1] (= all
+                               # devices) in the config to turn on DP

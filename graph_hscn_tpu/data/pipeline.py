@@ -80,7 +80,14 @@ class DataModule:
     def train_batches(self, epoch_seed: int | None = None
                       ) -> Iterator[GraphBatch]:
         seed = self.seed if epoch_seed is None else epoch_seed
-        if self.num_workers > 0:
+        if self.num_workers > 0 and len(self._budgets()) > 1:
+            # PrefetchLoader packs against one budget; fall back to the
+            # inline path rather than silently dropping the buckets.
+            import warnings
+            warnings.warn("num_workers > 0 is ignored with num_buckets > 1"
+                          " (background packing is single-budget); using"
+                          " inline bucketed packing.", stacklevel=2)
+        elif self.num_workers > 0:
             # The analog of the reference DataLoader's num_workers
             # (loader.py:57-58): background packing via the native batcher.
             from graph_hscn_tpu.data.loader import PrefetchLoader

@@ -36,10 +36,13 @@ def stack_device_batches(device_batches: list[GraphBatch]) -> GraphBatch:
 
 
 def pack_for_devices(graphs: list[GraphData], num_devices: int,
-                     budget: PadBudget) -> GraphBatch:
+                     budget: PadBudget, slot_nodes: int | None = None,
+                     with_spmm_plan: bool = False) -> GraphBatch:
     """Round-robin graphs across devices, pack one sub-batch per device with
     the *same* per-device budget, stack along a leading device axis.
-    Node-count load balancing, capped at the budget's graph capacity."""
+    Node-count load balancing, capped at the budget's graph capacity.
+    ``slot_nodes``/``with_spmm_plan`` flow into pack_batch so the dense
+    slotted and Pallas-plan execution paths work under DP too."""
     cap = budget.num_graphs - 1
     shards: list[list[GraphData]] = [[] for _ in range(num_devices)]
     order = np.argsort([-g.num_nodes for g in graphs])  # big-first balance
@@ -51,24 +54,37 @@ def pack_for_devices(graphs: list[GraphData], num_devices: int,
         d = min(open_devs, key=lambda d: loads[d])
         shards[d].append(graphs[int(i)])
         loads[d] += graphs[int(i)].num_nodes
-    batches = [pack_batch(s, budget) if s else _empty_batch(graphs[0], budget)
+    kw = dict(slot_nodes=slot_nodes, with_spmm_plan=with_spmm_plan)
+    batches = [pack_batch(s, budget, **kw) if s
+               else _empty_batch(graphs[0], budget, **kw)
                for s in shards]
     return stack_device_batches(batches)
 
 
-def _empty_batch(proto: GraphData, budget: PadBudget) -> GraphBatch:
+def _empty_batch(proto: GraphData, budget: PadBudget,
+                 slot_nodes: int | None = None,
+                 with_spmm_plan: bool = False) -> GraphBatch:
+    def node_field(name):
+        v = getattr(proto, name)
+        return None if v is None else np.zeros((1, v.shape[1]), np.float32)
+
     tiny = GraphData(
-        x=np.zeros((1, proto.x.shape[1]), np.float32),
+        x=node_field("x"),
         edge_index=np.zeros((2, 0), np.int64),
         y=None if proto.y is None else np.zeros_like(np.asarray(proto.y)),
         edge_attr=(None if proto.edge_attr is None
                    else np.zeros((0, proto.edge_attr.shape[1]), np.float32)),
-        node_y=(None if proto.node_y is None
-                else np.zeros((1, proto.node_y.shape[1]), np.float32)),
+        edge_weight=(None if proto.edge_weight is None
+                     else np.zeros((0,), np.float32)),
+        node_y=node_field("node_y"),
+        node_pe=node_field("node_pe"),
+        eigvals=node_field("eigvals"),
+        eigvecs=node_field("eigvecs"),
         cluster=(None if proto.cluster is None
                  else np.zeros((1,), np.int32)),
     )
-    b = pack_batch([tiny], budget)
+    b = pack_batch([tiny], budget, slot_nodes=slot_nodes,
+                   with_spmm_plan=with_spmm_plan)
     # Mark the lone placeholder graph as padding.
     return b.replace(graph_mask=np.zeros_like(b.graph_mask),
                      node_mask=np.zeros_like(b.node_mask),
@@ -82,6 +98,22 @@ def make_dp_train_step(model, tx, loss_fn: str, mesh: Mesh,
     leading device axis sharded over ``axis``; params/opt_state replicated."""
     from graph_hscn_tpu.train.loss import criterion
 
+    def per_elem(pred, true):
+        """Per-element loss + score, same naming convention as
+        train.loss.criterion ('cross_entropy' = BCE-with-logits,
+        'softmax_cross_entropy' = softmax NLL, 'l1'/'mae' = L1)."""
+        if loss_fn == "cross_entropy":
+            per = (jnp.maximum(pred, 0) - pred * true
+                   + jnp.log1p(jnp.exp(-jnp.abs(pred))))
+            return per, jax.nn.sigmoid(pred)
+        if loss_fn in ("l1", "mae"):
+            return jnp.abs(pred - true), pred
+        if loss_fn == "softmax_cross_entropy":
+            logp = jax.nn.log_softmax(pred, axis=-1)
+            per = -jnp.sum(true * logp, axis=-1, keepdims=True)
+            return per, jax.nn.softmax(pred, axis=-1)
+        raise ValueError(f"Unknown loss_fn {loss_fn}")
+
     def local_loss(params, batch: GraphBatch, rng, gcnt):
         """Local loss normalized by the *global* element count, with no
         collectives inside the differentiated region (JAX's
@@ -93,22 +125,16 @@ def make_dp_train_step(model, tx, loss_fn: str, mesh: Mesh,
             true, mask = batch.node_y, batch.node_mask
         else:
             true, mask = batch.y, batch.graph_mask
-        if loss_fn == "cross_entropy":
-            per = (jnp.maximum(pred, 0) - pred * true
-                   + jnp.log1p(jnp.exp(-jnp.abs(pred))))
-            score = jax.nn.sigmoid(pred)
-        elif loss_fn in ("l1", "mae"):
-            per = jnp.abs(pred - true)
-            score = pred
-        else:
-            raise ValueError(loss_fn)
+        per, score = per_elem(pred, true)
         m = mask[:, None].astype(pred.dtype)
         local_sum = jnp.sum(per * m)
         return local_sum / gcnt, (score, true, mask)
 
     def count_elems(batch: GraphBatch):
         mask = batch.node_mask if node_level else batch.graph_mask
-        width = (batch.node_y if node_level else batch.y).shape[-1]
+        # softmax CE contributes one element per row; BCE/L1 one per class.
+        width = (1 if loss_fn == "softmax_cross_entropy"
+                 else (batch.node_y if node_level else batch.y).shape[-1])
         return jnp.sum(mask.astype(jnp.float32)) * width
 
     def per_device_step(state: TrainState, batch: GraphBatch):
@@ -190,18 +216,21 @@ def fit_dp(model, dm, mesh: Mesh, optim_cfg, training_cfg, logger,
     but each step is one psum-reduced shard_map program over the mesh.
 
     Each global batch is ``batch_size`` graphs, load-balanced across the
-    mesh's devices (pack_for_devices) with a per-device budget."""
-    import time
+    mesh's devices (pack_for_devices) with a per-device budget.  Per-device
+    work shrinks as the mesh grows — scale ``batch_size`` with the mesh.
 
-    from graph_hscn_tpu.train.loop import (FitResult, _epoch_metrics,
-                                           _maybe_resume, init_state,
-                                           is_eval_epoch)
+    Eval splits are packed + device_put ONCE (host->device transfer is
+    expensive on this rig — CLAUDE.md); only train batches repack per
+    epoch (they reshuffle)."""
+    from graph_hscn_tpu.train.loop import (_maybe_resume, init_state,
+                                           run_fit_loop)
     from graph_hscn_tpu.train.metrics import METRICS
     from graph_hscn_tpu.train.optimizers import build_optimizer
 
     D = int(np.prod(mesh.devices.shape))
     per_dev = max(1, -(-dm.batch_size // D))      # ceil(batch / D)
     budget = PadBudget.for_dataset(dm.graphs, per_dev)
+    slot = dm.slot_nodes
 
     def batches(split: str, shuffle: bool, seed: int):
         graphs = dm.split(split)
@@ -211,7 +240,12 @@ def fit_dp(model, dm, mesh: Mesh, optim_cfg, training_cfg, logger,
         for i in range(0, len(idx), dm.batch_size):
             chunk = [graphs[int(j)] for j in idx[i:i + dm.batch_size]]
             yield shard_stacked_batch(
-                pack_for_devices(chunk, D, budget), mesh, axis)
+                pack_for_devices(chunk, D, budget, slot_nodes=slot,
+                                 with_spmm_plan=dm.with_spmm_plan),
+                mesh, axis)
+
+    eval_batches = {split: list(batches(split, False, 0))
+                    for split in ("val", "test")}
 
     tx = build_optimizer(optim_cfg.optim_type, optim_cfg.lr,
                          optim_cfg.weight_decay,
@@ -219,9 +253,10 @@ def fit_dp(model, dm, mesh: Mesh, optim_cfg, training_cfg, logger,
                          optim_cfg.clip_grad_norm)
     metric_fn = METRICS[training_cfg.metric]
     example = jax.tree_util.tree_map(
-        lambda x: x[0], next(batches("train", False, 0)))
+        lambda x: x[0], eval_batches["val"][0])
     state = init_state(model, tx, example, seed=training_cfg.seed)
-    state, start_epoch = _maybe_resume(state, checkpointer, logger)
+    state, start_epoch, best_loss = _maybe_resume(state, checkpointer,
+                                                  logger)
     train_step = make_dp_train_step(model, tx, training_cfg.loss_fn, mesh,
                                     node_level=node_level, axis=axis)
     eval_step = make_dp_eval_step(
@@ -232,13 +267,13 @@ def fit_dp(model, dm, mesh: Mesh, optim_cfg, training_cfg, logger,
         # [D, ...] device axis folded back into the batch axis.
         return np.asarray(x).reshape(-1, *np.asarray(x).shape[2:])
 
-    best_loss = float("inf")
-    num_improvement = 0
-    history = []
-    stopped = False
-    epochs_run = start_epoch
-    for epoch in range(start_epoch, training_cfg.epochs):
-        t0 = time.time()
+    def _metrics(losses, scores, trues, masks):
+        from graph_hscn_tpu.train.loop import _epoch_metrics
+        return _epoch_metrics(scores, trues, masks, losses, metric_fn,
+                              node_level)
+
+    def train_epoch(epoch):
+        nonlocal state
         losses, scores, trues, masks = [], [], [], []
         for batch in batches("train", True, training_cfg.seed + epoch):
             state, loss, score, true, mask = train_step(state, batch)
@@ -246,50 +281,19 @@ def fit_dp(model, dm, mesh: Mesh, optim_cfg, training_cfg, logger,
             scores.append(flatten(score))
             trues.append(flatten(true))
             masks.append(flatten(mask))
-        train_loss, train_perf = _epoch_metrics(
-            scores, trues, masks, losses, metric_fn, node_level)
-        logger.log_train(epoch, train_loss, train_perf, t0)
-        history.append({"epoch": epoch, "train_loss": train_loss,
-                        "train_perf": train_perf})
-        epochs_run = epoch + 1
+        loss, perf = _metrics(losses, scores, trues, masks)
+        return loss, perf, None
 
-        if is_eval_epoch(epoch, training_cfg.epochs,
-                         training_cfg.eval_period):
-            for split_name, label in (("val", "Validation"),
-                                      ("test", "Test")):
-                losses, scores, trues, masks = [], [], [], []
-                for batch in batches(split_name, False, 0):
-                    loss, score, true, mask = eval_step(state.params, batch)
-                    losses.append(loss)
-                    scores.append(flatten(score))
-                    trues.append(flatten(true))
-                    masks.append(flatten(mask))
-                ev_loss, ev_perf = _epoch_metrics(
-                    scores, trues, masks, losses, metric_fn, node_level)
-                logger.log_eval(ev_loss, ev_perf, label)
-                history[-1][f"{label.lower()}_loss"] = ev_loss
-                history[-1][f"{label.lower()}_perf"] = ev_perf
-                if label == "Validation":
-                    if ev_loss < best_loss - training_cfg.min_delta:
-                        best_loss = ev_loss
-                        num_improvement = 0
-                        if checkpointer is not None:
-                            checkpointer.save_best(state, epoch, ev_loss)
-                    else:
-                        num_improvement += 1
-                    if (num_improvement >= training_cfg.patience
-                            and epoch != training_cfg.epochs - 1):
-                        logger.info(
-                            f"No improvement by {training_cfg.min_delta} "
-                            f"for more than {training_cfg.patience} eval "
-                            "periods, stopping early.")
-                        stopped = True
-            if stopped:
-                break
-            if (checkpointer is not None and training_cfg.checkpoint_every
-                    and (epoch // training_cfg.eval_period)
-                    % training_cfg.checkpoint_every == 0):
-                checkpointer.save_latest(state, epoch)
+    def evaluate(split):
+        losses, scores, trues, masks = [], [], [], []
+        for batch in eval_batches[split]:
+            loss, score, true, mask = eval_step(state.params, batch)
+            losses.append(loss)
+            scores.append(flatten(score))
+            trues.append(flatten(true))
+            masks.append(flatten(mask))
+        return _metrics(losses, scores, trues, masks)
 
-    return FitResult(state=state, best_val_loss=best_loss, history=history,
-                     stopped_early=stopped, epochs_run=epochs_run)
+    return run_fit_loop(training_cfg, logger, checkpointer, train_epoch,
+                        evaluate, lambda: state, start_epoch=start_epoch,
+                        best_loss=best_loss)

@@ -26,6 +26,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from graph_hscn_tpu.ops.segment import segment_sum
@@ -161,16 +162,19 @@ def fit_edge_partitioned(dm, mesh: Mesh, mpnn_cfg, optim_cfg, training_cfg,
     across the mesh — full-batch gradient descent per epoch, the standard
     regime for giant-graph node classification.  Same eval cadence /
     early-stop semantics as train.loop.fit.  Node-level softmax CE only
-    (the sharded GCN's loss, per_device_value_grad above)."""
-    import time
-
+    (the sharded GCN's loss, per_device_value_grad above — the name
+    follows train.loss.criterion: 'softmax_cross_entropy')."""
     from graph_hscn_tpu.data.batching import PadBudget, pack_batch
     from graph_hscn_tpu.parallel.edge_partition import plan_halo_exchange
-    from graph_hscn_tpu.train.loop import FitResult, is_eval_epoch
+    from graph_hscn_tpu.train.loop import (TrainState, _maybe_resume,
+                                           is_eval_epoch, run_fit_loop)
     from graph_hscn_tpu.train.metrics import METRICS
+    from graph_hscn_tpu.train.optimizers import build_optimizer
 
-    assert training_cfg.loss_fn in ("cross_entropy",), (
-        "edge-partitioned path supports node-level cross entropy")
+    if training_cfg.loss_fn != "softmax_cross_entropy":
+        raise ValueError(
+            "edge-partitioned path computes node-level softmax cross "
+            "entropy; set loss_fn: softmax_cross_entropy")
     D = int(np.prod(mesh.devices.shape))
     metric_fn = METRICS[training_cfg.metric]
 
@@ -198,12 +202,28 @@ def fit_edge_partitioned(dm, mesh: Mesh, mpnn_cfg, optim_cfg, training_cfg,
         jax.random.PRNGKey(training_cfg.seed), dims)
     forward, value_and_grad = make_sharded_gcn(
         mesh, num_layers=len(dims) - 1, axis=axis)
-    tx = build_optimizer_for_ep(optim_cfg)
+    tx = build_optimizer(optim_cfg.optim_type, optim_cfg.lr,
+                         optim_cfg.weight_decay,
+                         optim_cfg.batch_accumulation,
+                         optim_cfg.clip_grad_norm)
     opt_state = tx.init(params)
-    apply_updates = jax.jit(
-        lambda p, o, g: _apply(tx, p, o, g))
 
-    def evaluate(split):
+    def _apply(p, o, g):
+        updates, o = tx.update(g, o, p)
+        return optax.apply_updates(p, updates), o
+
+    apply_updates = jax.jit(_apply)
+
+    def get_state():
+        return TrainState(params=params, opt_state=opt_state,
+                          step=jnp.asarray(0, jnp.int32),
+                          rng=jax.random.PRNGKey(training_cfg.seed))
+
+    state0, start_epoch, best_loss = _maybe_resume(get_state(),
+                                                   checkpointer, logger)
+    params, opt_state = state0.params, state0.opt_state
+
+    def evaluate_any(split):
         b, plan, xb, yb, okb = splits[split]
         logits = np.asarray(forward(params, xb, plan)).reshape(
             b.num_nodes_padded, -1)
@@ -213,58 +233,19 @@ def fit_edge_partitioned(dm, mesh: Mesh, mpnn_cfg, optim_cfg, training_cfg,
         loss = float(-jnp.mean(jnp.sum(jnp.asarray(y[mask]) * logp, -1)))
         return loss, metric_fn(y[mask], logits[mask])
 
-    best_loss = float("inf")
-    num_improvement = 0
-    history = []
-    stopped = False
-    epochs_run = 0
     b_tr, plan_tr, xb, yb, okb = splits["train"]
-    for epoch in range(training_cfg.epochs):
-        t0 = time.time()
+    train_edges = int(np.asarray(b_tr.edge_mask).sum())
+
+    def train_epoch(epoch):
+        nonlocal params, opt_state
         loss, grads = value_and_grad(params, xb, plan_tr, yb, okb)
         params, opt_state = apply_updates(params, opt_state, grads)
-        train_loss = float(loss)
         eval_now = is_eval_epoch(epoch, training_cfg.epochs,
                                  training_cfg.eval_period)
-        # Train metric needs a forward pass; compute it at eval epochs only.
-        train_perf = evaluate("train")[1] if eval_now else float("nan")
-        logger.log_train(epoch, train_loss, train_perf, t0,
-                         num_edges=int(np.asarray(b_tr.edge_mask).sum()))
-        history.append({"epoch": epoch, "train_loss": train_loss})
-        epochs_run = epoch + 1
-        if is_eval_epoch(epoch, training_cfg.epochs,
-                         training_cfg.eval_period):
-            for split, label in (("val", "Validation"), ("test", "Test")):
-                ev_loss, ev_perf = evaluate(split)
-                logger.log_eval(ev_loss, ev_perf, label)
-                history[-1][f"{label.lower()}_loss"] = ev_loss
-                history[-1][f"{label.lower()}_perf"] = ev_perf
-                if split == "val":
-                    if ev_loss < best_loss - training_cfg.min_delta:
-                        best_loss = ev_loss
-                        num_improvement = 0
-                    else:
-                        num_improvement += 1
-                    if (num_improvement >= training_cfg.patience
-                            and epoch != training_cfg.epochs - 1):
-                        logger.info("No improvement, stopping early.")
-                        stopped = True
-            if stopped:
-                break
-    return FitResult(state=params, best_val_loss=best_loss,
-                     history=history, stopped_early=stopped,
-                     epochs_run=epochs_run)
+        # Train metric needs its own forward pass: eval epochs only.
+        perf = evaluate_any("train")[1] if eval_now else float("nan")
+        return float(loss), perf, train_edges
 
-
-def build_optimizer_for_ep(optim_cfg):
-    from graph_hscn_tpu.train.optimizers import build_optimizer
-    return build_optimizer(optim_cfg.optim_type, optim_cfg.lr,
-                           optim_cfg.weight_decay,
-                           optim_cfg.batch_accumulation,
-                           optim_cfg.clip_grad_norm)
-
-
-def _apply(tx, params, opt_state, grads):
-    import optax
-    updates, opt_state = tx.update(grads, opt_state, params)
-    return optax.apply_updates(params, updates), opt_state
+    return run_fit_loop(training_cfg, logger, checkpointer, train_epoch,
+                        evaluate_any, get_state, start_epoch=start_epoch,
+                        best_loss=best_loss)

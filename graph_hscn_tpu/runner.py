@@ -90,7 +90,14 @@ def run_experiment(cfg: ExperimentConfig, log_file=None) -> FitResult:
         checkpointer = Checkpointer(cfg.training.checkpoint_dir)
 
     import numpy as _np
-    mesh_size = int(_np.prod(list(cfg.mesh.shape)))
+    shape = list(cfg.mesh.shape)
+    if -1 in shape:
+        # -1 = "all remaining devices on that axis" (config/defaults.py);
+        # resolve against the actual device count so the multi-device
+        # branch is taken whenever it should be.
+        fixed = int(_np.prod([s for s in shape if s != -1])) or 1
+        shape[shape.index(-1)] = len(jax.devices()) // fixed
+    mesh_size = int(_np.prod(shape))
     if mesh_size > 1:
         # Data-parallel SPMD over the configured mesh (SURVEY §2.4 DP row):
         # psum-reduced shard_map steps, update identical to single-device.
@@ -98,9 +105,9 @@ def run_experiment(cfg: ExperimentConfig, log_file=None) -> FitResult:
         from graph_hscn_tpu.parallel.mesh import make_mesh
         if len(jax.devices()) < mesh_size:
             raise ValueError(
-                f"mesh.shape={list(cfg.mesh.shape)} needs {mesh_size} "
+                f"mesh.shape={shape} needs {mesh_size} "
                 f"devices, have {len(jax.devices())}")
-        mesh = make_mesh(tuple(cfg.mesh.axes), tuple(cfg.mesh.shape),
+        mesh = make_mesh(tuple(cfg.mesh.axes), tuple(shape),
                          devices=jax.devices()[:mesh_size])
         if cfg.mesh.edge_partition:
             # TP/SP-analog: node blocks sharded, per-layer halo exchange.

@@ -70,3 +70,9 @@ class Checkpointer:
 
     def has(self, name: str) -> bool:
         return (self.dir / name).exists()
+
+    def meta(self, name: str) -> dict:
+        """Sidecar metadata of a snapshot without restoring its arrays."""
+        meta_path = self.dir / f"{name}.meta.json"
+        return json.loads(meta_path.read_text()) if meta_path.exists() \
+            else {}

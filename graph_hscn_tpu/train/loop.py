@@ -146,13 +146,83 @@ class FitResult:
 def _maybe_resume(state, checkpointer, logger):
     """Auto-resume from the latest resumable snapshot if one exists
     (params + opt state + step + rng; SURVEY §5 plan: resumable
-    checkpoints — the reference never saves anything)."""
+    checkpoints — the reference never saves anything).
+
+    Returns (state, start_epoch, best_val_loss).  The historical best
+    val-loss is recovered from the best snapshot's sidecar so a resumed
+    run cannot clobber a better 'best' checkpoint with a worse one."""
     if checkpointer is None or not checkpointer.has("latest"):
-        return state, 0
+        return state, 0, float("inf")
     state, meta = checkpointer.restore("latest", state)
     start_epoch = int(meta.get("epoch", -1)) + 1
-    logger.info(f"Resumed from latest checkpoint (epoch {start_epoch}).")
-    return state, start_epoch
+    best_loss = float("inf")
+    if checkpointer.has("best"):
+        best_meta = checkpointer.meta("best")
+        best_loss = float(best_meta.get("val_loss", float("inf")))
+    logger.info(f"Resumed from latest checkpoint (epoch {start_epoch}, "
+                f"best val loss {best_loss:.4f}).")
+    return state, start_epoch, best_loss
+
+
+def run_fit_loop(training_cfg, logger, checkpointer, train_epoch, evaluate,
+                 get_state, start_epoch: int = 0,
+                 best_loss: float = float("inf")) -> "FitResult":
+    """The ONE epoch-loop driver shared by every fit path (fit,
+    fit_on_device_dataset, parallel fit_dp, fit_edge_partitioned): eval
+    cadence (is_eval_epoch — reference train/utils.py:1-6), early stopping
+    on val-loss plateau (reference train.py:198-214), best/latest
+    checkpoints, and the history record.
+
+    train_epoch(epoch) -> (train_loss, train_perf, num_edges | None)
+    evaluate(split)    -> (loss, perf) for split in ("val", "test")
+    get_state()        -> checkpointable TrainState.
+    """
+    num_improvement = 0
+    history = []
+    stopped = False
+    epochs_run = start_epoch
+    for epoch in range(start_epoch, training_cfg.epochs):
+        t0 = time.time()
+        train_loss, train_perf, num_edges = train_epoch(epoch)
+        logger.log_train(epoch, train_loss, train_perf, t0,
+                         num_edges=num_edges)
+        history.append({"epoch": epoch, "train_loss": train_loss,
+                        "train_perf": train_perf})
+        epochs_run = epoch + 1
+
+        if is_eval_epoch(epoch, training_cfg.epochs,
+                         training_cfg.eval_period):
+            for split, label in (("val", "Validation"), ("test", "Test")):
+                ev_loss, ev_perf = evaluate(split)
+                logger.log_eval(ev_loss, ev_perf, label)
+                history[-1][f"{label.lower()}_loss"] = ev_loss
+                history[-1][f"{label.lower()}_perf"] = ev_perf
+                if split == "val":
+                    if ev_loss < best_loss - training_cfg.min_delta:
+                        best_loss = ev_loss
+                        num_improvement = 0
+                        if checkpointer is not None:
+                            checkpointer.save_best(get_state(), epoch,
+                                                   ev_loss)
+                    else:
+                        num_improvement += 1
+                    if (num_improvement >= training_cfg.patience
+                            and epoch != training_cfg.epochs - 1):
+                        logger.info(
+                            f"No improvement by {training_cfg.min_delta} "
+                            f"for more than {training_cfg.patience} eval "
+                            "periods, stopping early.")
+                        stopped = True
+            if stopped:
+                break
+            if (checkpointer is not None and training_cfg.checkpoint_every
+                    and (epoch // training_cfg.eval_period)
+                    % training_cfg.checkpoint_every == 0):
+                checkpointer.save_latest(get_state(), epoch)
+
+    return FitResult(state=get_state(), best_val_loss=best_loss,
+                     history=history, stopped_early=stopped,
+                     epochs_run=epochs_run)
 
 
 def fit_device(model, graphs_train, graphs_val, graphs_test, batch_size,
@@ -225,7 +295,8 @@ def fit_on_device_dataset(model, ds, split_ids: dict, batch_size,
     from graph_hscn_tpu.train.device_data import assemble
     example = jax.jit(assemble)(ds, jnp.asarray(va_perm[0]))
     state = init_state(model, tx, example, seed=training_cfg.seed)
-    state, start_epoch = _maybe_resume(state, checkpointer, logger)
+    state, start_epoch, best_loss = _maybe_resume(state, checkpointer,
+                                                  logger)
 
     def _collect(outs):
         loss, score, true, mask = outs
@@ -235,59 +306,24 @@ def fit_on_device_dataset(model, ds, split_ids: dict, batch_size,
         perf = metric_fn(tr[mk], sc[mk])
         return float(np.mean(np.asarray(loss))), perf
 
-    best_loss = float("inf")
-    num_improvement = 0
-    history = []
-    stopped = False
-    epochs_run = start_epoch
-    epoch_edges = train_edges
+    eval_perms = {"val": va_perm, "test": te_perm}
+
+    def train_epoch(epoch):
+        nonlocal state
+        perm = split_perm("train", training_cfg.seed + epoch, True)
+        state, outs = train_epoch_fn(state, ds, jnp.asarray(perm))
+        loss, perf = _collect(outs)
+        return loss, perf, train_edges
+
+    def evaluate(split):
+        outs = eval_epoch_fn(state, ds, jnp.asarray(eval_perms[split]))
+        return _collect(outs)
 
     from graph_hscn_tpu.utils.profiling import trace
     with trace(profile_dir):
-      for epoch in range(start_epoch, training_cfg.epochs):
-        t0 = time.time()
-        perm = split_perm("train", training_cfg.seed + epoch, True)
-        state, outs = train_epoch_fn(state, ds, jnp.asarray(perm))
-        train_loss, train_perf = _collect(outs)
-        logger.log_train(epoch, train_loss, train_perf, t0,
-                         num_edges=epoch_edges)
-        history.append({"epoch": epoch, "train_loss": train_loss,
-                        "train_perf": train_perf})
-        epochs_run = epoch + 1
-
-        if is_eval_epoch(epoch, training_cfg.epochs,
-                         training_cfg.eval_period):
-            for split, perm_eval in (("Validation", va_perm),
-                                     ("Test", te_perm)):
-                outs = eval_epoch_fn(state, ds, jnp.asarray(perm_eval))
-                ev_loss, ev_perf = _collect(outs)
-                logger.log_eval(ev_loss, ev_perf, split)
-                history[-1][f"{split.lower()}_loss"] = ev_loss
-                history[-1][f"{split.lower()}_perf"] = ev_perf
-                if split == "Validation":
-                    if ev_loss < best_loss - training_cfg.min_delta:
-                        best_loss = ev_loss
-                        num_improvement = 0
-                        if checkpointer is not None:
-                            checkpointer.save_best(state, epoch, ev_loss)
-                    else:
-                        num_improvement += 1
-                    if (num_improvement >= training_cfg.patience
-                            and epoch != training_cfg.epochs - 1):
-                        logger.info(
-                            f"No improvement by {training_cfg.min_delta} "
-                            f"for more than {training_cfg.patience} eval "
-                            "periods, stopping early.")
-                        stopped = True
-            if stopped:
-                break
-            if (checkpointer is not None and training_cfg.checkpoint_every
-                    and (epoch // training_cfg.eval_period)
-                    % training_cfg.checkpoint_every == 0):
-                checkpointer.save_latest(state, epoch)
-
-    return FitResult(state=state, best_val_loss=best_loss, history=history,
-                     stopped_early=stopped, epochs_run=epochs_run)
+        return run_fit_loop(training_cfg, logger, checkpointer,
+                            train_epoch, evaluate, lambda: state,
+                            start_epoch=start_epoch, best_loss=best_loss)
 
 
 def fit(model, train_batches_fn: Callable[[], Iterable[GraphBatch]],
@@ -308,16 +344,11 @@ def fit(model, train_batches_fn: Callable[[], Iterable[GraphBatch]],
     if shard_batch is not None:
         example_batch = shard_batch(example_batch)
     state = init_state(model, tx, example_batch, seed=training_cfg.seed)
-    state, start_epoch = _maybe_resume(state, checkpointer, logger)
+    state, start_epoch, best_loss = _maybe_resume(state, checkpointer,
+                                                  logger)
     train_step, eval_step = make_train_step(
         model, tx, training_cfg.loss_fn, node_level=node_level,
         compat_sigmoid_score=compat_sigmoid_score)
-
-    best_loss = float("inf")
-    num_improvement = 0
-    history = []
-    stopped = False
-    epochs_run = start_epoch
 
     def _feed(batches):
         if shard_batch is not None:
@@ -327,59 +358,33 @@ def fit(model, train_batches_fn: Callable[[], Iterable[GraphBatch]],
         # than jit-arg transfer, so it is opt-in.
         return device_prefetch(batches) if prefetch else batches
 
-    for epoch in range(start_epoch, training_cfg.epochs):
-        t0 = time.time()
+    def _run(batches, step):
         losses, scores, trues, masks = [], [], [], []
-        for batch in _feed(train_batches_fn()):
-            state, loss, score, true, mask = train_step(state, batch)
+        new_state = state
+        for batch in _feed(batches):
+            out = step(new_state, batch)
+            if len(out) == 5:          # train step threads the state
+                new_state, loss, score, true, mask = out
+            else:
+                loss, score, true, mask = out
             losses.append(loss)  # device array; sync deferred to epoch end
             scores.append(score)
             trues.append(true)
             masks.append(mask)
-        train_loss, train_perf = _epoch_metrics(
-            scores, trues, masks, losses, metric_fn, node_level)
-        logger.log_train(epoch, train_loss, train_perf, t0)
-        history.append({"epoch": epoch, "train_loss": train_loss,
-                        "train_perf": train_perf})
-        epochs_run = epoch + 1
+        return new_state, _epoch_metrics(scores, trues, masks, losses,
+                                         metric_fn, node_level)
 
-        if is_eval_epoch(epoch, training_cfg.epochs,
-                         training_cfg.eval_period):
-            for split, batches in (("Validation", val_batches),
-                                   ("Test", test_batches)):
-                losses, scores, trues, masks = [], [], [], []
-                for batch in _feed(batches):
-                    loss, score, true, mask = eval_step(state, batch)
-                    losses.append(loss)
-                    scores.append(score)
-                    trues.append(true)
-                    masks.append(mask)
-                ev_loss, ev_perf = _epoch_metrics(
-                    scores, trues, masks, losses, metric_fn, node_level)
-                logger.log_eval(ev_loss, ev_perf, split)
-                history[-1][f"{split.lower()}_loss"] = ev_loss
-                history[-1][f"{split.lower()}_perf"] = ev_perf
-                if split == "Validation":
-                    if ev_loss < best_loss - training_cfg.min_delta:
-                        best_loss = ev_loss
-                        num_improvement = 0
-                        if checkpointer is not None:
-                            checkpointer.save_best(state, epoch, ev_loss)
-                    else:
-                        num_improvement += 1
-                    if (num_improvement >= training_cfg.patience
-                            and epoch != training_cfg.epochs - 1):
-                        logger.info(
-                            f"No improvement by {training_cfg.min_delta} for "
-                            f"more than {training_cfg.patience} eval periods,"
-                            f" stopping early.")
-                        stopped = True
-            if stopped:
-                break
-            if (checkpointer is not None and training_cfg.checkpoint_every
-                    and (epoch // training_cfg.eval_period)
-                    % training_cfg.checkpoint_every == 0):
-                checkpointer.save_latest(state, epoch)
+    eval_sets = {"val": val_batches, "test": test_batches}
 
-    return FitResult(state=state, best_val_loss=best_loss, history=history,
-                     stopped_early=stopped, epochs_run=epochs_run)
+    def train_epoch(epoch):
+        nonlocal state
+        state, (loss, perf) = _run(train_batches_fn(), train_step)
+        return loss, perf, None
+
+    def evaluate(split):
+        _, (loss, perf) = _run(eval_sets[split], eval_step)
+        return loss, perf
+
+    return run_fit_loop(training_cfg, logger, checkpointer, train_epoch,
+                        evaluate, lambda: state, start_epoch=start_epoch,
+                        best_loss=best_loss)

@@ -56,6 +56,9 @@ SOURCES = {
         "csv_name": "peptide_structure_dataset.csv.gz",
         "split_url": "https://www.dropbox.com/s/9dfifzft1hqgow6/"
                      "splits_random_stratified_peptide_structure.pickle?dl=1",
+        # Identical to peptides_func's split md5 — verbatim from the
+        # reference (constants.py:4 vs :12 carry the same value); if the
+        # upstream hash is wrong, pass --split to skip the check.
         "split_md5": "5a0114bdadc80b94fc7ae974f13ef061",
         "split_name": "splits_random_stratified_peptide_structure.pickle",
     },

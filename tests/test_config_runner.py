@@ -42,6 +42,8 @@ def test_parse_reference_style_yaml(tmp_path):
 
 def test_shipped_configs_parse():
     for p in ("configs/GCN/peptides_func_GCN.yaml",
+              "configs/GCN/peptides_func_GCN_dp8.yaml",
+              "configs/GCN/voc_superpixels_GCN_edge_partition.yaml",
               "configs/HSCN/peptides_func_HSCN.yaml",
               "configs/GatedGCN/peptides_struct_GatedGCN.yaml"):
         cfg = load_config(p)
@@ -119,7 +121,7 @@ def test_runner_edge_partitioned_mesh():
         "optim": {"optim_type": "adamW", "lr": 0.01,
                   "weight_decay": 5e-4},
         "training": {"model_type": "gcn", "use_wandb": False,
-                     "loss_fn": "cross_entropy", "metric": "f1",
+                     "loss_fn": "softmax_cross_entropy", "metric": "f1",
                      "max_epochs": 3, "eval_period": 2, "min_delta": 0.0,
                      "patience": 50},
         "mesh": {"axes": ["data"], "shape": [8], "edge_partition": True},
@@ -129,3 +131,50 @@ def test_runner_edge_partitioned_mesh():
     assert result.epochs_run == 3
     assert np.isfinite(result.history[-1]["train_loss"])
     assert "validation_perf" in result.history[-1]
+
+
+def test_runner_dp_node_level_softmax():
+    """DP path supports node-level softmax CE (previously raised), and
+    mesh.shape [-1] resolves to all devices instead of silently running
+    single-device."""
+    raw = {
+        "data": {"dataset_name": "voc_superpixels", "batch_size": 16,
+                 "num_graphs": 24},
+        "mp": {"conv_type": "gcn", "activation": "relu",
+               "hidden_channels": 8, "num_layers": 2, "dropout": 0.0},
+        "optim": {"optim_type": "adamW", "lr": 0.01,
+                  "weight_decay": 5e-4},
+        "training": {"model_type": "gcn", "use_wandb": False,
+                     "loss_fn": "softmax_cross_entropy", "metric": "f1",
+                     "max_epochs": 2, "eval_period": 2, "min_delta": 0.0,
+                     "patience": 50},
+        "mesh": {"axes": ["data"], "shape": [-1]},
+    }
+    cfg = parse_config(raw)
+    result = run_experiment(cfg)
+    assert result.epochs_run == 2
+    assert np.isfinite(result.history[-1]["train_loss"])
+    assert "validation_perf" in result.history[-1]
+
+
+def test_runner_dp_with_fused_stack():
+    """runtime.fused_stack + mesh DP: pack_for_devices threads slot_nodes,
+    so FusedDenseGCN's slotted batches survive the DP packing."""
+    raw = {
+        "data": {"dataset_name": "peptides_func", "batch_size": 16,
+                 "num_graphs": 32},
+        "mp": {"conv_type": "gcn", "activation": "relu",
+               "hidden_channels": 8, "num_layers": 2, "dropout": 0.1},
+        "optim": {"optim_type": "adamW", "lr": 0.01,
+                  "weight_decay": 5e-4},
+        "training": {"model_type": "gcn", "use_wandb": False,
+                     "loss_fn": "cross_entropy", "metric": "ap",
+                     "max_epochs": 2, "eval_period": 2, "min_delta": 0.0,
+                     "patience": 50},
+        "mesh": {"axes": ["data"], "shape": [4]},
+        "runtime": {"fused_stack": "on"},
+    }
+    cfg = parse_config(raw)
+    result = run_experiment(cfg)
+    assert result.epochs_run == 2
+    assert np.isfinite(result.history[-1]["train_loss"])
