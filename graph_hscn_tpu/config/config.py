@@ -186,6 +186,9 @@ class CompatConfig:
 @dataclasses.dataclass
 class RuntimeConfig:
     matmul_precision: str = D.MATMUL_PRECISION
+    # Mixed precision: bf16 compute inside the model stacks (HBM-bandwidth
+    # + MXU win); master params, logits, losses, optimizer state stay f32.
+    compute_dtype: str = D.COMPUTE_DTYPE   # "float32" | "bfloat16"
     dense_path: str = "auto"   # "auto" | "dense" | "sparse"
     spmm_backend: str = "auto"  # "auto" | "xla" | "pallas"
     # Device-resident dataset + epoch-as-a-program (train/device_data.py):

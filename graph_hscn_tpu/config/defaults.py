@@ -51,6 +51,8 @@ PAD_SAFETY = 1.15
 NODE_MULTIPLE = 8
 EDGE_MULTIPLE = 128
 MATMUL_PRECISION = "highest"   # f32 for parity; "default" for bf16 speed
+COMPUTE_DTYPE = "float32"      # "bfloat16" = bf16 activations/compute,
+                               # params + logits + losses stay float32
 DENSE_PATH_MAX_NODES = 512     # use dense MXU path when graphs fit
 
 # Mesh / parallelism

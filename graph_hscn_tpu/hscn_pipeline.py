@@ -36,10 +36,12 @@ def run_hscn_pipeline(cfg: ExperimentConfig, dm: DataModule, logger
 
     # Stage 3+4: HSCN training on cluster-annotated batches.
     node_level = dm.task_level == "node"
+    from graph_hscn_tpu.models.layers import resolve_dtype
     model = build_hscn(hscn_cfg, dm.num_classes,
                        compat_triangular=cfg.compat.vv_triangular_pattern,
                        compat_index_shift=cfg.compat.cluster_index_shift,
-                       readout="none" if node_level else "mean")
+                       readout="none" if node_level else "mean",
+                       dtype=resolve_dtype(cfg.runtime.compute_dtype))
     checkpointer = None
     if cfg.training.checkpoint_dir:
         from graph_hscn_tpu.train.checkpoint import Checkpointer
@@ -90,10 +92,12 @@ def run_hscn_pipeline_device(cfg: ExperimentConfig, dm: DataModule, logger
 
     # Stage 3+4: HSCN fit over the same dataset.
     node_level = dm.task_level == "node"
+    from graph_hscn_tpu.models.layers import resolve_dtype
     model = build_hscn(hscn_cfg, dm.num_classes,
                        compat_triangular=cfg.compat.vv_triangular_pattern,
                        compat_index_shift=cfg.compat.cluster_index_shift,
-                       readout="none" if node_level else "mean")
+                       readout="none" if node_level else "mean",
+                       dtype=resolve_dtype(cfg.runtime.compute_dtype))
     checkpointer = None
     if cfg.training.checkpoint_dir:
         from graph_hscn_tpu.train.checkpoint import Checkpointer

@@ -29,6 +29,8 @@ directed clique without self-loops.
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -96,6 +98,7 @@ class DenseGCN(nn.Module):
     self-loops — matching PyG GCNConv(add_self_loops=False) semantics."""
 
     features: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, adj):
@@ -105,8 +108,11 @@ class DenseGCN(nn.Module):
                         0.0)
         a_norm = adj * inv[:, :, None] * inv[:, None, :]
         w = self.param("kernel", glorot, (x.shape[-1], self.features))
+        x, w, a_norm = nn.dtypes.promote_dtype(x, w, a_norm,
+                                               dtype=self.dtype)
         out = jnp.einsum("gkj,gjf->gkf", a_norm, x @ w)
-        return out + self.param("bias", zeros, (self.features,))
+        b = self.param("bias", zeros, (self.features,))
+        return out + b.astype(out.dtype)
 
 
 class DenseGAT(nn.Module):
@@ -115,13 +121,17 @@ class DenseGAT(nn.Module):
 
     features: int
     negative_slope: float = 0.2
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, adj):
         w = self.param("kernel_src", glorot, (x.shape[-1], self.features))
+        x, w = nn.dtypes.promote_dtype(x, w, dtype=self.dtype)
         h = x @ w                                   # [G, K, C]
         att_src = self.param("att_src", glorot, (1, 1, self.features))
         att_dst = self.param("att_dst", glorot, (1, 1, self.features))
+        att_src = att_src.astype(h.dtype)
+        att_dst = att_dst.astype(h.dtype)
         a_s = jnp.sum(h * att_src, axis=-1)         # [G, K]
         a_d = jnp.sum(h * att_dst, axis=-1)
         e = a_s[:, None, :] + a_d[:, :, None]       # [G, dst, src]
@@ -134,7 +144,8 @@ class DenseGAT(nn.Module):
         denom = jnp.maximum(jnp.sum(ex, axis=-1, keepdims=True), 1e-16)
         alpha = ex / denom
         out = jnp.einsum("gij,gjc->gic", alpha, h)
-        return out + self.param("bias", zeros, (self.features,))
+        b = self.param("bias", zeros, (self.features,))
+        return out + b.astype(out.dtype)
 
 
 class HSCN(nn.Module):
@@ -149,6 +160,7 @@ class HSCN(nn.Module):
     vv_pattern: str = "triangular"   # reference parity (quirk #9)
     index_shift: bool = False        # quirk #8 off by default
     readout: str = "mean"
+    dtype: Any = None                # bf16 compute (params/logits stay f32)
 
     @nn.compact
     def __call__(self, batch: GraphBatch, train: bool = True):
@@ -170,13 +182,13 @@ class HSCN(nn.Module):
             # conv type per config — GCN default, GAT supported).
             if self.ll_conv.upper() == "GAT":
                 ll = GATConv(features=self.hidden_channels, heads=1,
-                             add_self_loops=False)
+                             add_self_loops=False, dtype=self.dtype)
                 x_l_new = ll(x_l, batch.senders, batch.receivers,
                              batch.edge_mask, num_nodes=N,
                              dense_adj=dense_adj)
             else:
                 ll = GCNConv(features=self.hidden_channels,
-                             add_self_loops=False)
+                             add_self_loops=False, dtype=self.dtype)
                 x_l_new = ll(x_l, batch.senders, batch.receivers,
                              batch.edge_mask, num_nodes=N,
                              dense_adj=dense_adj, plan=batch.spmm)
@@ -185,7 +197,7 @@ class HSCN(nn.Module):
             # bipartite conv, reference's "must be GAT" slot,
             # config.py:80).
             lv = GATConv(features=self.hidden_channels, heads=1,
-                         add_self_loops=False)
+                         add_self_loops=False, dtype=self.dtype)
             lv_out = lv(x_l, jnp.arange(N, dtype=jnp.int32), vid,
                         batch.node_mask, x_dst=x_v, num_dst_nodes=G * K)
 
@@ -193,7 +205,7 @@ class HSCN(nn.Module):
             # conv type per config).
             vv_cls = (DenseGAT if self.vv_conv.upper() == "GAT"
                       else DenseGCN)
-            vv = vv_cls(features=self.hidden_channels)
+            vv = vv_cls(features=self.hidden_channels, dtype=self.dtype)
             vv_out = vv(x_v.reshape(G, K, -1), adj_vv).reshape(G * K, -1)
 
             # HeteroConv aggr="sum" + per-type ReLU (hscn.py:97,110).
@@ -201,7 +213,8 @@ class HSCN(nn.Module):
             x_v = nn.relu(lv_out + vv_out)
             x_v = jnp.where(v_active[:, None], x_v, 0.0)
 
-        x_l = jnp.where(batch.node_mask[:, None], x_l, 0.0)
+        x_l = jnp.where(batch.node_mask[:, None], x_l,
+                        0.0).astype(jnp.float32)
         if self.readout == "none":
             h = act(nn.Dense(self.hidden_channels, kernel_init=glorot)(x_l))
             return nn.Dense(self.num_classes, kernel_init=glorot)(h)
@@ -212,7 +225,7 @@ class HSCN(nn.Module):
 
 def build_hscn(model_cfg, num_classes: int, compat_triangular: bool = True,
                compat_index_shift: bool = False,
-               readout: str = "mean") -> HSCN:
+               readout: str = "mean", dtype=None) -> HSCN:
     """Mirror of reference build_hscn (hscn.py:128-140)."""
     return HSCN(
         lv_conv=model_cfg.lv_conv_type,
@@ -226,4 +239,5 @@ def build_hscn(model_cfg, num_classes: int, compat_triangular: bool = True,
         vv_pattern="triangular" if compat_triangular else "clique",
         index_shift=compat_index_shift,
         readout=readout,
+        dtype=dtype,
     )

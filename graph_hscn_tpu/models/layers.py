@@ -12,7 +12,7 @@ and are pure w.r.t. padding: padded rows in, zero rows out.
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Any, Callable, Sequence
 
 import flax.linen as nn
 import jax
@@ -23,6 +23,15 @@ from graph_hscn_tpu.ops.spmm import gather_scatter, gcn_norm_weights
 
 glorot = nn.initializers.glorot_uniform()
 zeros = nn.initializers.zeros
+
+
+def resolve_dtype(name: str | None):
+    """Config string -> compute dtype (None = native float32)."""
+    if name in (None, "", "float32", "f32"):
+        return None
+    if name in ("bfloat16", "bf16"):
+        return jnp.bfloat16
+    raise ValueError(f"Unknown compute_dtype {name!r}")
 
 
 def _to_blocks(x, slot: int):
@@ -47,6 +56,7 @@ class GCNConv(nn.Module):
     add_self_loops: bool = True
     normalize: bool = True
     use_bias: bool = True
+    dtype: Any = None   # compute dtype (params stay float32)
 
     @nn.compact
     def __call__(self, x, senders, receivers, edge_mask,
@@ -54,8 +64,10 @@ class GCNConv(nn.Module):
                  plan=None):
         n = num_nodes or x.shape[0]
         w = self.param("kernel", glorot, (x.shape[-1], self.features))
+        x, w = nn.dtypes.promote_dtype(x, w, dtype=self.dtype)
         h = x @ w
         if dense_adj is not None:
+            dense_adj = dense_adj.astype(h.dtype)
             # Slotted dense path: batched MXU matmul with in-degree
             # normalization — algebraically identical to the sparse path.
             adj = dense_adj
@@ -85,11 +97,13 @@ class GCNConv(nn.Module):
                     edge_weight if edge_weight is not None else 1.0, 0.0)
                 diag = None
             out = gather_scatter(h, senders, receivers, num_nodes=n,
-                                 edge_weight=norm_w, plan=plan)
+                                 edge_weight=norm_w.astype(h.dtype),
+                                 plan=plan)
             if diag is not None:
-                out = out + diag[:, None] * h
+                out = out + diag.astype(h.dtype)[:, None] * h
         if self.use_bias:
-            out = out + self.param("bias", zeros, (self.features,))
+            b = self.param("bias", zeros, (self.features,))
+            out = out + b.astype(out.dtype)
         return out
 
 
@@ -102,12 +116,21 @@ class GraphConv(nn.Module):
 
     features: int
     use_bias: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, senders, receivers, edge_mask,
                  edge_weight=None, num_nodes=None, self_weight=None,
                  dense_adj=None, plan=None):
         n = num_nodes or x.shape[0]
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            if dense_adj is not None:
+                dense_adj = dense_adj.astype(self.dtype)
+            if edge_weight is not None:
+                edge_weight = edge_weight.astype(self.dtype)
+            if self_weight is not None:
+                self_weight = self_weight.astype(self.dtype)
         if dense_adj is not None:
             # Dense path: dense_adj must already carry the desired edge
             # weights; self_weight (if given) is flat [N].
@@ -132,9 +155,12 @@ class GraphConv(nn.Module):
         w_rel = self.param("kernel_rel", glorot, (x.shape[-1], self.features))
         w_root = self.param("kernel_root", glorot,
                             (x.shape[-1], self.features))
+        agg, x, w_rel, w_root = nn.dtypes.promote_dtype(
+            agg, x, w_rel, w_root, dtype=self.dtype)
         out = agg @ w_rel + x @ w_root
         if self.use_bias:
-            out = out + self.param("bias", zeros, (self.features,))
+            b = self.param("bias", zeros, (self.features,))
+            out = out + b.astype(out.dtype)
         return out
 
 
@@ -149,12 +175,19 @@ class GINConv(nn.Module):
 
     features: int
     train_eps: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, senders, receivers, edge_mask,
                  edge_weight=None, num_nodes=None, dense_adj=None,
                  plan=None):
         n = num_nodes or x.shape[0]
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            if dense_adj is not None:
+                dense_adj = dense_adj.astype(self.dtype)
+            if edge_weight is not None:
+                edge_weight = edge_weight.astype(self.dtype)
         if dense_adj is not None:
             xb = _to_blocks(x, dense_adj.shape[-1])[:dense_adj.shape[0]]
             agg = _from_blocks(jnp.einsum("gij,gjf->gif", dense_adj, xb))
@@ -166,10 +199,12 @@ class GINConv(nn.Module):
             agg = gather_scatter(x, senders, receivers, num_nodes=n,
                                  edge_weight=w_eff, plan=plan)
         eps = (self.param("eps", zeros, ()) if self.train_eps else 0.0)
-        h = (1.0 + eps) * x + agg
-        h = nn.Dense(self.features, kernel_init=glorot)(h)
+        h = (1.0 + jnp.asarray(eps, x.dtype)) * x + agg
+        h = nn.Dense(self.features, kernel_init=glorot,
+                     dtype=self.dtype)(h)
         h = nn.relu(h)
-        h = nn.Dense(self.features, kernel_init=glorot)(h)
+        h = nn.Dense(self.features, kernel_init=glorot,
+                     dtype=self.dtype)(h)
         return h
 
 
@@ -192,6 +227,7 @@ class GATConv(nn.Module):
     negative_slope: float = 0.2
     add_self_loops: bool = True
     use_bias: bool = True
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, senders, receivers, edge_mask,
@@ -203,15 +239,20 @@ class GATConv(nn.Module):
                                    else (num_nodes or x.shape[0])))
 
         w_src = self.param("kernel_src", glorot, (x.shape[-1], H * C))
+        x, w_src = nn.dtypes.promote_dtype(x, w_src, dtype=self.dtype)
         h_src = (x @ w_src).reshape(-1, H, C)
         if bipartite:
             w_dst = self.param("kernel_dst", glorot, (x_dst.shape[-1], H * C))
+            x_dst, w_dst = nn.dtypes.promote_dtype(x_dst, w_dst,
+                                                   dtype=self.dtype)
             h_dst = (x_dst @ w_dst).reshape(-1, H, C)
         else:
             h_dst = h_src
 
         att_src = self.param("att_src", glorot, (1, H, C))
         att_dst = self.param("att_dst", glorot, (1, H, C))
+        att_src = att_src.astype(h_src.dtype)
+        att_dst = att_dst.astype(h_src.dtype)
 
         if dense_adj is not None and not bipartite:
             # Slotted dense path: masked dense attention per graph block.
@@ -238,7 +279,8 @@ class GATConv(nn.Module):
                    else out.mean(axis=1))
             if self.use_bias:
                 dim = H * C if self.concat else C
-                out = out + self.param("bias", zeros, (dim,))
+                b = self.param("bias", zeros, (dim,))
+                out = out + b.astype(out.dtype)
             return out
         a_src = jnp.sum(h_src * att_src, axis=-1)   # [N_src, H]
         a_dst = jnp.sum(h_dst * att_dst, axis=-1)   # [N_dst, H]
@@ -280,7 +322,8 @@ class GATConv(nn.Module):
                else out.mean(axis=1))
         if self.use_bias:
             dim = H * C if self.concat else C
-            out = out + self.param("bias", zeros, (dim,))
+            b = self.param("bias", zeros, (dim,))
+            out = out + b.astype(out.dtype)
         return out
 
 
@@ -300,16 +343,20 @@ class GatedGCNConv(nn.Module):
     residual: bool = True
     norm: str = "layer"   # "layer" | "none"
     eps: float = 1e-6
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, edge_feat, senders, receivers, edge_mask,
                  num_nodes=None, train: bool = True):
         n = num_nodes or x.shape[0]
-        A = nn.Dense(self.features, kernel_init=glorot)
-        B = nn.Dense(self.features, kernel_init=glorot)
-        C = nn.Dense(self.features, kernel_init=glorot)
-        D = nn.Dense(self.features, kernel_init=glorot)
-        E = nn.Dense(self.features, kernel_init=glorot)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            edge_feat = edge_feat.astype(self.dtype)
+        A = nn.Dense(self.features, kernel_init=glorot, dtype=self.dtype)
+        B = nn.Dense(self.features, kernel_init=glorot, dtype=self.dtype)
+        C = nn.Dense(self.features, kernel_init=glorot, dtype=self.dtype)
+        D = nn.Dense(self.features, kernel_init=glorot, dtype=self.dtype)
+        E = nn.Dense(self.features, kernel_init=glorot, dtype=self.dtype)
 
         e_new = C(edge_feat) + D(x)[receivers] + E(x)[senders]
         sig = jax.nn.sigmoid(e_new)
@@ -320,8 +367,8 @@ class GatedGCNConv(nn.Module):
         x_new = A(x) + agg / (denom + self.eps)
 
         if self.norm == "layer":
-            x_new = nn.LayerNorm()(x_new)
-            e_new = nn.LayerNorm()(e_new)
+            x_new = nn.LayerNorm(dtype=self.dtype)(x_new)
+            e_new = nn.LayerNorm(dtype=self.dtype)(e_new)
         x_new = nn.relu(x_new)
         e_new = nn.relu(e_new)
         if self.residual and x.shape[-1] == self.features:
@@ -346,11 +393,12 @@ class MLP(nn.Module):
     features: Sequence[int]
     activation: Callable = nn.relu
     final_activation: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         for i, f in enumerate(self.features):
-            x = nn.Dense(f, kernel_init=glorot)(x)
+            x = nn.Dense(f, kernel_init=glorot, dtype=self.dtype)(x)
             if i < len(self.features) - 1 or self.final_activation:
                 x = self.activation(x)
         return x

@@ -19,7 +19,7 @@ Reference quirks, encoded behind ``compat`` (SURVEY §2.2):
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Any, Callable
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -44,6 +44,7 @@ class MPNN(nn.Module):
     use_layer_norm: bool = False
     compat_double_relu: bool = True
     readout: str = "mean"        # graph-level; "none" for node-level tasks
+    dtype: Any = None            # bf16 compute (params/logits stay f32)
 
     @nn.compact
     def __call__(self, batch: GraphBatch, train: bool = True):
@@ -64,22 +65,24 @@ class MPNN(nn.Module):
         elif ct == "gat":
             extra = {"dense_adj": resolve_dense_adj(batch)}
         for i, dim in enumerate(dims):
-            conv = conv_cls(features=dim)
+            conv = conv_cls(features=dim, dtype=self.dtype)
             x = conv(x, batch.senders, batch.receivers, batch.edge_mask,
                      num_nodes=n, **extra)
             if i < self.num_layers - 1:
                 if self.compat_double_relu:
                     x = nn.relu(x)
                 if self.use_batch_norm:
-                    x = nn.BatchNorm(use_running_average=not train)(x)
+                    x = nn.BatchNorm(use_running_average=not train,
+                                     dtype=self.dtype)(x)
                 if self.use_layer_norm:
-                    x = nn.LayerNorm()(x)
+                    x = nn.LayerNorm(dtype=self.dtype)(x)
                 x = act(x)
                 if self.dropout > 0.0:
                     x = nn.Dropout(rate=self.dropout,
                                    deterministic=not train)(x)
-        # Mask padding before readout so dummy rows can't leak.
-        x = jnp.where(batch.node_mask[:, None], x, 0.0)
+        # Mask padding before readout so dummy rows can't leak; logits back
+        # to f32 so losses/metrics are full-precision.
+        x = jnp.where(batch.node_mask[:, None], x, 0.0).astype(jnp.float32)
         if self.readout == "none":
             return x
         return graph_readout_mean(x, batch.node_graph,
@@ -87,9 +90,10 @@ class MPNN(nn.Module):
 
 
 def build_mpnn(model_cfg, num_features: int, num_classes: int,
-               compat: bool = True, readout: str = "mean"):
+               compat: bool = True, readout: str = "mean", dtype=None):
     """Mirror of reference build_mpnn (mpnn.py:63-76), extended with the
-    GatedGCN family (not constructible in the reference)."""
+    GatedGCN family (not constructible in the reference) and an optional
+    bf16 compute dtype (runtime.compute_dtype)."""
     if model_cfg.conv_type.lower() == "gatedgcn":
         from graph_hscn_tpu.models.gatedgcn import GatedGCNNet
         return GatedGCNNet(
@@ -98,6 +102,7 @@ def build_mpnn(model_cfg, num_features: int, num_classes: int,
             num_layers=model_cfg.num_layers,
             dropout=model_cfg.dropout,
             readout=readout,
+            dtype=dtype,
         )
     return MPNN(
         conv_type=model_cfg.conv_type,
@@ -111,4 +116,5 @@ def build_mpnn(model_cfg, num_features: int, num_classes: int,
         use_layer_norm=model_cfg.use_layer_norm,
         compat_double_relu=compat,
         readout=readout,
+        dtype=dtype,
     )

@@ -22,6 +22,8 @@ from graph_hscn_tpu.utils.logger import Logger
 def run_experiment(cfg: ExperimentConfig, log_file=None) -> FitResult:
     jax.config.update("jax_default_matmul_precision",
                       cfg.runtime.matmul_precision)
+    from graph_hscn_tpu.models.layers import resolve_dtype
+    compute_dtype = resolve_dtype(cfg.runtime.compute_dtype)
     if cfg.runtime.spmm_backend in ("xla", "pallas"):
         from graph_hscn_tpu.ops import spmm as spmm_mod
         spmm_mod.set_backend(cfg.runtime.spmm_backend)
@@ -79,7 +81,11 @@ def run_experiment(cfg: ExperimentConfig, log_file=None) -> FitResult:
     else:
         model = build_mpnn(cfg.mpnn, dm.num_features, dm.num_classes,
                            compat=cfg.compat.double_relu,
-                           readout="none" if node_level else "mean")
+                           readout="none" if node_level else "mean",
+                           dtype=compute_dtype)
+        if compute_dtype is not None:
+            logger.info(f"Mixed precision: {cfg.runtime.compute_dtype} "
+                        "compute, f32 params/logits.")
     if cfg.pe is not None and not cfg.compat.frozen_random_signnet:
         # End-to-end trainable SignNet (the sane fix of quirk #6).
         from graph_hscn_tpu.models.encoded import wrap_with_signnet
@@ -168,11 +174,12 @@ def _use_fused_stack(cfg: ExperimentConfig, dm, node_level: bool) -> bool:
                 and cfg.mpnn.activation.lower() == "relu"
                 and not cfg.mpnn.use_batch_norm
                 and not cfg.mpnn.use_layer_norm
+                and cfg.runtime.compute_dtype in ("float32", "f32")
                 and dm.slot_nodes is not None)
     if mode == "on":
         if not eligible:
             raise ValueError("fused_stack requested but config ineligible "
-                             "(needs gcn+relu+dense slots)")
+                             "(needs gcn+relu+dense slots+f32)")
         return True
     import jax as _jax
     return eligible and _jax.default_backend() == "tpu"
