@@ -44,7 +44,11 @@ def test_shipped_configs_parse():
     for p in ("configs/GCN/peptides_func_GCN.yaml",
               "configs/GCN/peptides_func_GCN_dp8.yaml",
               "configs/GCN/voc_superpixels_GCN_edge_partition.yaml",
+              "configs/GAT/peptides_func_GAT.yaml",
+              "configs/GIN/peptides_func_GIN.yaml",
               "configs/HSCN/peptides_func_HSCN.yaml",
+              "configs/HSCN/voc_superpixels_HSCN.yaml",
+              "configs/GCN/voc_superpixels_GCN.yaml",
               "configs/GatedGCN/peptides_struct_GatedGCN.yaml"):
         cfg = load_config(p)
         assert cfg.model_cfg is not None
@@ -60,6 +64,21 @@ def test_runner_mpnn_small(tmp_path):
     assert result.epochs_run >= 1
     assert np.isfinite(result.history[-1]["train_loss"])
     assert (tmp_path / "t.log").exists()
+
+
+def test_runner_gat_gin_small(tmp_path):
+    """GAT and GIN family configs train through the CLI code path (GIN is
+    unconstructible in the reference, quirk #11 — usable here)."""
+    for p in ("configs/GAT/peptides_func_GAT.yaml",
+              "configs/GIN/peptides_func_GIN.yaml"):
+        cfg = load_config(p)
+        cfg.data.num_graphs = 32
+        cfg.data.batch_size = 8
+        cfg.training.epochs = 2
+        cfg.training.eval_period = 2
+        result = run_experiment(cfg, log_file=tmp_path / "t.log")
+        assert result.epochs_run >= 1
+        assert np.isfinite(result.history[-1]["train_loss"])
 
 
 def test_runner_hscn_small(tmp_path):
