@@ -114,7 +114,7 @@ def bench_sparse(batch, x):
     return scan_bench(fwd_bwd, jnp.asarray(x), (snd, rcv))
 
 
-def bench_dense(dense, x_feat_dim):
+def bench_dense(dense, x_feat_dim, dtype=None):
     import jax
     import jax.numpy as jnp
 
@@ -125,6 +125,9 @@ def bench_dense(dense, x_feat_dim):
     adj = jnp.asarray(adj)
     x0 = jnp.asarray(np.random.default_rng(1).normal(
         size=(G, n_pad, x_feat_dim)).astype(np.float32))
+    if dtype is not None:
+        adj = adj.astype(dtype)
+        x0 = x0.astype(dtype)
 
     def fwd_bwd(x, adj):
         y, vjp = jax.vjp(lambda x: jnp.matmul(adj, x), x)
@@ -217,6 +220,17 @@ def main():
     if dt_dense:
         log(f"dense-block fwd+bwd: {dt_dense * 1e6:.1f} us "
             f"-> {real_edges / dt_dense / 1e6:.1f} M edges/s")
+    if dt_dense:
+        # Mixed-precision diagnostic (stderr only; the headline stays f32
+        # for a like-for-like comparison with the f32 torch baseline).
+        import jax.numpy as jnp
+        dt_bf16 = with_deadline(
+            lambda: bench_dense(dense, x.shape[1], dtype=jnp.bfloat16),
+            240, "dense bf16 path")
+        if dt_bf16:
+            log(f"dense-block bf16 fwd+bwd: {dt_bf16 * 1e6:.1f} us "
+                f"-> {real_edges / dt_bf16 / 1e6:.1f} M edges/s "
+                f"({dt_dense / dt_bf16:.2f}x vs f32)")
     log("compiling+timing sparse path...")
     dt_sparse = with_deadline(lambda: bench_sparse(batch, x),
                               240, "sparse path")

@@ -202,6 +202,11 @@ class RuntimeConfig:
     # its remote compile is also slow (~2 min).
     fused_stack: str = "off"       # "auto" | "on" | "off"
     debug_nans: bool = False
+    # Multi-host: "auto" calls jax.distributed.initialize() when a
+    # coordinator is configured in the environment (TPU pod slices set
+    # this up; see utils/profiling.maybe_init_distributed); "on" forces
+    # the call, "off" never initializes.
+    multihost: str = "auto"        # "auto" | "on" | "off"
     pad_safety: float = D.PAD_SAFETY
     donate_state: bool = True
     profile_dir: str | None = None

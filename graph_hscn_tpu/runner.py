@@ -20,6 +20,8 @@ from graph_hscn_tpu.utils.logger import Logger
 
 
 def run_experiment(cfg: ExperimentConfig, log_file=None) -> FitResult:
+    from graph_hscn_tpu.utils.profiling import maybe_init_distributed
+    maybe_init_distributed(cfg.runtime.multihost)
     jax.config.update("jax_default_matmul_precision",
                       cfg.runtime.matmul_precision)
     from graph_hscn_tpu.models.layers import resolve_dtype
@@ -195,3 +197,73 @@ def _use_device_dataset(cfg: ExperimentConfig, dm) -> bool:
     if mode == "on":
         return True
     return fits
+
+
+def run_eval(cfg: ExperimentConfig, which: str = "best", log_file=None):
+    """Eval-only / inference mode: restore a checkpoint and score the val
+    and test splits.  New capability vs the reference (it defines
+    MODEL_DIR but never saves or loads weights, constants.py:6).
+
+    For the HSCN pipeline the cluster assignments are not part of the
+    snapshot; stage-1 clustering is deterministic given training.seed, so
+    it is re-run to reconstruct them before restoring HSCN weights.
+    """
+    from graph_hscn_tpu.models.layers import resolve_dtype
+    from graph_hscn_tpu.train.checkpoint import Checkpointer
+    from graph_hscn_tpu.train.loop import evaluate_checkpoint
+
+    if not cfg.training.checkpoint_dir:
+        raise ValueError("eval mode needs training.checkpoint_dir")
+    jax.config.update("jax_default_matmul_precision",
+                      cfg.runtime.matmul_precision)
+    compute_dtype = resolve_dtype(cfg.runtime.compute_dtype)
+    logger = Logger(log_file=log_file, metric_name=cfg.training.metric,
+                    use_wandb=False)
+    dm = DataModule.from_config(cfg.data, pad_safety=cfg.runtime.pad_safety)
+    if cfg.runtime.dense_path in ("auto", "dense"):
+        from graph_hscn_tpu.config import defaults as D
+        dm.enable_dense_slots(max_slot=D.DENSE_PATH_MAX_NODES)
+    if cfg.pe is not None:
+        from graph_hscn_tpu.transform.posenc import attach_posenc
+        attach_posenc(dm, cfg.pe, logger,
+                      frozen_random=cfg.compat.frozen_random_signnet)
+    node_level = dm.task_level == "node"
+
+    if cfg.hscn is not None:
+        from graph_hscn_tpu.models.hscn import build_hscn
+        from graph_hscn_tpu.models.scn import build_scn
+        from graph_hscn_tpu.train.clustering import train_clustering
+        scn = build_scn(cfg.hscn, dm.num_features,
+                        max_nodes=((dm.max_nodes_per_graph() + 7) // 8) * 8)
+        clusters = train_clustering(logger, dm, scn, cfg.hscn, cfg.optim,
+                                    seed=cfg.training.seed)
+        dm.graphs = [g.replace(cluster=c)
+                     for g, c in zip(dm.graphs, clusters)]
+        model = build_hscn(
+            cfg.hscn, dm.num_classes,
+            compat_triangular=cfg.compat.vv_triangular_pattern,
+            compat_index_shift=cfg.compat.cluster_index_shift,
+            readout="none" if node_level else "mean", dtype=compute_dtype)
+    else:
+        model = build_mpnn(cfg.mpnn, dm.num_features, dm.num_classes,
+                           compat=cfg.compat.double_relu,
+                           readout="none" if node_level else "mean",
+                           dtype=compute_dtype)
+        if cfg.pe is not None and not cfg.compat.frozen_random_signnet:
+            from graph_hscn_tpu.models.encoded import wrap_with_signnet
+            model = wrap_with_signnet(model, cfg.pe, dm.num_features)
+
+    checkpointer = Checkpointer(cfg.training.checkpoint_dir)
+    results, meta = evaluate_checkpoint(
+        model,
+        {"val": dm.eval_batches("val"), "test": dm.eval_batches("test")},
+        cfg.optim, cfg.training, checkpointer, which=which,
+        node_level=node_level,
+        compat_sigmoid_score=cfg.compat.sigmoid_regression_score)
+    for split, m in results.items():
+        logger.info(f"[eval:{which}] {split}: " + ", ".join(
+            f"{k}={v:.4f}" for k, v in m.items()))
+    if meta:
+        logger.info(f"[eval:{which}] snapshot meta: {meta}")
+    logger.finish()
+    return results

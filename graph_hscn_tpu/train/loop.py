@@ -388,3 +388,41 @@ def fit(model, train_batches_fn: Callable[[], Iterable[GraphBatch]],
     return run_fit_loop(training_cfg, logger, checkpointer, train_epoch,
                         evaluate, lambda: state, start_epoch=start_epoch,
                         best_loss=best_loss)
+
+
+def evaluate_checkpoint(model, batches_by_split: dict, optim_cfg,
+                        training_cfg, checkpointer, which: str = "best",
+                        example_batch: GraphBatch | None = None,
+                        node_level: bool = False,
+                        compat_sigmoid_score: bool = False):
+    """Restore a snapshot and score it on the given splits (inference /
+    eval-only mode — no training).  Returns ({split: {"loss", metric}},
+    checkpoint_meta)."""
+    tx = build_optimizer(optim_cfg.optim_type, optim_cfg.lr,
+                         optim_cfg.weight_decay,
+                         optim_cfg.batch_accumulation,
+                         optim_cfg.clip_grad_norm)
+    if example_batch is None:
+        example_batch = next(iter(next(iter(batches_by_split.values()))))
+    state = init_state(model, tx, example_batch, seed=training_cfg.seed)
+    if not checkpointer.has(which):
+        raise FileNotFoundError(
+            f"no '{which}' snapshot in {checkpointer.dir}")
+    state, meta = checkpointer.restore(which, state)
+    _, eval_step = make_train_step(
+        model, tx, training_cfg.loss_fn, node_level=node_level,
+        compat_sigmoid_score=compat_sigmoid_score)
+    metric_fn = METRICS[training_cfg.metric]
+    results = {}
+    for split, batches in batches_by_split.items():
+        losses, scores, trues, masks = [], [], [], []
+        for batch in batches:
+            loss, score, true, mask = eval_step(state, batch)
+            losses.append(loss)
+            scores.append(score)
+            trues.append(true)
+            masks.append(mask)
+        loss, perf = _epoch_metrics(scores, trues, masks, losses,
+                                    metric_fn, node_level)
+        results[split] = {"loss": loss, training_cfg.metric: perf}
+    return results, meta

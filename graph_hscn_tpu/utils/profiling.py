@@ -71,3 +71,44 @@ def cost_analysis(fn, *args):
 
 def nan_guard(enable: bool = True):
     jax.config.update("jax_debug_nans", enable)
+
+
+def maybe_init_distributed(mode: str = "auto") -> bool:
+    """Multi-host bring-up (SURVEY §2.4 comm-backend row): call
+    ``jax.distributed.initialize()`` so every host in a pod slice joins one
+    JAX process group and ``jax.devices()`` spans the full slice.  Must run
+    before any backend initialization.
+
+    mode "auto": initialize only when an explicit coordinator address is
+    set (``JAX_COORDINATOR_ADDRESS`` / legacy ``COORDINATOR_ADDRESS``).
+    Pod-style vars like ``TPU_WORKER_HOSTNAMES`` are deliberately NOT
+    used as triggers — single-host rigs (including this build's relay)
+    set them too.  mode "on": initialize unconditionally (jax's own
+    auto-detection fills in cluster parameters on cloud TPU pods).
+    mode "off": never.  Returns True iff initialization was performed.
+    """
+    import os
+
+    if mode == "off":
+        return False
+    explicit = (os.environ.get("JAX_COORDINATOR_ADDRESS")
+                or os.environ.get("COORDINATOR_ADDRESS"))
+    if mode == "auto" and not explicit:
+        return False
+    kwargs = {}
+    if explicit:
+        kwargs["coordinator_address"] = explicit
+        if os.environ.get("JAX_NUM_PROCESSES"):
+            kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+        if os.environ.get("JAX_PROCESS_ID"):
+            kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError:
+        # Backends already up (single-process run that merely inherited
+        # pod env vars) or double-init.  "auto" degrades to single-host;
+        # "on" means the user demanded multi-host — surface the error.
+        if mode == "on":
+            raise
+        return False
+    return True

@@ -15,19 +15,27 @@ from pathlib import Path
 
 from graph_hscn_tpu.config.config import ExperimentConfig, load_config
 from graph_hscn_tpu.constants import LOGS_DIR
-from graph_hscn_tpu.runner import run_experiment
+from graph_hscn_tpu.runner import run_eval, run_experiment
 
 
 def main() -> None:
     parser = argparse.ArgumentParser(description="Graph-HSCN TPU CLI")
     parser.add_argument("--cfg", type=str, required=True,
                         help="Config file to use.")
+    parser.add_argument("--eval", type=str, default=None, metavar="SNAP",
+                        help="Eval-only mode: restore the named snapshot "
+                             "('best' or 'latest') from "
+                             "training.checkpoint_dir and score val/test "
+                             "instead of training.")
     args = parser.parse_args()
     cfg: ExperimentConfig = load_config(args.cfg)
     LOGS_DIR.mkdir(parents=True, exist_ok=True)
     log_file = LOGS_DIR / (f"{cfg.data.dataset_name}_"
                            f"{cfg.training.model_type}.log")
-    run_experiment(cfg, log_file=log_file)
+    if args.eval:
+        run_eval(cfg, which=args.eval, log_file=log_file)
+    else:
+        run_experiment(cfg, log_file=log_file)
 
 
 if __name__ == "__main__":

@@ -87,3 +87,31 @@ def test_auto_resume_from_latest(tmp_path):
     # Resumed run must not repeat epoch 0.
     assert min(resumed_epochs) > 0
     assert r2.epochs_run == 6
+
+
+def test_eval_only_mode(tmp_path):
+    """--eval mode: run_eval restores the best snapshot and reproduces the
+    training run's best-val loss through the CLI code path."""
+    from graph_hscn_tpu.config.config import ExperimentConfig
+    from graph_hscn_tpu.runner import run_eval, run_experiment
+
+    cfg = ExperimentConfig(
+        data=DataConfig(dataset_name="peptides_func", batch_size=8,
+                        num_graphs=32),
+        mpnn=MPNNConfig(conv_type="gcn", activation="relu",
+                        hidden_channels=16, num_layers=2, dropout=0.0),
+        optim=OptimConfig(optim_type="adamW", lr=0.01, weight_decay=5e-4),
+        training=TrainingConfig(model_type="gcn", loss_fn="cross_entropy",
+                                metric="ap", epochs=4, eval_period=2,
+                                patience=50, min_delta=0.0,
+                                use_wandb=False,
+                                checkpoint_dir=str(tmp_path / "ckpt")),
+    )
+    result = run_experiment(cfg)
+    best_val = min(h["validation_loss"] for h in result.history
+                   if "validation_loss" in h)
+    scores = run_eval(cfg, which="best")
+    assert set(scores) == {"val", "test"}
+    assert np.isfinite(scores["test"]["ap"])
+    np.testing.assert_allclose(scores["val"]["loss"], best_val,
+                               rtol=1e-5, atol=1e-6)

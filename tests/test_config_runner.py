@@ -197,3 +197,29 @@ def test_runner_dp_with_fused_stack():
     result = run_experiment(cfg)
     assert result.epochs_run == 2
     assert np.isfinite(result.history[-1]["train_loss"])
+
+
+def test_multihost_auto_is_noop_without_coordinator(monkeypatch):
+    """runtime.multihost="auto" must not initialize jax.distributed unless
+    a coordinator is configured (single-host default stays untouched)."""
+    from graph_hscn_tpu.utils import profiling
+
+    for var in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS"):
+        monkeypatch.delenv(var, raising=False)
+    # Pod-style vars must NOT trigger auto (single-host rigs set them).
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    assert profiling.maybe_init_distributed("auto") is False
+    assert profiling.maybe_init_distributed("off") is False
+
+    calls = {}
+
+    def fake_init(**kw):
+        calls.update(kw or {"called": True})
+
+    monkeypatch.setattr(profiling.jax.distributed, "initialize", fake_init)
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "4")
+    monkeypatch.setenv("JAX_PROCESS_ID", "2")
+    assert profiling.maybe_init_distributed("auto") is True
+    assert calls == {"coordinator_address": "10.0.0.1:1234",
+                     "num_processes": 4, "process_id": 2}
