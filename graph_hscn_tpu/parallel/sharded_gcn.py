@@ -198,10 +198,20 @@ def fit_edge_partitioned(dm, mesh: Mesh, mpnn_cfg, optim_cfg, training_cfg,
     dims = ([dm.num_features]
             + [mpnn_cfg.hidden_channels] * (mpnn_cfg.num_layers - 1)
             + [dm.num_classes])
-    params = init_sharded_gcn_params(
-        jax.random.PRNGKey(training_cfg.seed), dims)
-    forward, value_and_grad = make_sharded_gcn(
-        mesh, num_layers=len(dims) - 1, axis=axis)
+    conv = mpnn_cfg.conv_type.lower()
+    if conv == "gcn":
+        params = init_sharded_gcn_params(
+            jax.random.PRNGKey(training_cfg.seed), dims)
+        forward, value_and_grad = make_sharded_gcn(
+            mesh, num_layers=len(dims) - 1, axis=axis)
+    elif conv == "gat":
+        params = init_sharded_gat_params(
+            jax.random.PRNGKey(training_cfg.seed), dims)
+        forward, value_and_grad = make_sharded_gat(
+            mesh, num_layers=len(dims) - 1, axis=axis)
+    else:
+        raise ValueError("edge-partitioned path supports conv_type gcn "
+                         f"or gat, got {mpnn_cfg.conv_type!r}")
     tx = build_optimizer(optim_cfg.optim_type, optim_cfg.lr,
                          optim_cfg.weight_decay,
                          optim_cfg.batch_accumulation,
@@ -249,3 +259,132 @@ def fit_edge_partitioned(dm, mesh: Mesh, mpnn_cfg, optim_cfg, training_cfg,
     return run_fit_loop(training_cfg, logger, checkpointer, train_epoch,
                         evaluate_any, get_state, start_epoch=start_epoch,
                         best_loss=best_loss)
+
+
+def init_sharded_gat_params(rng, dims: list[int]) -> list[dict]:
+    """Single-head GAT stack params (kernel, att_src, att_dst, bias)."""
+    params = []
+    for i in range(len(dims) - 1):
+        rng, k1, k2, k3 = jax.random.split(rng, 4)
+        scale = jnp.sqrt(6.0 / (dims[i] + dims[i + 1]))
+        a_scale = jnp.sqrt(6.0 / (1 + dims[i + 1]))
+        params.append({
+            "kernel": jax.random.uniform(k1, (dims[i], dims[i + 1]),
+                                         minval=-scale, maxval=scale),
+            "att_src": jax.random.uniform(k2, (dims[i + 1],),
+                                          minval=-a_scale, maxval=a_scale),
+            "att_dst": jax.random.uniform(k3, (dims[i + 1],),
+                                          minval=-a_scale, maxval=a_scale),
+            "bias": jnp.zeros((dims[i + 1],)),
+        })
+    return params
+
+
+def make_sharded_gat(mesh: Mesh, num_layers: int, axis: str = "data",
+                     negative_slope: float = 0.2):
+    """Edge-partitioned single-head GAT (PyG semantics incl. the self edge
+    in each node's softmax, matching models.layers.GATConv with
+    add_self_loops=True).
+
+    Because edges are receiver-owned (parallel/edge_partition.py), every
+    incoming edge of an owned node lives on its owner device, so the
+    attention softmax is LOCAL — only sender features cross devices, via
+    the same per-layer targeted all_to_all as the sharded GCN.  Halo
+    senders' attention logits are computed from the received halo features
+    (no extra exchange).  ReLU between layers mirrors the MPNN stack.
+    """
+
+    def per_device_forward(params, x_blk, send_idx, snd_loc, rcv_loc,
+                           m_loc, snd_hal, rcv_hal, m_hal):
+        x = x_blk[0]
+        send_idx = send_idx[0]
+        snd_loc, rcv_loc, m_loc = snd_loc[0], rcv_loc[0], m_loc[0]
+        snd_hal, rcv_hal, m_hal = snd_hal[0], rcv_hal[0], m_hal[0]
+        nb = x.shape[0]
+        neg_inf = jnp.asarray(-jnp.inf, x.dtype)
+
+        h = x
+        for layer in params:
+            z = h @ layer["kernel"]
+            # Exchange transformed sender features; local attention math
+            # overlaps with the in-flight all_to_all.
+            halo = _halo(z, send_idx, axis)
+            a_src = z @ layer["att_src"]
+            a_dst = z @ layer["att_dst"]
+            a_src_halo = halo @ layer["att_src"]
+
+            e_loc = jax.nn.leaky_relu(a_src[snd_loc] + a_dst[rcv_loc],
+                                      negative_slope)
+            e_hal = jax.nn.leaky_relu(a_src_halo[snd_hal] + a_dst[rcv_hal],
+                                      negative_slope)
+            e_self = jax.nn.leaky_relu(a_src + a_dst, negative_slope)
+            e_loc = jnp.where(m_loc, e_loc, neg_inf)
+            e_hal = jnp.where(m_hal, e_hal, neg_inf)
+
+            seg_max = jnp.maximum(
+                jax.ops.segment_max(e_loc, rcv_loc, nb),
+                jax.ops.segment_max(e_hal, rcv_hal, nb))
+            m = jnp.maximum(jnp.where(jnp.isfinite(seg_max), seg_max,
+                                      neg_inf), e_self)
+            m = jnp.where(jnp.isfinite(m), m, 0.0)
+            exp_loc = jnp.where(m_loc, jnp.exp(e_loc - m[rcv_loc]), 0.0)
+            exp_hal = jnp.where(m_hal, jnp.exp(e_hal - m[rcv_hal]), 0.0)
+            exp_self = jnp.exp(e_self - m)
+            denom = (segment_sum(exp_loc, rcv_loc, nb)
+                     + segment_sum(exp_hal, rcv_hal, nb) + exp_self)
+            denom = jnp.maximum(denom, 1e-16)
+
+            agg = segment_sum(z[snd_loc] * exp_loc[:, None], rcv_loc, nb)
+            agg = agg + segment_sum(halo[snd_hal] * exp_hal[:, None],
+                                    rcv_hal, nb)
+            out = (agg + z * exp_self[:, None]) / denom[:, None]
+            h = out + layer["bias"]
+            if layer is not params[-1]:
+                h = jax.nn.relu(h)
+        return h[None]
+
+    forward = jax.jit(jax.shard_map(
+        per_device_forward, mesh=mesh,
+        in_specs=(P(),) + (P(axis),) * 8,
+        out_specs=P(axis),
+        check_vma=False,
+    ))
+
+    def per_device_value_grad(params, x_blk, send_idx, snd_loc, rcv_loc,
+                              m_loc, snd_hal, rcv_hal, m_hal, y_blk,
+                              node_ok_blk, gcnt):
+        def local_loss(params):
+            logits = per_device_forward(
+                params, x_blk, send_idx, snd_loc, rcv_loc, m_loc,
+                snd_hal, rcv_hal, m_hal)[0]
+            y = y_blk[0]
+            ok = node_ok_blk[0].astype(logits.dtype)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            per = -jnp.sum(y * logp, axis=-1)
+            return jnp.sum(per * ok) / gcnt
+
+        loss, grads = jax.value_and_grad(local_loss)(params)
+        loss = jax.lax.psum(loss, axis)
+        grads = jax.tree_util.tree_map(lambda g: jax.lax.psum(g, axis),
+                                       grads)
+        return loss, grads
+
+    _PLAN_KEYS = ("send_idx", "snd_loc", "rcv_loc", "mask_loc",
+                  "snd_hal", "rcv_hal", "mask_hal")
+
+    _vg = jax.jit(jax.shard_map(
+        per_device_value_grad, mesh=mesh,
+        in_specs=(P(),) + (P(axis),) * 10 + (None,),
+        out_specs=(P(), P()),
+        check_vma=False,
+    ), static_argnums=(11,))
+
+    def value_and_grad(params, x_blocks, plan, y_blocks, node_ok_blocks):
+        gcnt = float(np.maximum(np.asarray(node_ok_blocks).sum(), 1.0))
+        return _vg(params, x_blocks, *(plan[k] for k in _PLAN_KEYS),
+                   y_blocks, node_ok_blocks, gcnt)
+
+    def forward_wrapper(params, x_blocks, plan):
+        return forward(params, x_blocks, *(plan[k] for k in _PLAN_KEYS))
+
+    return forward_wrapper, value_and_grad

@@ -45,6 +45,7 @@ def test_shipped_configs_parse():
               "configs/GCN/peptides_func_GCN_dp8.yaml",
               "configs/GCN/voc_superpixels_GCN_edge_partition.yaml",
               "configs/GAT/peptides_func_GAT.yaml",
+              "configs/GAT/voc_superpixels_GAT_edge_partition.yaml",
               "configs/GIN/peptides_func_GIN.yaml",
               "configs/HSCN/peptides_func_HSCN.yaml",
               "configs/HSCN/voc_superpixels_HSCN.yaml",
@@ -70,6 +71,7 @@ def test_runner_gat_gin_small(tmp_path):
     """GAT and GIN family configs train through the CLI code path (GIN is
     unconstructible in the reference, quirk #11 — usable here)."""
     for p in ("configs/GAT/peptides_func_GAT.yaml",
+              "configs/GAT/voc_superpixels_GAT_edge_partition.yaml",
               "configs/GIN/peptides_func_GIN.yaml"):
         cfg = load_config(p)
         cfg.data.num_graphs = 32
@@ -150,6 +152,12 @@ def test_runner_edge_partitioned_mesh():
     assert result.epochs_run == 3
     assert np.isfinite(result.history[-1]["train_loss"])
     assert "validation_perf" in result.history[-1]
+    # GAT variant: receiver-local attention over the same partitioning.
+    raw["mp"]["conv_type"] = "gat"
+    raw["training"]["model_type"] = "gat"
+    result = run_experiment(parse_config(raw))
+    assert result.epochs_run == 3
+    assert np.isfinite(result.history[-1]["train_loss"])
 
 
 def test_runner_dp_node_level_softmax():
