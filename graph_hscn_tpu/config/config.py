@@ -168,6 +168,9 @@ class MeshConfig:
     # Sparse-path edge partitioning across an "edge" axis (shard_map halo
     # exchange); only meaningful for the large-graph sparse path.
     edge_partition: bool = False
+    # Cuthill-McKee node reordering before contiguous-block partitioning:
+    # shrinks the halo width H (per-layer all_to_all volume D*H*F).
+    locality_reorder: bool = True
 
 
 @dataclasses.dataclass

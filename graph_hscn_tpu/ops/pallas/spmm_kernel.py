@@ -255,7 +255,7 @@ def _spmm_hbm_call(x, w, ws, wr, snd_rel, rcv_rel, num_nodes: int,
         grid=(T,),
         in_specs=[
             tile_spec, tile_spec, tile_spec,
-            pl.BlockSpec(memory_space=pltpu.ANY),    # x stays off-chip
+            pl.BlockSpec(memory_space=pl.ANY),       # x stays off-chip
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[

@@ -158,6 +158,79 @@ def plan_halo_exchange(senders: np.ndarray, receivers: np.ndarray,
     return plan
 
 
+def locality_reorder(senders: np.ndarray, receivers: np.ndarray,
+                     edge_mask: np.ndarray, num_nodes: int,
+                     node_mask: np.ndarray | None = None) -> np.ndarray:
+    """Cuthill-McKee node reordering to shrink the halo exchange.
+
+    Contiguous-block partitioning means halo volume is set entirely by the
+    node ordering: an edge is "halo" iff its endpoints land in different
+    blocks.  A BFS (Cuthill-McKee) order clusters each neighborhood into a
+    narrow index band, so far fewer edges straddle block boundaries and
+    ``plan_halo_exchange``'s halo width H (which sets the per-layer
+    all_to_all volume D*H*F) drops accordingly.  The reference has no
+    analog (it is single-device, SURVEY §2.4); this is pure TPU-systems
+    work on the host-side partition plan.
+
+    Components are seeded from minimum-degree nodes; neighbors are visited
+    in degree order (the classic CM heuristic).  Padding nodes (node_mask
+    False) are appended at the end, keeping real nodes compact.
+
+    Returns ``perm`` with ``perm[new_id] = old_id`` (a bijection over
+    ``num_nodes``); apply with :func:`apply_node_reorder`.
+    """
+    em = np.asarray(edge_mask, bool)
+    s = np.asarray(senders)[em].astype(np.int64)
+    r = np.asarray(receivers)[em].astype(np.int64)
+    u = np.concatenate([s, r])
+    v = np.concatenate([r, s])
+    deg = np.bincount(u, minlength=num_nodes)
+    v_sorted = v[np.argsort(u, kind="stable")]
+    indptr = np.zeros(num_nodes + 1, np.int64)
+    np.cumsum(deg, out=indptr[1:])
+
+    real = (np.ones(num_nodes, bool) if node_mask is None
+            else np.asarray(node_mask, bool))
+    visited = ~real                       # padding never enters the BFS
+    perm = np.empty(num_nodes, np.int64)
+    pos = 0
+    for seed in np.argsort(deg, kind="stable"):
+        if visited[seed]:
+            continue
+        visited[seed] = True
+        queue = [int(seed)]
+        head = 0
+        while head < len(queue):
+            nd = queue[head]
+            head += 1
+            perm[pos] = nd
+            pos += 1
+            nbrs = v_sorted[indptr[nd]:indptr[nd + 1]]
+            nbrs = np.unique(nbrs[~visited[nbrs]])
+            if nbrs.size:
+                nbrs = nbrs[np.argsort(deg[nbrs], kind="stable")]
+                visited[nbrs] = True
+                queue.extend(int(i) for i in nbrs)
+    pad = np.flatnonzero(~real)
+    perm[pos:pos + pad.size] = pad
+    assert pos + pad.size == num_nodes
+    return perm
+
+
+def apply_node_reorder(perm: np.ndarray, senders: np.ndarray,
+                       receivers: np.ndarray, *node_arrays):
+    """Apply a ``perm[new] = old`` node permutation: edge endpoints are
+    remapped through the inverse, node-indexed arrays gathered into the
+    new order.  Masked (padding) edge endpoints map like any other id —
+    they stay in range and are gated by edge_mask downstream."""
+    perm = np.asarray(perm)
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(perm.size)
+    new_s = inv[np.asarray(senders)].astype(np.int32)
+    new_r = inv[np.asarray(receivers)].astype(np.int32)
+    return (new_s, new_r) + tuple(np.asarray(a)[perm] for a in node_arrays)
+
+
 def _split_local_halo(snd_remap, rcv_local, mask, nb):
     """Split each device's edges into local-sender (id < Nb) and
     halo-sender groups, padded separately to 128-multiples."""

@@ -128,7 +128,8 @@ def run_experiment(cfg: ExperimentConfig, log_file=None) -> FitResult:
                         "devices (halo-exchange sharded GCN).")
             result = fit_edge_partitioned(dm, mesh, cfg.mpnn, cfg.optim,
                                           cfg.training, logger,
-                                          checkpointer=checkpointer)
+                                          checkpointer=checkpointer,
+                                          reorder=cfg.mesh.locality_reorder)
             logger.finish()
             return result
         logger.info(f"Data-parallel training over {mesh_size} devices "
