@@ -65,11 +65,16 @@ class MPNNConfig:
     dropout: float = D.DROPOUT
     use_batch_norm: bool = D.USE_BATCH_NORM
     use_layer_norm: bool = D.USE_LAYER_NORM
+    # GPS transformer-hybrid family only (conv_type: gps).
+    num_heads: int = D.NUM_HEADS
 
     def __post_init__(self):
         _check(0.0 <= self.dropout <= 1.0, "dropout must be in [0, 1]")
         _check(self.num_layers >= 1, "num_layers must be >= 1")
         _check(self.hidden_channels >= 1, "hidden_channels must be >= 1")
+        if self.conv_type.lower() == "gps":
+            _check(self.hidden_channels % self.num_heads == 0,
+                   "hidden_channels must divide evenly into num_heads")
 
 
 @dataclasses.dataclass

@@ -12,6 +12,7 @@ NUM_LAYERS = 3
 HIDDEN_CHANNELS = 16
 USE_BATCH_NORM = False
 USE_LAYER_NORM = False
+NUM_HEADS = 4           # GPS transformer-hybrid attention heads
 
 # Optimizer
 BATCH_ACCUMULATION = 1

@@ -104,6 +104,18 @@ def build_mpnn(model_cfg, num_features: int, num_classes: int,
             readout=readout,
             dtype=dtype,
         )
+    if model_cfg.conv_type.lower() == "gps":
+        from graph_hscn_tpu.models.gps import GPSModel
+        return GPSModel(
+            num_features=num_features,
+            hidden_channels=model_cfg.hidden_channels,
+            num_classes=num_classes,
+            num_layers=model_cfg.num_layers,
+            num_heads=model_cfg.num_heads,
+            dropout=model_cfg.dropout,
+            readout=readout,
+            dtype=dtype,
+        )
     return MPNN(
         conv_type=model_cfg.conv_type,
         activation=model_cfg.activation,

@@ -50,7 +50,8 @@ def test_shipped_configs_parse():
               "configs/HSCN/peptides_func_HSCN.yaml",
               "configs/HSCN/voc_superpixels_HSCN.yaml",
               "configs/GCN/voc_superpixels_GCN.yaml",
-              "configs/GatedGCN/peptides_struct_GatedGCN.yaml"):
+              "configs/GatedGCN/peptides_struct_GatedGCN.yaml",
+              "configs/GPS/peptides_func_GPS.yaml"):
         cfg = load_config(p)
         assert cfg.model_cfg is not None
 
