@@ -86,6 +86,28 @@ def test_gps_cli_smoke(tmp_path):
     assert np.isfinite(result.history[-1]["train_loss"])
 
 
+def test_gps_with_trainable_signnet_pe(tmp_path):
+    """GPS composes with the PE subsystem (EncodedModel wrapper is
+    model-agnostic): SignNet-encoded features feed the attention stack."""
+    raw = {
+        "data": {"dataset_name": "peptides_func", "batch_size": 8,
+                 "num_graphs": 24},
+        "mp": {"conv_type": "gps", "activation": "relu",
+               "hidden_channels": 16, "num_layers": 2, "num_heads": 2,
+               "dropout": 0.0},
+        "optim": {"optim_type": "adamW", "lr": 0.001,
+                  "weight_decay": 5e-4},
+        "pe": {"use": True, "frozen_random": False},
+        "training": {"model_type": "gps", "use_wandb": False,
+                     "loss_fn": "cross_entropy", "metric": "ap",
+                     "max_epochs": 2, "eval_period": 2, "min_delta": 0.0,
+                     "patience": 50},
+    }
+    cfg = parse_config(raw)
+    result = run_experiment(cfg, log_file=tmp_path / "gps_pe.log")
+    assert np.isfinite(result.history[-1]["train_loss"])
+
+
 def test_gps_heads_divisibility_validated():
     raw = {
         "data": {"dataset_name": "peptides_func"},
