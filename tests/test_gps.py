@@ -108,6 +108,22 @@ def test_gps_with_trainable_signnet_pe(tmp_path):
     assert np.isfinite(result.history[-1]["train_loss"])
 
 
+def test_gps_node_level_cli_smoke(tmp_path):
+    """GPS on node-level superpixel classification (readout='none')."""
+    cfg = load_config("configs/GPS/voc_superpixels_GPS.yaml")
+    cfg.data.num_graphs = 24
+    cfg.data.batch_size = 8
+    cfg.mpnn.hidden_channels = 16
+    cfg.mpnn.num_layers = 2
+    cfg.mpnn.num_heads = 2
+    cfg.mpnn.dropout = 0.0
+    cfg.training.epochs = 2
+    cfg.training.eval_period = 2
+    result = run_experiment(cfg, log_file=tmp_path / "gps_node.log")
+    assert np.isfinite(result.history[-1]["train_loss"])
+    assert "validation_perf" in result.history[-1]
+
+
 def test_gps_heads_divisibility_validated():
     raw = {
         "data": {"dataset_name": "peptides_func"},
