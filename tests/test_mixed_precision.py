@@ -59,6 +59,29 @@ def test_mpnn_bf16_tracks_f32(conv):
     assert err < 0.08, f"bf16 {conv} diverges from f32: rel err {err:.3f}"
 
 
+def test_gps_bf16_tracks_f32():
+    """GPS attention under bf16 compute: f32 softmax keeps it close."""
+    graphs = make_peptides_func(num_graphs=8, seed=0, mean_nodes=40)
+    budget = PadBudget.for_dataset(graphs, batch_size=8)
+    batch = pack_batch(graphs, budget, slot_nodes=128)
+    cfg = MPNNConfig(conv_type="gps", activation="relu",
+                     hidden_channels=32, num_layers=2, num_heads=4,
+                     dropout=0.0)
+    m32 = build_mpnn(cfg, batch.node_feat.shape[-1], 10)
+    m16 = build_mpnn(cfg, batch.node_feat.shape[-1], 10,
+                     dtype=jnp.bfloat16)
+    params = m32.init(jax.random.PRNGKey(0), batch, train=False)["params"]
+    p16 = m16.init(jax.random.PRNGKey(0), batch, train=False)["params"]
+    assert all(p.dtype == jnp.float32
+               for p in jax.tree_util.tree_leaves(p16))
+    y32 = m32.apply({"params": params}, batch, train=False)
+    y16 = m16.apply({"params": params}, batch, train=False)
+    assert y16.dtype == jnp.float32
+    scale = float(np.abs(np.asarray(y32)).mean()) + 1e-6
+    err = float(np.abs(np.asarray(y16) - np.asarray(y32)).mean()) / scale
+    assert err < 0.08, f"bf16 gps diverges from f32: rel err {err:.3f}"
+
+
 def test_hscn_bf16_tracks_f32():
     batch = _batch(with_cluster=True)
     cfg = HSCNConfig(activation="relu", hidden_channels=32, num_layers=2,
