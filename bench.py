@@ -206,6 +206,17 @@ def bench_model_step(steps: int = 3):
 
 def main():
     import jax
+    # Persistent compilation cache: the remote compile service this rig
+    # depends on intermittently wedges for minutes; caching compiled
+    # executables on disk makes reruns immune once a program has compiled
+    # anywhere before.
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception as e:  # older jax / unsupported backend: best-effort
+        log(f"compilation cache unavailable: {e}")
     backend = jax.default_backend()
     log(f"jax backend: {backend}, devices: {jax.devices()}")
 
@@ -237,6 +248,17 @@ def main():
     if dt_sparse:
         log(f"sparse (gather+segsum) fwd+bwd: {dt_sparse * 1e6:.1f} us "
             f"-> {real_edges / dt_sparse / 1e6:.1f} M edges/s")
+
+    if dt_dense is None:
+        # The dense path is the usual headline winner; if its first
+        # compile hit the service wedge, try once more now that other
+        # programs have gotten through (the wedge is intermittent).
+        log("retrying dense path once...")
+        dt_dense = with_deadline(lambda: bench_dense(dense, x.shape[1]),
+                                 240, "dense path retry")
+        if dt_dense:
+            log(f"dense-block fwd+bwd (retry): {dt_dense * 1e6:.1f} us "
+                f"-> {real_edges / dt_dense / 1e6:.1f} M edges/s")
 
     candidates = [d for d in (dt_sparse, dt_dense) if d]
     if not candidates:

@@ -102,6 +102,10 @@ class OptimConfig:
     clip_grad_norm: bool = D.CLIP_GRAD_NORM
     lr: float = D.LR
     weight_decay: float = D.WEIGHT_DECAY
+    # LR schedule (reference: constant only).  cosine/linear decay over
+    # the full run, with optional linear warmup in optimizer steps.
+    schedule: str = "constant"
+    warmup_steps: int = 0
 
     def __post_init__(self):
         # YAML 1.1 parses bare scientific notation ("5e-4") as a string.
@@ -112,6 +116,9 @@ class OptimConfig:
                "weight_decay must be in [0, 1]")
         _check(self.optim_type.lower() in ("adagrad", "adam", "adamw"),
                f"unknown optimizer {self.optim_type}")
+        _check(self.schedule.lower() in ("constant", "cosine", "linear"),
+               f"unknown LR schedule {self.schedule}")
+        _check(self.warmup_steps >= 0, "warmup_steps must be >= 0")
 
 
 @dataclasses.dataclass

@@ -247,10 +247,14 @@ def fit_dp(model, dm, mesh: Mesh, optim_cfg, training_cfg, logger,
     eval_batches = {split: list(batches(split, False, 0))
                     for split in ("val", "test")}
 
+    steps_per_epoch = -(-len(dm.split("train")) // dm.batch_size)
     tx = build_optimizer(optim_cfg.optim_type, optim_cfg.lr,
                          optim_cfg.weight_decay,
                          optim_cfg.batch_accumulation,
-                         optim_cfg.clip_grad_norm)
+                         optim_cfg.clip_grad_norm,
+                         schedule=getattr(optim_cfg, "schedule", "constant"),
+                         warmup_steps=getattr(optim_cfg, "warmup_steps", 0),
+                         total_steps=training_cfg.epochs * steps_per_epoch)
     metric_fn = METRICS[training_cfg.metric]
     example = jax.tree_util.tree_map(
         lambda x: x[0], eval_batches["val"][0])

@@ -232,7 +232,10 @@ def fit_edge_partitioned(dm, mesh: Mesh, mpnn_cfg, optim_cfg, training_cfg,
     tx = build_optimizer(optim_cfg.optim_type, optim_cfg.lr,
                          optim_cfg.weight_decay,
                          optim_cfg.batch_accumulation,
-                         optim_cfg.clip_grad_norm)
+                         optim_cfg.clip_grad_norm,
+                         schedule=getattr(optim_cfg, "schedule", "constant"),
+                         warmup_steps=getattr(optim_cfg, "warmup_steps", 0),
+                         total_steps=training_cfg.epochs)  # 1 step/epoch
     opt_state = tx.init(params)
 
     def _apply(p, o, g):

@@ -270,12 +270,16 @@ def fit_on_device_dataset(model, ds, split_ids: dict, batch_size,
     from graph_hscn_tpu.train.device_data import (epoch_permutation,
                                                   make_epoch_fn)
 
+    counts = {k: len(v) for k, v in split_ids.items()}
+    steps_per_epoch = -(-counts["train"] // batch_size)
     tx = build_optimizer(optim_cfg.optim_type, optim_cfg.lr,
                          optim_cfg.weight_decay,
                          optim_cfg.batch_accumulation,
-                         optim_cfg.clip_grad_norm)
+                         optim_cfg.clip_grad_norm,
+                         schedule=getattr(optim_cfg, "schedule", "constant"),
+                         warmup_steps=getattr(optim_cfg, "warmup_steps", 0),
+                         total_steps=training_cfg.epochs * steps_per_epoch)
     metric_fn = METRICS[training_cfg.metric]
-    counts = {k: len(v) for k, v in split_ids.items()}
 
     def split_perm(name, seed, shuffle):
         p = epoch_permutation(counts[name], batch_size, seed, shuffle)
@@ -334,10 +338,19 @@ def fit(model, train_batches_fn: Callable[[], Iterable[GraphBatch]],
         checkpointer=None, prefetch: bool = False) -> FitResult:
     """Full training run with eval cadence + early stopping
     (mirrors reference train.py:147-214)."""
+    schedule = getattr(optim_cfg, "schedule", "constant")
+    total_steps = None
+    if schedule.lower() != "constant":
+        # One counting pass over the packer (host-side, no device work).
+        n_batches = sum(1 for _ in train_batches_fn())
+        total_steps = training_cfg.epochs * max(n_batches, 1)
     tx = build_optimizer(optim_cfg.optim_type, optim_cfg.lr,
                          optim_cfg.weight_decay,
                          optim_cfg.batch_accumulation,
-                         optim_cfg.clip_grad_norm)
+                         optim_cfg.clip_grad_norm,
+                         schedule=schedule,
+                         warmup_steps=getattr(optim_cfg, "warmup_steps", 0),
+                         total_steps=total_steps)
     metric_fn = METRICS[training_cfg.metric]
     if example_batch is None:
         example_batch = next(iter(train_batches_fn()))
@@ -398,10 +411,16 @@ def evaluate_checkpoint(model, batches_by_split: dict, optim_cfg,
     """Restore a snapshot and score it on the given splits (inference /
     eval-only mode — no training).  Returns ({split: {"loss", metric}},
     checkpoint_meta)."""
+    # Inference-only restore: schedule VALUES are irrelevant, but the
+    # opt-state STRUCTURE must match the training run's (a schedule adds a
+    # step counter), so build with the same schedule and a dummy horizon.
     tx = build_optimizer(optim_cfg.optim_type, optim_cfg.lr,
                          optim_cfg.weight_decay,
                          optim_cfg.batch_accumulation,
-                         optim_cfg.clip_grad_norm)
+                         optim_cfg.clip_grad_norm,
+                         schedule=getattr(optim_cfg, "schedule", "constant"),
+                         warmup_steps=getattr(optim_cfg, "warmup_steps", 0),
+                         total_steps=1)
     if example_batch is None:
         example_batch = next(iter(next(iter(batches_by_split.values()))))
     state = init_state(model, tx, example_batch, seed=training_cfg.seed)
