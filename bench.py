@@ -73,7 +73,7 @@ def build_workload(num_graphs=32, mean_nodes=150, feat=128, seed=0):
     return batch, dense, x, real_edges
 
 
-def scan_bench(step_fn, x0, args, iters=30, reps=3):
+def scan_bench(step_fn, x0, args, iters=30, reps=5):
     """Per-iteration time of ``step_fn`` chained inside one jit+scan program
     with forced completion via scalar readback."""
     import jax
@@ -156,10 +156,12 @@ def bench_torch_cpu(batch, x, iters=20, warmup=3):
 
     for _ in range(warmup):
         fwd_bwd()
-    t0 = time.perf_counter()
+    best = float("inf")
     for _ in range(iters):
+        t0 = time.perf_counter()
         fwd_bwd()
-    return (time.perf_counter() - t0) / iters
+        best = min(best, time.perf_counter() - t0)
+    return best  # min, symmetric with scan_bench's aggregation
 
 
 def bench_model_step(steps: int = 3):

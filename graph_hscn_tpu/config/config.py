@@ -67,6 +67,7 @@ class MPNNConfig:
     use_layer_norm: bool = D.USE_LAYER_NORM
     # GPS transformer-hybrid family only (conv_type: gps).
     num_heads: int = D.NUM_HEADS
+    gps_local_conv: str = "gcn"     # "gcn" | "gatedgcn" (edge features)
 
     def __post_init__(self):
         _check(0.0 <= self.dropout <= 1.0, "dropout must be in [0, 1]")
@@ -75,6 +76,8 @@ class MPNNConfig:
         if self.conv_type.lower() == "gps":
             _check(self.hidden_channels % self.num_heads == 0,
                    "hidden_channels must divide evenly into num_heads")
+            _check(self.gps_local_conv.lower() in ("gcn", "gatedgcn"),
+                   f"unknown gps_local_conv {self.gps_local_conv}")
 
 
 @dataclasses.dataclass

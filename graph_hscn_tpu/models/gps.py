@@ -77,10 +77,12 @@ class GPSLayer(nn.Module):
     hidden: int
     num_heads: int
     dropout: float
+    local_conv: str = "gcn"      # "gcn" | "gatedgcn" (edge features)
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, batch: GraphBatch, dense_adj, train: bool):
+    def __call__(self, x, batch: GraphBatch, dense_adj, train: bool,
+                 edge_state=None):
         slot = batch.slot
         n = batch.num_nodes_padded
 
@@ -90,12 +92,22 @@ class GPSLayer(nn.Module):
                                deterministic=not train)(h)
             return h
 
-        # Local: GCN over the real edges (dense slotted execution).
+        # Local message passing over the real edges.
         h = nn.LayerNorm(dtype=self.dtype)(x)
-        local = GCNConv(features=self.hidden, dtype=self.dtype)(
-            h, batch.senders, batch.receivers, batch.edge_mask,
-            num_nodes=n, dense_adj=dense_adj, plan=batch.spmm)
-        h_local = x + drop(nn.relu(local))
+        e_out = edge_state
+        if self.local_conv == "gatedgcn":
+            from graph_hscn_tpu.models.layers import GatedGCNConv
+            local, e_out = GatedGCNConv(
+                features=self.hidden, residual=False, norm="none",
+                dtype=self.dtype)(
+                h, edge_state, batch.senders, batch.receivers,
+                batch.edge_mask, num_nodes=n, train=train)
+            h_local = x + drop(local)
+        else:
+            local = GCNConv(features=self.hidden, dtype=self.dtype)(
+                h, batch.senders, batch.receivers, batch.edge_mask,
+                num_nodes=n, dense_adj=dense_adj, plan=batch.spmm)
+            h_local = x + drop(nn.relu(local))
 
         # Global: dense per-graph attention on the slot blocks.
         g = nn.LayerNorm(dtype=self.dtype)(x)
@@ -110,7 +122,7 @@ class GPSLayer(nn.Module):
         f = nn.Dense(2 * self.hidden, dtype=self.dtype)(f)
         f = nn.gelu(f)
         f = nn.Dense(self.hidden, dtype=self.dtype)(f)
-        return h + drop(f)
+        return h + drop(f), e_out
 
 
 class GPSModel(nn.Module):
@@ -122,6 +134,7 @@ class GPSModel(nn.Module):
     num_layers: int
     num_heads: int = 4
     dropout: float = 0.0
+    local_conv: str = "gcn"      # "gatedgcn" threads edge features through
     readout: str = "mean"        # "none" for node-level tasks
     dtype: Any = None
 
@@ -134,11 +147,19 @@ class GPSModel(nn.Module):
                 "exceed DENSE_PATH_MAX_NODES)")
         x = nn.Dense(self.hidden_channels, kernel_init=glorot,
                      dtype=self.dtype)(batch.node_feat)
+        e = None
+        if self.local_conv == "gatedgcn":
+            ef = (batch.edge_feat if batch.edge_feat is not None
+                  else jnp.ones((batch.num_edges_padded, 1), jnp.float32))
+            e = nn.Dense(self.hidden_channels, kernel_init=glorot,
+                         dtype=self.dtype)(ef)
         dense_adj = resolve_dense_adj(batch)
         for _ in range(self.num_layers):
-            x = GPSLayer(hidden=self.hidden_channels,
-                         num_heads=self.num_heads, dropout=self.dropout,
-                         dtype=self.dtype)(x, batch, dense_adj, train)
+            x, e = GPSLayer(hidden=self.hidden_channels,
+                            num_heads=self.num_heads, dropout=self.dropout,
+                            local_conv=self.local_conv,
+                            dtype=self.dtype)(x, batch, dense_adj, train,
+                                              edge_state=e)
         x = nn.LayerNorm(dtype=self.dtype)(x)
         x = nn.Dense(self.num_classes, kernel_init=glorot,
                      dtype=self.dtype)(x)

@@ -113,6 +113,7 @@ def build_mpnn(model_cfg, num_features: int, num_classes: int,
             num_layers=model_cfg.num_layers,
             num_heads=model_cfg.num_heads,
             dropout=model_cfg.dropout,
+            local_conv=getattr(model_cfg, "gps_local_conv", "gcn").lower(),
             readout=readout,
             dtype=dtype,
         )

@@ -52,7 +52,8 @@ def test_shipped_configs_parse():
               "configs/GCN/voc_superpixels_GCN.yaml",
               "configs/GatedGCN/peptides_struct_GatedGCN.yaml",
               "configs/GPS/peptides_func_GPS.yaml",
-              "configs/GPS/voc_superpixels_GPS.yaml"):
+              "configs/GPS/voc_superpixels_GPS.yaml",
+              "configs/GPS/peptides_struct_GPS.yaml"):
         cfg = load_config(p)
         assert cfg.model_cfg is not None
 

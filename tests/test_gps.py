@@ -124,6 +124,23 @@ def test_gps_node_level_cli_smoke(tmp_path):
     assert "validation_perf" in result.history[-1]
 
 
+def test_gps_gatedgcn_local_struct_cli_smoke(tmp_path):
+    """GPS with a GatedGCN local module on edge-featured regression
+    (Peptides-struct, L1/MAE) + cosine schedule — the GraphGPS recipe."""
+    cfg = load_config("configs/GPS/peptides_struct_GPS.yaml")
+    cfg.data.num_graphs = 32
+    cfg.data.batch_size = 8
+    cfg.mpnn.hidden_channels = 16
+    cfg.mpnn.num_layers = 2
+    cfg.mpnn.num_heads = 2
+    cfg.mpnn.dropout = 0.0
+    cfg.optim.warmup_steps = 2
+    cfg.training.epochs = 2
+    cfg.training.eval_period = 2
+    result = run_experiment(cfg, log_file=tmp_path / "gps_struct.log")
+    assert np.isfinite(result.history[-1]["train_loss"])
+
+
 def test_gps_heads_divisibility_validated():
     raw = {
         "data": {"dataset_name": "peptides_func"},
