@@ -65,7 +65,9 @@ class MPNNConfig:
     dropout: float = D.DROPOUT
     use_batch_norm: bool = D.USE_BATCH_NORM
     use_layer_norm: bool = D.USE_LAYER_NORM
-    # GPS transformer-hybrid family only (conv_type: gps).
+    # Attention heads: GPS global attention AND multi-head GAT
+    # (conv_type: gat with num_heads > 1 concatenates H heads of
+    # hidden_channels // H each, PyG GATConv(concat=True) semantics).
     num_heads: int = D.NUM_HEADS
     gps_local_conv: str = "gcn"     # "gcn" | "gatedgcn" (edge features)
 
@@ -73,7 +75,7 @@ class MPNNConfig:
         _check(0.0 <= self.dropout <= 1.0, "dropout must be in [0, 1]")
         _check(self.num_layers >= 1, "num_layers must be >= 1")
         _check(self.hidden_channels >= 1, "hidden_channels must be >= 1")
-        if self.conv_type.lower() == "gps":
+        if self.conv_type.lower() in ("gps", "gat"):
             _check(self.hidden_channels % self.num_heads == 0,
                    "hidden_channels must divide evenly into num_heads")
             _check(self.gps_local_conv.lower() in ("gcn", "gatedgcn"),

@@ -48,7 +48,9 @@ def run_hscn_pipeline(cfg: ExperimentConfig, dm: DataModule, logger
         checkpointer = Checkpointer(cfg.training.checkpoint_dir)
     result = fit(
         model,
-        lambda: dm.train_batches(),
+        # Per-epoch reshuffle, matching the device-resident path's
+        # seed + epoch convention (train/loop.py fit_on_device_dataset).
+        lambda epoch: dm.train_batches(epoch_seed=dm.seed + epoch),
         dm.eval_batches("val"), dm.eval_batches("test"),
         cfg.optim, cfg.training, logger,
         node_level=node_level,

@@ -86,11 +86,12 @@ class GCNConv(nn.Module):
             out = jnp.pad(out, ((0, n - out.shape[0]), (0, 0)))
         else:
             if self.normalize:
+                # Weighted degree when edge_weight is given (PyG gcn_norm
+                # computes deg from the edge weights, not the edge count).
                 norm_w, diag = gcn_norm_weights(
                     senders, receivers, edge_mask, n,
-                    add_self_loops=self.add_self_loops)
-                if edge_weight is not None:
-                    norm_w = norm_w * edge_weight
+                    add_self_loops=self.add_self_loops,
+                    edge_weight=edge_weight)
             else:
                 norm_w = jnp.where(
                     edge_mask,

@@ -45,6 +45,7 @@ class MPNN(nn.Module):
     compat_double_relu: bool = True
     readout: str = "mean"        # graph-level; "none" for node-level tasks
     dtype: Any = None            # bf16 compute (params/logits stay f32)
+    num_heads: int = 1           # GAT only: H heads of hidden//H, concat
 
     @nn.compact
     def __call__(self, batch: GraphBatch, train: bool = True):
@@ -65,7 +66,17 @@ class MPNN(nn.Module):
         elif ct == "gat":
             extra = {"dense_adj": resolve_dense_adj(batch)}
         for i, dim in enumerate(dims):
-            conv = conv_cls(features=dim, dtype=self.dtype)
+            if ct == "gat" and self.num_heads > 1:
+                # Multi-head GAT, PyG convention: hidden layers split the
+                # width across H concatenated heads; the output layer
+                # averages heads (concat=False) to hit num_classes.
+                last = i == self.num_layers - 1
+                conv = GATConv(
+                    features=dim if last else dim // self.num_heads,
+                    heads=self.num_heads, concat=not last,
+                    dtype=self.dtype)
+            else:
+                conv = conv_cls(features=dim, dtype=self.dtype)
             x = conv(x, batch.senders, batch.receivers, batch.edge_mask,
                      num_nodes=n, **extra)
             if i < self.num_layers - 1:
@@ -130,4 +141,5 @@ def build_mpnn(model_cfg, num_features: int, num_classes: int,
         compat_double_relu=compat,
         readout=readout,
         dtype=dtype,
+        num_heads=getattr(model_cfg, "num_heads", 1),
     )

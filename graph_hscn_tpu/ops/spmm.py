@@ -87,6 +87,7 @@ def gcn_norm_weights(
     edge_mask: jnp.ndarray,
     num_nodes: int,
     add_self_loops: bool = True,
+    edge_weight: jnp.ndarray | None = None,
 ):
     """Symmetric GCN normalization  D^-1/2 (A+I) D^-1/2, matching PyG's
     ``gcn_norm`` (used at reference train_clustering.py:37-42 and inside
@@ -97,14 +98,20 @@ def gcn_norm_weights(
     applied as a separate diagonal term (we never materialize extra edges —
     the self-loop contribution is added as ``diag * x`` in the conv).
 
-    deg counts incoming real edges + 1 for the self loop.
+    With ``edge_weight`` the degree is the WEIGHTED in-degree and the
+    returned weights are ``w_e * dinv[send] * dinv[recv]`` (PyG gcn_norm
+    semantics: deg = scatter_add(edge_weight), self-loop weight 1);
+    without it, deg counts incoming real edges + 1 for the self loop.
     """
-    ones = jnp.where(edge_mask, 1.0, 0.0)
+    ones = jnp.where(edge_mask,
+                     1.0 if edge_weight is None else edge_weight, 0.0)
     deg = segment_sum(ones, receivers, num_nodes, indices_are_sorted=True)
     if add_self_loops:
         deg = deg + 1.0
     inv_sqrt = jnp.where(deg > 0, jax.lax.rsqrt(jnp.maximum(deg, 1e-12)), 0.0)
     w = inv_sqrt[senders] * inv_sqrt[receivers]
+    if edge_weight is not None:
+        w = w * edge_weight
     w = jnp.where(edge_mask, w, 0.0)
     diag = inv_sqrt * inv_sqrt if add_self_loops else None
     return w, diag

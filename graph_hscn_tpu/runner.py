@@ -158,7 +158,9 @@ def run_experiment(cfg: ExperimentConfig, log_file=None) -> FitResult:
     else:
         result = fit(
             model,
-            lambda: dm.train_batches(),
+            # Fresh batch composition every epoch (reference DataLoader
+            # shuffle=True semantics, loader.py:48-60).
+            lambda epoch: dm.train_batches(epoch_seed=dm.seed + epoch),
             dm.eval_batches("val"), dm.eval_batches("test"),
             cfg.optim, cfg.training, logger,
             node_level=node_level,

@@ -126,7 +126,7 @@ def init_state(model, tx, example_batch: GraphBatch, seed: int = 0
                       step=jnp.zeros((), jnp.int32), rng=state_rng)
 
 
-def _epoch_metrics(scores, trues, masks, losses, metric_fn, node_level):
+def _epoch_metrics(scores, trues, masks, losses, metric_fn):
     y_pred = np.concatenate([np.asarray(s) for s in scores])
     y_true = np.concatenate([np.asarray(t) for t in trues])
     m = np.concatenate([np.asarray(k) for k in masks])
@@ -330,19 +330,24 @@ def fit_on_device_dataset(model, ds, split_ids: dict, batch_size,
                             start_epoch=start_epoch, best_loss=best_loss)
 
 
-def fit(model, train_batches_fn: Callable[[], Iterable[GraphBatch]],
+def fit(model, train_batches_fn: Callable[[int], Iterable[GraphBatch]],
         val_batches: list[GraphBatch], test_batches: list[GraphBatch],
         optim_cfg, training_cfg, logger, example_batch: GraphBatch | None = None,
         node_level: bool = False, compat_sigmoid_score: bool = False,
         shard_batch: Callable[[GraphBatch], GraphBatch] | None = None,
         checkpointer=None, prefetch: bool = False) -> FitResult:
     """Full training run with eval cadence + early stopping
-    (mirrors reference train.py:147-214)."""
+    (mirrors reference train.py:147-214).
+
+    ``train_batches_fn(epoch)`` must yield the epoch's training batches;
+    threading the epoch through lets the packer reshuffle per epoch (the
+    reference's DataLoader(shuffle=True) draws fresh batch compositions
+    every epoch, loader.py:48-60)."""
     schedule = getattr(optim_cfg, "schedule", "constant")
     total_steps = None
     if schedule.lower() != "constant":
         # One counting pass over the packer (host-side, no device work).
-        n_batches = sum(1 for _ in train_batches_fn())
+        n_batches = sum(1 for _ in train_batches_fn(0))
         total_steps = training_cfg.epochs * max(n_batches, 1)
     tx = build_optimizer(optim_cfg.optim_type, optim_cfg.lr,
                          optim_cfg.weight_decay,
@@ -353,7 +358,7 @@ def fit(model, train_batches_fn: Callable[[], Iterable[GraphBatch]],
                          total_steps=total_steps)
     metric_fn = METRICS[training_cfg.metric]
     if example_batch is None:
-        example_batch = next(iter(train_batches_fn()))
+        example_batch = next(iter(train_batches_fn(0)))
     if shard_batch is not None:
         example_batch = shard_batch(example_batch)
     state = init_state(model, tx, example_batch, seed=training_cfg.seed)
@@ -385,13 +390,13 @@ def fit(model, train_batches_fn: Callable[[], Iterable[GraphBatch]],
             trues.append(true)
             masks.append(mask)
         return new_state, _epoch_metrics(scores, trues, masks, losses,
-                                         metric_fn, node_level)
+                                         metric_fn)
 
     eval_sets = {"val": val_batches, "test": test_batches}
 
     def train_epoch(epoch):
         nonlocal state
-        state, (loss, perf) = _run(train_batches_fn(), train_step)
+        state, (loss, perf) = _run(train_batches_fn(epoch), train_step)
         return loss, perf, None
 
     def evaluate(split):
@@ -442,6 +447,6 @@ def evaluate_checkpoint(model, batches_by_split: dict, optim_cfg,
             trues.append(true)
             masks.append(mask)
         loss, perf = _epoch_metrics(scores, trues, masks, losses,
-                                    metric_fn, node_level)
+                                    metric_fn)
         results[split] = {"loss": loss, training_cfg.metric: perf}
     return results, meta

@@ -54,6 +54,12 @@ def build_optimizer(optim_type: str, lr: float, weight_decay: float,
                     schedule: str = "constant", warmup_steps: int = 0,
                     total_steps: int | None = None
                     ) -> optax.GradientTransformation:
+    if batch_accumulation > 1 and total_steps is not None:
+        # optax.MultiSteps advances the inner schedule once per k
+        # accumulated mini-batches; callers pass total_steps in
+        # mini-batches, so convert to optimizer updates or the decay
+        # would silently cover only 1/k of its horizon.
+        total_steps = -(-total_steps // batch_accumulation)
     rate = learning_rate_schedule(lr, schedule, warmup_steps, total_steps)
     t = optim_type.lower()
     if t == "adamw":

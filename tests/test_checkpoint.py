@@ -27,7 +27,7 @@ def test_checkpoint_roundtrip(tmp_path):
                                   checkpoint_dir=str(tmp_path / "ckpt"))
     ckpt = Checkpointer(tmp_path / "ckpt")
     logger = Logger(metric_name="ap")
-    result = fit(model, lambda: dm.train_batches(),
+    result = fit(model, lambda epoch: dm.train_batches(epoch_seed=epoch),
                  dm.eval_batches("val"), dm.eval_batches("test"),
                  optim_cfg, training_cfg, logger, checkpointer=ckpt)
     assert ckpt.has("best")
@@ -74,12 +74,12 @@ def test_auto_resume_from_latest(tmp_path):
                 eval_period=2, min_delta=0.0, patience=50,
                 checkpoint_every=1)
     ck = Checkpointer(tmp_path)
-    r1 = fit(model, lambda: dm.train_batches(), dm.eval_batches("val"),
+    r1 = fit(model, lambda epoch: dm.train_batches(epoch_seed=epoch), dm.eval_batches("val"),
              dm.eval_batches("test"), optim_cfg,
              TrainingConfig(epochs=4, **tcfg), Logger(metric_name="ap"),
              checkpointer=ck)
     assert ck.has("latest")
-    r2 = fit(model, lambda: dm.train_batches(), dm.eval_batches("val"),
+    r2 = fit(model, lambda epoch: dm.train_batches(epoch_seed=epoch), dm.eval_batches("val"),
              dm.eval_batches("test"), optim_cfg,
              TrainingConfig(epochs=6, **tcfg), Logger(metric_name="ap"),
              checkpointer=Checkpointer(tmp_path))

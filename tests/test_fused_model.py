@@ -54,7 +54,7 @@ def test_fused_model_trains():
                                   loss_fn="cross_entropy", metric="ap",
                                   epochs=6, eval_period=3, patience=50,
                                   min_delta=0.0)
-    result = fit(model, lambda: dm.train_batches(),
+    result = fit(model, lambda epoch: dm.train_batches(epoch_seed=epoch),
                  dm.eval_batches("val"), dm.eval_batches("test"),
                  optim_cfg, training_cfg, Logger(metric_name="ap"))
     assert result.history[-1]["train_loss"] < result.history[0]["train_loss"]
@@ -157,7 +157,7 @@ def test_fused_model_trains_with_dropout():
                                   loss_fn="cross_entropy", metric="ap",
                                   epochs=4, eval_period=2, patience=50,
                                   min_delta=0.0)
-    result = fit(model, lambda: dm.train_batches(),
+    result = fit(model, lambda epoch: dm.train_batches(epoch_seed=epoch),
                  dm.eval_batches("val"), dm.eval_batches("test"),
                  optim_cfg, training_cfg, Logger(metric_name="ap"))
     assert result.history[-1]["train_loss"] < result.history[0]["train_loss"]

@@ -160,7 +160,7 @@ def test_hscn_end_to_end():
                                   metric="ap", epochs=6, eval_period=3,
                                   patience=50, min_delta=0.0)
     logger = Logger(metric_name="ap")
-    result = fit(model, lambda: dm.train_batches(),
+    result = fit(model, lambda epoch: dm.train_batches(epoch_seed=epoch),
                  dm.eval_batches("val"), dm.eval_batches("test"),
                  optim_cfg, training_cfg, logger)
     assert result.history[-1]["train_loss"] < result.history[0]["train_loss"]

@@ -24,7 +24,7 @@ def test_gcn_trains_on_peptides_func():
     model = build_mpnn(model_cfg, dm.num_features, dm.num_classes)
     logger = Logger(metric_name="ap")
     result = fit(model,
-                 lambda: dm.train_batches(),
+                 lambda epoch: dm.train_batches(epoch_seed=epoch),
                  dm.eval_batches("val"), dm.eval_batches("test"),
                  optim_cfg, training_cfg, logger)
     first, last = result.history[0], result.history[-1]
@@ -52,7 +52,7 @@ def test_early_stopping_semantics():
     dm = DataModule.from_config(data_cfg)
     model = build_mpnn(model_cfg, dm.num_features, dm.num_classes)
     logger = Logger(metric_name="ap")
-    result = fit(model, lambda: dm.train_batches(),
+    result = fit(model, lambda epoch: dm.train_batches(epoch_seed=epoch),
                  dm.eval_batches("val"), dm.eval_batches("test"),
                  optim_cfg, training_cfg, logger)
     assert result.stopped_early
@@ -74,7 +74,7 @@ def test_struct_regression_trains():
     model = build_mpnn(model_cfg, dm.num_features, dm.num_classes,
                        compat=False)
     logger = Logger(metric_name="mae")
-    result = fit(model, lambda: dm.train_batches(),
+    result = fit(model, lambda epoch: dm.train_batches(epoch_seed=epoch),
                  dm.eval_batches("val"), dm.eval_batches("test"),
                  optim_cfg, training_cfg, logger)
     assert result.history[-1]["train_loss"] < result.history[0]["train_loss"]
