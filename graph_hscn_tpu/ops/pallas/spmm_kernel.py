@@ -108,8 +108,14 @@ def spmm_plan(senders: np.ndarray, receivers: np.ndarray,
     edge_mask = np.asarray(edge_mask, bool)
     E = senders.shape[0]
     if E % tile_edges != 0:
-        # The batcher pads edges to a multiple of 128; require % TE == 0.
-        return None
+        # The batcher pads edges to a multiple of 128; round the plan up
+        # to the tile size with masked no-op edges (rel == WINDOW rows
+        # produce all-zero one-hots in the kernel).  spmm_pallas pads the
+        # runtime edge_weight to match.
+        pad = tile_edges - E % tile_edges
+        senders = np.concatenate([senders, np.zeros(pad, np.int32)])
+        receivers = np.concatenate([receivers, np.zeros(pad, np.int32)])
+        edge_mask = np.concatenate([edge_mask, np.zeros(pad, bool)])
     fwd = _windows(receivers, senders, edge_mask, num_nodes, tile_edges)
     order = np.argsort(senders, kind="stable").astype(np.int32)
     bwd = _windows(senders[order], receivers[order], edge_mask[order],
@@ -281,8 +287,12 @@ def spmm_pallas_hbm(x, plan: SpmmPlanArrays, edge_weight=None,
     edge-partition machinery (parallel/)."""
     n = num_nodes if num_nodes is not None else x.shape[0]
     E = plan.t_order.shape[0]
-    w = (edge_weight if edge_weight is not None
-         else jnp.ones((E,), x.dtype))
+    if edge_weight is None:
+        w = jnp.ones((E,), x.dtype)
+    elif edge_weight.shape[0] < E:
+        w = jnp.pad(edge_weight, (0, E - edge_weight.shape[0]))
+    else:
+        w = edge_weight
     return _spmm_hbm_call(x, w, plan.ws, plan.wr, plan.snd_rel,
                           plan.rcv_rel, n, interpret)
 
@@ -294,9 +304,15 @@ def spmm_pallas(x, plan: SpmmPlanArrays, edge_weight=None,
     x: [N, F]; edge_weight: [E] in receiver-sorted edge order or None.
     """
     n = num_nodes if num_nodes is not None else x.shape[0]
-    E = plan.t_order.shape[0]
-    w = (edge_weight if edge_weight is not None
-         else jnp.ones((E,), x.dtype))
+    E = plan.t_order.shape[0]       # plan edge count (tile-rounded)
+    if edge_weight is None:
+        w = jnp.ones((E,), x.dtype)
+    elif edge_weight.shape[0] < E:
+        # Plan was tile-rounded past the batch's edge padding; the extra
+        # slots are masked (rel == WINDOW), their weight value is inert.
+        w = jnp.pad(edge_weight, (0, E - edge_weight.shape[0]))
+    else:
+        w = edge_weight
     # Masked (padding) edges already have rel == WINDOW -> zero one-hot row.
 
     @jax.custom_vjp
