@@ -19,7 +19,8 @@ import jax
 import jax.numpy as jnp
 
 from graph_hscn_tpu.ops.segment import segment_softmax, segment_sum
-from graph_hscn_tpu.ops.spmm import gather_scatter, gcn_norm_weights
+from graph_hscn_tpu.ops.spmm import (gather_scatter, gcn_norm_weights,
+                                     pallas_enabled)
 
 glorot = nn.initializers.glorot_uniform()
 zeros = nn.initializers.zeros
@@ -233,7 +234,7 @@ class GATConv(nn.Module):
     @nn.compact
     def __call__(self, x, senders, receivers, edge_mask,
                  edge_weight=None, num_nodes=None, x_dst=None,
-                 num_dst_nodes=None, dense_adj=None):
+                 num_dst_nodes=None, dense_adj=None, plan=None):
         H, C = self.heads, self.features
         bipartite = x_dst is not None
         n_dst = (num_dst_nodes or (x_dst.shape[0] if bipartite
@@ -289,6 +290,23 @@ class GATConv(nn.Module):
         e = a_src[senders] + a_dst[receivers]       # [E, H]
         e = nn.leaky_relu(e, self.negative_slope)
 
+        def aggregate(alpha):
+            """sum_j alpha_ij h_j per head.  With a batch-attached SpMM
+            plan on the Pallas backend this runs H fused windowed-one-hot
+            MXU SpMMs — no [E, H, C] message materialization — and
+            d(alpha) comes back through the SDDMM kernel in the custom
+            VJP (ops/pallas/spmm_kernel.py)."""
+            if plan is not None and not bipartite and pallas_enabled():
+                from graph_hscn_tpu.ops.pallas.spmm_kernel import spmm_pallas
+                cols = [spmm_pallas(h_src[:, hd, :], plan,
+                                    edge_weight=alpha[:, hd],
+                                    num_nodes=n_dst)
+                        for hd in range(H)]
+                return jnp.stack(cols, axis=1).astype(h_src.dtype)
+            msgs = h_src[senders] * alpha[..., None]
+            return segment_sum(msgs, receivers, n_dst,
+                               indices_are_sorted=True)
+
         if self.add_self_loops and not bipartite:
             # Self edge for every node: logits a_src[i] + a_dst[i].
             # Softmax over {incoming edges} U {self}: compute via shifted
@@ -307,17 +325,13 @@ class GATConv(nn.Module):
                                 indices_are_sorted=True) + exp_self
             alpha = exp_e / jnp.maximum(denom[receivers], 1e-16)
             alpha_self = exp_self / jnp.maximum(denom, 1e-16)
-            msgs = h_src[senders] * alpha[..., None]
-            out = segment_sum(msgs, receivers, n_dst,
-                              indices_are_sorted=True)
+            out = aggregate(alpha)
             out = out + h_dst * alpha_self[..., None]
         else:
             alpha = segment_softmax(e, receivers, n_dst,
                                     indices_are_sorted=True,
                                     mask=edge_mask[:, None])
-            msgs = h_src[senders] * alpha[..., None]
-            out = segment_sum(msgs, receivers, n_dst,
-                              indices_are_sorted=True)
+            out = aggregate(alpha)
 
         out = (out.reshape(n_dst, H * C) if self.concat
                else out.mean(axis=1))

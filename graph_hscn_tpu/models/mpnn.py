@@ -64,7 +64,8 @@ class MPNN(nn.Module):
             extra = {"dense_adj": resolve_dense_adj(batch),
                      "plan": batch.spmm}
         elif ct == "gat":
-            extra = {"dense_adj": resolve_dense_adj(batch)}
+            extra = {"dense_adj": resolve_dense_adj(batch),
+                     "plan": batch.spmm}
         for i, dim in enumerate(dims):
             if ct == "gat" and self.num_heads > 1:
                 # Multi-head GAT, PyG convention: hidden layers split the

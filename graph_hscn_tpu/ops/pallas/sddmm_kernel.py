@@ -23,7 +23,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from graph_hscn_tpu.ops.pallas.spmm_kernel import (WINDOW, SpmmPlanArrays,
-                                                   _PRECISION)
+                                                   _PRECISION,
+                                                   resolve_interpret)
 
 
 def _sddmm_kernel(ws_ref, wr_ref, snd_rel_ref, rcv_rel_ref, hs_ref, hd_ref,
@@ -51,9 +52,10 @@ def _sddmm_kernel(ws_ref, wr_ref, snd_rel_ref, rcv_rel_ref, hs_ref, hd_ref,
 
 
 def sddmm_pallas(h_src, h_dst, plan: SpmmPlanArrays,
-                 interpret: bool = False):
+                 interpret: bool | None = None):
     """Per-edge dot products in receiver-sorted edge order: [E] float32.
     Masked (padding) edge slots return 0."""
+    interpret = resolve_interpret(interpret)
     T, te = plan.snd_rel.shape
     n_pad = max(h_src.shape[0], WINDOW)
     if h_src.shape[0] < n_pad:
@@ -105,10 +107,11 @@ def _segment_reduce_kernel(wr_ref, rcv_rel_ref, msgs_ref, out_ref):
 
 
 def segment_reduce_pallas(msgs, plan: SpmmPlanArrays, num_nodes: int,
-                          interpret: bool = False):
+                          interpret: bool | None = None):
     """out[i] = sum of msgs over receiver-sorted edges with recv == i.
     msgs: [E, F] aligned with the plan's edge order (masked slots must be
-    zeroed by the caller)."""
+    zeroed by the caller; tile-rounded plans need msgs padded to T*te)."""
+    interpret = resolve_interpret(interpret)
     T, te = plan.rcv_rel.shape
     F = msgs.shape[-1]
     n_pad = max(num_nodes, WINDOW)

@@ -57,6 +57,14 @@ def set_precision(p) -> None:
     _PRECISION = p
 
 
+def resolve_interpret(interpret: bool | None) -> bool:
+    """None -> auto: run the kernels natively on TPU, in interpret mode
+    everywhere else (the CPU test path)."""
+    if interpret is None:
+        return jax.default_backend() != "tpu"
+    return interpret
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class SpmmPlanArrays:
@@ -280,11 +288,12 @@ def _spmm_hbm_call(x, w, ws, wr, snd_rel, rcv_rel, num_nodes: int,
 
 def spmm_pallas_hbm(x, plan: SpmmPlanArrays, edge_weight=None,
                     num_nodes: int | None = None,
-                    interpret: bool = False):
+                    interpret: bool | None = None):
     """Large-graph fused SpMM: node features stream from HBM via
     double-buffered window DMA (no x-fits-in-VMEM constraint).  Forward
     only is exposed for now; training paths at this scale use the sharded
     edge-partition machinery (parallel/)."""
+    interpret = resolve_interpret(interpret)
     n = num_nodes if num_nodes is not None else x.shape[0]
     E = plan.t_order.shape[0]
     if edge_weight is None:
@@ -298,11 +307,13 @@ def spmm_pallas_hbm(x, plan: SpmmPlanArrays, edge_weight=None,
 
 
 def spmm_pallas(x, plan: SpmmPlanArrays, edge_weight=None,
-                num_nodes: int | None = None, interpret: bool = False):
+                num_nodes: int | None = None,
+                interpret: bool | None = None):
     """Differentiable fused SpMM using a batch-attached plan.
 
     x: [N, F]; edge_weight: [E] in receiver-sorted edge order or None.
     """
+    interpret = resolve_interpret(interpret)
     n = num_nodes if num_nodes is not None else x.shape[0]
     E = plan.t_order.shape[0]       # plan edge count (tile-rounded)
     if edge_weight is None:

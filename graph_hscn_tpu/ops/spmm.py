@@ -44,6 +44,13 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def pallas_enabled() -> bool:
+    """Public backend predicate for layers that call the Pallas kernels
+    directly (GATConv attention aggregation, sharded local aggregation)
+    rather than through gather_scatter."""
+    return _use_pallas()
+
+
 def gather_scatter(
     x: jnp.ndarray,          # [N, F] node features
     senders: jnp.ndarray,    # [E] int32

@@ -158,6 +158,31 @@ def plan_halo_exchange(senders: np.ndarray, receivers: np.ndarray,
     return plan
 
 
+def local_spmm_plans(plan: dict, block_size: int):
+    """Stacked per-device Pallas SpMM plans for the LOCAL-sender edge
+    groups of a halo-exchange plan (leading device axis on every leaf, so
+    the pytree rides through shard_map under a single P(axis) prefix
+    spec).  Per-device local edges keep the batch's receiver-sorted order
+    (partition + split preserve order), which is what keeps tile spans
+    inside the kernel windows.  Returns None when any device's block
+    violates the window constraints — callers keep the XLA segment-sum
+    path (SURVEY §2.4: "targeted all_to_all ... overlap with local
+    aggregation (async collective + Pallas compute)")."""
+    import jax.tree_util as jtu
+
+    from graph_hscn_tpu.ops.pallas.spmm_kernel import spmm_plan
+
+    D = plan["snd_loc"].shape[0]
+    per_dev = []
+    for d in range(D):
+        p = spmm_plan(plan["snd_loc"][d], plan["rcv_loc"][d],
+                      plan["mask_loc"][d], block_size)
+        if p is None:
+            return None
+        per_dev.append(p)
+    return jtu.tree_map(lambda *xs: jnp.asarray(np.stack(xs)), *per_dev)
+
+
 def locality_reorder(senders: np.ndarray, receivers: np.ndarray,
                      edge_mask: np.ndarray, num_nodes: int,
                      node_mask: np.ndarray | None = None) -> np.ndarray:

@@ -30,6 +30,7 @@ import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from graph_hscn_tpu.ops.segment import segment_sum
+from graph_hscn_tpu.ops.spmm import pallas_enabled
 from graph_hscn_tpu.parallel.edge_partition import plan_halo_exchange
 
 
@@ -39,6 +40,27 @@ def _halo(x_blk, send_idx, axis):
     inbound = jax.lax.all_to_all(outbound, axis, split_axis=0,
                                  concat_axis=0, tiled=False)
     return inbound.reshape(-1, x_blk.shape[-1])
+
+
+_PLAN_KEYS = ("send_idx", "snd_loc", "rcv_loc", "mask_loc",
+              "snd_hal", "rcv_hal", "mask_hal")
+
+
+def _make_local_agg(sp, snd_loc, rcv_loc, nb, use_spmm_plan):
+    """Local-sender weighted aggregation: the fused Pallas SpMM on this
+    device's block when a plan is attached (d(edge_weight) via the SDDMM
+    kernel in its VJP), else XLA gather + sorted segment-sum."""
+    if use_spmm_plan:
+        from graph_hscn_tpu.ops.pallas.spmm_kernel import spmm_pallas
+        sp_d = jax.tree_util.tree_map(lambda a: a[0], sp[0])
+
+        def agg(feats, w):
+            return spmm_pallas(feats, sp_d, edge_weight=w, num_nodes=nb)
+        return agg
+
+    def agg(feats, w):
+        return segment_sum(feats[snd_loc] * w[:, None], rcv_loc, nb)
+    return agg
 
 
 def init_sharded_gcn_params(rng, dims: list[int]) -> list[dict]:
@@ -54,7 +76,8 @@ def init_sharded_gcn_params(rng, dims: list[int]) -> list[dict]:
     return params
 
 
-def make_sharded_gcn(mesh: Mesh, num_layers: int, axis: str = "data"):
+def make_sharded_gcn(mesh: Mesh, num_layers: int, axis: str = "data",
+                     use_spmm_plan: bool = False):
     """Builds (forward_fn, train_step_fn) over the mesh.
 
     forward(params, x_blocks, plan_arrays) -> logits blocks [D, Nb, C]
@@ -62,15 +85,24 @@ def make_sharded_gcn(mesh: Mesh, num_layers: int, axis: str = "data"):
     the returned grad_fn.
     All per-device arrays carry the leading device axis sharded over
     ``axis``; params are replicated.
+
+    With ``use_spmm_plan`` the plan dict must carry ``spmm_loc`` (stacked
+    per-device Pallas plans from edge_partition.local_spmm_plans); the
+    local-sender aggregation then runs the fused windowed one-hot MXU
+    SpMM kernel while the halo all_to_all is in flight (SURVEY §2.4
+    "async collective + Pallas compute").
     """
+    n_extra = 1 if use_spmm_plan else 0
 
     def per_device_forward(params, x_blk, send_idx, snd_loc, rcv_loc,
-                           m_loc, snd_hal, rcv_hal, m_hal):
+                           m_loc, snd_hal, rcv_hal, m_hal, *sp):
         x = x_blk[0]
         send_idx = send_idx[0]
         snd_loc, rcv_loc, m_loc = snd_loc[0], rcv_loc[0], m_loc[0]
         snd_hal, rcv_hal, m_hal = snd_hal[0], rcv_hal[0], m_hal[0]
         nb = x.shape[0]
+        local_agg = _make_local_agg(sp, snd_loc, rcv_loc, nb,
+                                    use_spmm_plan)
 
         # Global in-degree of owned nodes (all owned edges are local).
         deg = (segment_sum(jnp.where(m_loc, 1.0, 0.0), rcv_loc, nb)
@@ -89,7 +121,7 @@ def make_sharded_gcn(mesh: Mesh, num_layers: int, axis: str = "data"):
             # Issue the exchange first; aggregate local edges while the
             # all_to_all is in flight; consume the halo last.
             halo = _halo(h, send_idx, axis)
-            agg = segment_sum(h[snd_loc] * w_loc[:, None], rcv_loc, nb)
+            agg = local_agg(h, w_loc)
             agg = agg + segment_sum(halo[snd_hal] * w_hal[:, None],
                                     rcv_hal, nb)
             h = agg + diag[:, None] * h + layer["bias"]
@@ -99,18 +131,18 @@ def make_sharded_gcn(mesh: Mesh, num_layers: int, axis: str = "data"):
 
     forward = jax.jit(jax.shard_map(
         per_device_forward, mesh=mesh,
-        in_specs=(P(),) + (P(axis),) * 8,
+        in_specs=(P(),) + (P(axis),) * (8 + n_extra),
         out_specs=P(axis),
         check_vma=False,
     ))
 
     def per_device_value_grad(params, x_blk, send_idx, snd_loc, rcv_loc,
                               m_loc, snd_hal, rcv_hal, m_hal, y_blk,
-                              node_ok_blk, gcnt):
+                              node_ok_blk, gcnt, *sp):
         def local_loss(params):
             logits = per_device_forward(
                 params, x_blk, send_idx, snd_loc, rcv_loc, m_loc,
-                snd_hal, rcv_hal, m_hal)[0]
+                snd_hal, rcv_hal, m_hal, *sp)[0]
             y = y_blk[0]
             ok = node_ok_blk[0].astype(logits.dtype)
             logp = jax.nn.log_softmax(logits, axis=-1)
@@ -123,23 +155,24 @@ def make_sharded_gcn(mesh: Mesh, num_layers: int, axis: str = "data"):
                                        grads)
         return loss, grads
 
-    _PLAN_KEYS = ("send_idx", "snd_loc", "rcv_loc", "mask_loc",
-                  "snd_hal", "rcv_hal", "mask_hal")
+    def _extras(plan):
+        return (plan["spmm_loc"],) if use_spmm_plan else ()
 
     def value_and_grad(params, x_blocks, plan, y_blocks, node_ok_blocks):
         gcnt = float(np.maximum(np.asarray(node_ok_blocks).sum(), 1.0))
         return _vg(params, x_blocks, *(plan[k] for k in _PLAN_KEYS),
-                   y_blocks, node_ok_blocks, gcnt)
+                   y_blocks, node_ok_blocks, gcnt, *_extras(plan))
 
     _vg = jax.jit(jax.shard_map(
         per_device_value_grad, mesh=mesh,
-        in_specs=(P(),) + (P(axis),) * 10 + (None,),
+        in_specs=(P(),) + (P(axis),) * 10 + (None,) + (P(axis),) * n_extra,
         out_specs=(P(), P()),
         check_vma=False,
     ), static_argnums=(11,))
 
     def forward_wrapper(params, x_blocks, plan):
-        return forward(params, x_blocks, *(plan[k] for k in _PLAN_KEYS))
+        return forward(params, x_blocks, *(plan[k] for k in _PLAN_KEYS),
+                       *_extras(plan))
 
     return forward_wrapper, value_and_grad
 
@@ -206,12 +239,27 @@ def fit_edge_partitioned(dm, mesh: Mesh, mpnn_cfg, optim_cfg, training_cfg,
                     f"{' (locality-reordered)' if reorder else ''}")
         plan = {k: jnp.asarray(v) for k, v in plan_np.items()
                 if k not in ("block_size", "halo_width")}
+        if pallas_enabled():
+            from graph_hscn_tpu.parallel.edge_partition import \
+                local_spmm_plans
+            sp = local_spmm_plans(plan_np, plan_np["block_size"])
+            if sp is not None:
+                plan["spmm_loc"] = sp
         xb, yb, okb = shard_node_blocks(mesh, D, x, y, node_ok)
         pb = SimpleNamespace(num_nodes_padded=n, node_mask=node_ok,
                              node_y=y, edge_mask=em)
         return pb, plan, xb, yb, okb
 
     splits = {name: packed(name) for name in ("train", "val", "test")}
+    # Pallas local aggregation only if EVERY split's blocks admit plans
+    # (one shard_map program serves all splits).
+    use_spmm_plan = all("spmm_loc" in s[1] for s in splits.values())
+    if not use_spmm_plan:
+        for s in splits.values():
+            s[1].pop("spmm_loc", None)
+    else:
+        logger.info("[edge-partition] local aggregation: fused Pallas "
+                    "SpMM on per-device blocks")
     dims = ([dm.num_features]
             + [mpnn_cfg.hidden_channels] * (mpnn_cfg.num_layers - 1)
             + [dm.num_classes])
@@ -220,12 +268,14 @@ def fit_edge_partitioned(dm, mesh: Mesh, mpnn_cfg, optim_cfg, training_cfg,
         params = init_sharded_gcn_params(
             jax.random.PRNGKey(training_cfg.seed), dims)
         forward, value_and_grad = make_sharded_gcn(
-            mesh, num_layers=len(dims) - 1, axis=axis)
+            mesh, num_layers=len(dims) - 1, axis=axis,
+            use_spmm_plan=use_spmm_plan)
     elif conv == "gat":
         params = init_sharded_gat_params(
             jax.random.PRNGKey(training_cfg.seed), dims)
         forward, value_and_grad = make_sharded_gat(
-            mesh, num_layers=len(dims) - 1, axis=axis)
+            mesh, num_layers=len(dims) - 1, axis=axis,
+            use_spmm_plan=use_spmm_plan)
     else:
         raise ValueError("edge-partitioned path supports conv_type gcn "
                          f"or gat, got {mpnn_cfg.conv_type!r}")
@@ -301,7 +351,8 @@ def init_sharded_gat_params(rng, dims: list[int]) -> list[dict]:
 
 
 def make_sharded_gat(mesh: Mesh, num_layers: int, axis: str = "data",
-                     negative_slope: float = 0.2):
+                     negative_slope: float = 0.2,
+                     use_spmm_plan: bool = False):
     """Edge-partitioned single-head GAT (PyG semantics incl. the self edge
     in each node's softmax, matching models.layers.GATConv with
     add_self_loops=True).
@@ -313,14 +364,17 @@ def make_sharded_gat(mesh: Mesh, num_layers: int, axis: str = "data",
     senders' attention logits are computed from the received halo features
     (no extra exchange).  ReLU between layers mirrors the MPNN stack.
     """
+    n_extra = 1 if use_spmm_plan else 0
 
     def per_device_forward(params, x_blk, send_idx, snd_loc, rcv_loc,
-                           m_loc, snd_hal, rcv_hal, m_hal):
+                           m_loc, snd_hal, rcv_hal, m_hal, *sp):
         x = x_blk[0]
         send_idx = send_idx[0]
         snd_loc, rcv_loc, m_loc = snd_loc[0], rcv_loc[0], m_loc[0]
         snd_hal, rcv_hal, m_hal = snd_hal[0], rcv_hal[0], m_hal[0]
         nb = x.shape[0]
+        local_agg = _make_local_agg(sp, snd_loc, rcv_loc, nb,
+                                    use_spmm_plan)
         neg_inf = jnp.asarray(-jnp.inf, x.dtype)
 
         h = x
@@ -354,7 +408,7 @@ def make_sharded_gat(mesh: Mesh, num_layers: int, axis: str = "data",
                      + segment_sum(exp_hal, rcv_hal, nb) + exp_self)
             denom = jnp.maximum(denom, 1e-16)
 
-            agg = segment_sum(z[snd_loc] * exp_loc[:, None], rcv_loc, nb)
+            agg = local_agg(z, exp_loc)
             agg = agg + segment_sum(halo[snd_hal] * exp_hal[:, None],
                                     rcv_hal, nb)
             out = (agg + z * exp_self[:, None]) / denom[:, None]
@@ -365,18 +419,18 @@ def make_sharded_gat(mesh: Mesh, num_layers: int, axis: str = "data",
 
     forward = jax.jit(jax.shard_map(
         per_device_forward, mesh=mesh,
-        in_specs=(P(),) + (P(axis),) * 8,
+        in_specs=(P(),) + (P(axis),) * (8 + n_extra),
         out_specs=P(axis),
         check_vma=False,
     ))
 
     def per_device_value_grad(params, x_blk, send_idx, snd_loc, rcv_loc,
                               m_loc, snd_hal, rcv_hal, m_hal, y_blk,
-                              node_ok_blk, gcnt):
+                              node_ok_blk, gcnt, *sp):
         def local_loss(params):
             logits = per_device_forward(
                 params, x_blk, send_idx, snd_loc, rcv_loc, m_loc,
-                snd_hal, rcv_hal, m_hal)[0]
+                snd_hal, rcv_hal, m_hal, *sp)[0]
             y = y_blk[0]
             ok = node_ok_blk[0].astype(logits.dtype)
             logp = jax.nn.log_softmax(logits, axis=-1)
@@ -389,22 +443,23 @@ def make_sharded_gat(mesh: Mesh, num_layers: int, axis: str = "data",
                                        grads)
         return loss, grads
 
-    _PLAN_KEYS = ("send_idx", "snd_loc", "rcv_loc", "mask_loc",
-                  "snd_hal", "rcv_hal", "mask_hal")
-
     _vg = jax.jit(jax.shard_map(
         per_device_value_grad, mesh=mesh,
-        in_specs=(P(),) + (P(axis),) * 10 + (None,),
+        in_specs=(P(),) + (P(axis),) * 10 + (None,) + (P(axis),) * n_extra,
         out_specs=(P(), P()),
         check_vma=False,
     ), static_argnums=(11,))
 
+    def _extras(plan):
+        return (plan["spmm_loc"],) if use_spmm_plan else ()
+
     def value_and_grad(params, x_blocks, plan, y_blocks, node_ok_blocks):
         gcnt = float(np.maximum(np.asarray(node_ok_blocks).sum(), 1.0))
         return _vg(params, x_blocks, *(plan[k] for k in _PLAN_KEYS),
-                   y_blocks, node_ok_blocks, gcnt)
+                   y_blocks, node_ok_blocks, gcnt, *_extras(plan))
 
     def forward_wrapper(params, x_blocks, plan):
-        return forward(params, x_blocks, *(plan[k] for k in _PLAN_KEYS))
+        return forward(params, x_blocks, *(plan[k] for k in _PLAN_KEYS),
+                       *_extras(plan))
 
     return forward_wrapper, value_and_grad
