@@ -85,6 +85,98 @@ def sddmm_pallas(h_src, h_dst, plan: SpmmPlanArrays,
     return out.reshape(T * te)
 
 
+def _sddmm_hbm_kernel(ws_ref, wr_ref, snd_rel_ref, rcv_rel_ref, hs_hbm,
+                      hd_hbm, out_ref, s_hs, s_hd, sem_hs, sem_hd):
+    """Large-graph SDDMM: BOTH operands stay in HBM; per-tile sender and
+    receiver windows are DMA'd into double-buffered VMEM scratch (next
+    tile's fetch overlaps the current tile's matmuls) — the dw side of
+    the HBM SpMM backward (spmm_kernel.spmm_pallas_hbm)."""
+    t = pl.program_id(0)
+    n_t = pl.num_programs(0)
+
+    def dma_hs(slot, tile):
+        return pltpu.make_async_copy(
+            hs_hbm.at[pl.ds(ws_ref[tile], WINDOW), :], s_hs.at[slot],
+            sem_hs.at[slot])
+
+    def dma_hd(slot, tile):
+        return pltpu.make_async_copy(
+            hd_hbm.at[pl.ds(wr_ref[tile], WINDOW), :], s_hd.at[slot],
+            sem_hd.at[slot])
+
+    @pl.when(t == 0)
+    def _():
+        dma_hs(0, 0).start()
+        dma_hd(0, 0).start()
+
+    cur = jax.lax.rem(t, 2)
+    nxt = jax.lax.rem(t + 1, 2)
+
+    @pl.when(t + 1 < n_t)
+    def _():
+        dma_hs(nxt, t + 1).start()
+        dma_hd(nxt, t + 1).start()
+
+    dma_hs(cur, t).wait()
+    dma_hd(cur, t).wait()
+    hs_win = s_hs[cur]
+    hd_win = s_hd[cur]
+    snd_rel = snd_rel_ref[0, 0]
+    rcv_rel = rcv_rel_ref[0, 0]
+    te = snd_rel.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (te, WINDOW), 1)
+    g1 = (snd_rel[:, None] == iota).astype(hs_win.dtype)
+    g2 = (rcv_rel[:, None] == iota).astype(hd_win.dtype)
+    a = jax.lax.dot_general(g1, hs_win, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=_PRECISION)
+    b = jax.lax.dot_general(g2, hd_win, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=_PRECISION)
+    out_ref[0, 0] = jnp.sum(a * b, axis=-1)
+
+
+def sddmm_pallas_hbm(h_src, h_dst, plan: SpmmPlanArrays,
+                     interpret: bool | None = None):
+    """HBM-streamed per-edge dot products (same contract as sddmm_pallas,
+    no operand-fits-in-VMEM constraint)."""
+    interpret = resolve_interpret(interpret)
+    T, te = plan.snd_rel.shape
+    F = h_src.shape[-1]
+    n_pad = max(h_src.shape[0], WINDOW)
+    if h_src.shape[0] < n_pad:
+        h_src = jnp.pad(h_src, ((0, n_pad - h_src.shape[0]), (0, 0)))
+        h_dst = jnp.pad(h_dst, ((0, n_pad - h_dst.shape[0]), (0, 0)))
+    tile_spec = pl.BlockSpec((1, 1, te), lambda t, *_: (t, 0, 0),
+                             memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T,),
+        in_specs=[
+            tile_spec, tile_spec,
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 1, te), lambda t, *_: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, WINDOW, F), jnp.float32),
+            pltpu.VMEM((2, WINDOW, F), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        _sddmm_hbm_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, 1, te), jnp.float32),
+        interpret=interpret,
+    )(plan.ws, plan.wr,
+      plan.snd_rel.reshape(T, 1, te), plan.rcv_rel.reshape(T, 1, te),
+      h_src, h_dst)
+    return out.reshape(T * te)
+
+
 def _segment_reduce_kernel(wr_ref, rcv_rel_ref, msgs_ref, out_ref):
     t = pl.program_id(0)
 

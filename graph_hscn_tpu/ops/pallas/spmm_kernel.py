@@ -290,9 +290,13 @@ def spmm_pallas_hbm(x, plan: SpmmPlanArrays, edge_weight=None,
                     num_nodes: int | None = None,
                     interpret: bool | None = None):
     """Large-graph fused SpMM: node features stream from HBM via
-    double-buffered window DMA (no x-fits-in-VMEM constraint).  Forward
-    only is exposed for now; training paths at this scale use the sharded
-    edge-partition machinery (parallel/)."""
+    double-buffered window DMA (no x-fits-in-VMEM constraint; the output
+    block still lives in VMEM, so the regime is x up to ~2x the VMEM
+    kernel's budget — beyond that the sharded edge-partition machinery
+    takes over, parallel/).
+
+    Fully differentiable: dx runs the same HBM kernel with the transpose
+    plan; dw is the HBM-streamed SDDMM (both windows DMA'd)."""
     interpret = resolve_interpret(interpret)
     n = num_nodes if num_nodes is not None else x.shape[0]
     E = plan.t_order.shape[0]
@@ -302,8 +306,26 @@ def spmm_pallas_hbm(x, plan: SpmmPlanArrays, edge_weight=None,
         w = jnp.pad(edge_weight, (0, E - edge_weight.shape[0]))
     else:
         w = edge_weight
-    return _spmm_hbm_call(x, w, plan.ws, plan.wr, plan.snd_rel,
-                          plan.rcv_rel, n, interpret)
+
+    @jax.custom_vjp
+    def _spmm(x, w):
+        return _spmm_hbm_call(x, w, plan.ws, plan.wr, plan.snd_rel,
+                              plan.rcv_rel, n, interpret)
+
+    def fwd(x, w):
+        return _spmm(x, w), (x, w)
+
+    def bwd(res, g):
+        x, w = res
+        w_t = jnp.take(w, plan.t_order, axis=0)
+        dx = _spmm_hbm_call(g, w_t, plan.t_ws, plan.t_wr, plan.t_snd_rel,
+                            plan.t_rcv_rel, n, interpret)
+        from graph_hscn_tpu.ops.pallas.sddmm_kernel import sddmm_pallas_hbm
+        dw = sddmm_pallas_hbm(x, g, plan, interpret=interpret)
+        return dx, dw
+
+    _spmm.defvjp(fwd, bwd)
+    return _spmm(x, w)
 
 
 def spmm_pallas(x, plan: SpmmPlanArrays, edge_weight=None,

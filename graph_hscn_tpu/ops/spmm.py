@@ -75,9 +75,20 @@ def gather_scatter(
     """
     num_nodes = num_nodes if num_nodes is not None else x.shape[0]
     if plan is not None and _use_pallas() and not messages_out:
-        from graph_hscn_tpu.ops.pallas.spmm_kernel import spmm_pallas
-        return spmm_pallas(x, plan, edge_weight=edge_weight,
-                           num_nodes=num_nodes)
+        from graph_hscn_tpu.ops.pallas.spmm_kernel import (VMEM_X_BUDGET,
+                                                           spmm_pallas,
+                                                           spmm_pallas_hbm)
+        xbytes = x.shape[0] * x.shape[1] * x.dtype.itemsize
+        if xbytes <= VMEM_X_BUDGET:
+            return spmm_pallas(x, plan, edge_weight=edge_weight,
+                               num_nodes=num_nodes)
+        if xbytes <= 2 * VMEM_X_BUDGET and x.dtype == jnp.float32:
+            # Oversize-for-VMEM single-chip regime: stream x from HBM
+            # (double-buffered window DMA); fully differentiable.
+            return spmm_pallas_hbm(x, plan, edge_weight=edge_weight,
+                                   num_nodes=num_nodes)
+        # Beyond ~2x the VMEM budget the output block no longer fits
+        # either — XLA fallback (or the sharded edge-partition path).
     msgs = jnp.take(x, senders, axis=0)
     if edge_weight is not None:
         msgs = msgs * edge_weight[:, None]

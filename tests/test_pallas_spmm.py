@@ -129,6 +129,80 @@ def test_hbm_streamed_forward_matches_xla(planned_batch):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_hbm_streamed_backward_matches_xla_oversize():
+    """HBM variant fwd + dx + dw on a >VMEM-budget workload
+    (x = 14336 nodes x 128 f32 = 7 MB > VMEM_X_BUDGET = 6 MB), the regime
+    gather_scatter routes to spmm_pallas_hbm (VERDICT round-1 item 3)."""
+    from graph_hscn_tpu.ops.pallas.spmm_kernel import (VMEM_X_BUDGET,
+                                                       spmm_pallas_hbm)
+    graphs = make_peptides_func(num_graphs=24, seed=5, mean_nodes=580)
+    budget = PadBudget.for_dataset(graphs, batch_size=24,
+                                   edge_multiple=256)
+    b = pack_batch(graphs, budget, with_spmm_plan=True)
+    assert b.spmm is not None
+    n = b.num_nodes_padded
+    F = 128
+    assert n * F * 4 > VMEM_X_BUDGET, f"workload too small: {n}"
+    rng = np.random.default_rng(6)
+    x0 = jnp.asarray(rng.normal(size=(n, F)).astype(np.float32))
+    w0 = jnp.asarray(rng.uniform(0.5, 1.5,
+                                 size=b.senders.shape).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(n, F)).astype(np.float32))
+
+    out = spmm_pallas_hbm(x0, b.spmm, edge_weight=w0, num_nodes=n,
+                          interpret=True)
+    ref = xla_ref(x0, b, w0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+    def f_hbm(x, w):
+        return jnp.vdot(spmm_pallas_hbm(x, b.spmm, edge_weight=w,
+                                        num_nodes=n, interpret=True), g)
+
+    def f_ref(x, w):
+        return jnp.vdot(xla_ref(x, b, w), g)
+
+    dx_h, dw_h = jax.grad(f_hbm, argnums=(0, 1))(x0, w0)
+    dx_r, dw_r = jax.grad(f_ref, argnums=(0, 1))(x0, w0)
+    np.testing.assert_allclose(np.asarray(dx_h), np.asarray(dx_r),
+                               rtol=1e-4, atol=1e-4)
+    mask = np.asarray(b.edge_mask)
+    np.testing.assert_allclose(np.asarray(dw_h)[mask],
+                               np.asarray(dw_r)[mask],
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_gather_scatter_routes_oversize_to_hbm(monkeypatch):
+    """gather_scatter picks spmm_pallas_hbm when x exceeds VMEM_X_BUDGET
+    (and falls back to XLA beyond 2x)."""
+    from graph_hscn_tpu.ops import spmm as spmm_mod
+    import graph_hscn_tpu.ops.pallas.spmm_kernel as kmod
+    graphs = make_peptides_func(num_graphs=24, seed=7, mean_nodes=580)
+    budget = PadBudget.for_dataset(graphs, batch_size=24,
+                                   edge_multiple=256)
+    b = pack_batch(graphs, budget, with_spmm_plan=True)
+    n = b.num_nodes_padded
+    x = jnp.asarray(np.random.default_rng(8).normal(size=(n, 128))
+                    .astype(np.float32))
+    called = {}
+    orig = kmod.spmm_pallas_hbm
+
+    def spy(*a, **k):
+        called["hbm"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(kmod, "spmm_pallas_hbm", spy)
+    spmm_mod.set_backend("pallas")
+    try:
+        out = spmm_mod.gather_scatter(x, b.senders, b.receivers,
+                                      num_nodes=n, plan=b.spmm)
+    finally:
+        spmm_mod.set_backend("auto")
+    assert called.get("hbm")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(xla_ref(x, b)),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_weight_gradients_match_xla(planned_batch):
     """d/d(edge_weight) through the Pallas path (SDDMM-powered)."""
     b = planned_batch
