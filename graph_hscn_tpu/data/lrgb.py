@@ -33,6 +33,17 @@ def try_load(data_dir: str, dataset_name: str):
     edge_ptr = z["edge_ptr"]
     num_graphs = len(node_ptr) - 1
     graph_level = "y" in z
+    node_y = None
+    if "node_y" in z:
+        node_y = z["node_y"]
+        if node_y.ndim == 1:
+            # Node-level class labels (VOC superpixels) -> one-hot, the
+            # layout the node-level loss/metrics consume.
+            k = (int(z["num_node_classes"]) if "num_node_classes" in z
+                 else int(node_y.max()) + 1)
+            node_y = np.eye(k, dtype=np.float32)[node_y.astype(np.int64)]
+        else:
+            node_y = node_y.astype(np.float32)
     graphs = []
     for i in range(num_graphs):
         n0, n1 = int(node_ptr[i]), int(node_ptr[i + 1])
@@ -44,8 +55,7 @@ def try_load(data_dir: str, dataset_name: str):
             edge_attr=(z["edge_feat"][e0:e1].astype(np.float32)
                        if "edge_feat" in z else None),
             y=z["y"][i] if graph_level else None,
-            node_y=(z["node_y"][n0:n1].astype(np.float32)
-                    if "node_y" in z else None),
+            node_y=node_y[n0:n1] if node_y is not None else None,
         )
         graphs.append(g)
     split_idx = {k: z[f"split_{k}"] for k in ("train", "val", "test")}
