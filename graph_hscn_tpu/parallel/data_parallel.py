@@ -273,8 +273,7 @@ def fit_dp(model, dm, mesh: Mesh, optim_cfg, training_cfg, logger,
 
     def _metrics(losses, scores, trues, masks):
         from graph_hscn_tpu.train.loop import _epoch_metrics
-        return _epoch_metrics(scores, trues, masks, losses, metric_fn,
-                              node_level)
+        return _epoch_metrics(scores, trues, masks, losses, metric_fn)
 
     def train_epoch(epoch):
         nonlocal state

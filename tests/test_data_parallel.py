@@ -112,3 +112,58 @@ def test_dp_gatedgcn_edge_features():
     sharded = shard_stacked_batch(stacked, mesh)
     state, loss, score, true, mask = step(state, sharded)
     assert np.isfinite(float(loss))
+
+
+def test_dp_final_partial_batch_with_empty_devices():
+    """VERDICT round-1 item 10: a final partial batch where most devices
+    receive the _empty_batch placeholder, under slot_nodes + spmm plans —
+    the most likely silent-shape-bug corner.  The DP update must still
+    equal the single-device update on the real graphs."""
+    num_devices = 8
+    graphs = make_peptides_func(num_graphs=3, seed=9, mean_nodes=30)
+    budget = PadBudget.for_dataset(graphs, batch_size=1)
+    slot = ((max(g.num_nodes for g in graphs) + 7) // 8) * 8
+    mesh = make_mesh(("data",), (num_devices,))
+
+    model = build_mpnn(MPNNConfig(conv_type="gcn", activation="relu",
+                                  hidden_channels=8, num_layers=2,
+                                  dropout=0.0), 9, 10)
+    import optax
+    tx = optax.sgd(0.1)
+
+    stacked = pack_for_devices(graphs, num_devices, budget,
+                               slot_nodes=slot, with_spmm_plan=True)
+    # 5 of 8 devices hold only the masked placeholder graph.
+    per_dev = np.asarray(stacked.graph_mask).sum(axis=1)
+    assert (per_dev == 0).sum() == num_devices - 3
+    # Placeholder devices still carry shape-consistent plan arrays.
+    assert stacked.spmm is not None
+    assert stacked.spmm.snd_rel.shape[0] == num_devices
+
+    single_budget = PadBudget(
+        num_nodes=budget.num_nodes * num_devices,
+        num_edges=budget.num_edges * num_devices,
+        num_graphs=budget.num_graphs * num_devices)
+    single = pack_batch(graphs, single_budget, slot_nodes=slot)
+
+    example = jax.tree_util.tree_map(lambda x: x[0], stacked)
+    state0 = init_state(model, tx, example, seed=0)
+    train_step, _ = make_train_step(model, tx, "cross_entropy")
+    state_single, loss_s, *_ = train_step(
+        TrainState(params=state0.params, opt_state=state0.opt_state,
+                   step=state0.step, rng=state0.rng), single)
+
+    dp_step = make_dp_train_step(model, tx, "cross_entropy", mesh)
+    state_dp, loss_dp, score, true, mask = dp_step(
+        TrainState(params=state0.params, opt_state=state0.opt_state,
+                   step=state0.step, rng=state0.rng),
+        shard_stacked_batch(stacked, mesh))
+
+    assert np.isfinite(float(loss_dp))
+    np.testing.assert_allclose(float(loss_s), float(loss_dp), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(state_single.params),
+                    jax.tree_util.tree_leaves(state_dp.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-5, atol=3e-5)
+    # Exactly the 3 real graphs scored; placeholders fully masked.
+    assert int(np.asarray(mask).sum()) == 3
