@@ -148,15 +148,24 @@ def make_voc_superpixels(num_graphs: int = 64, seed: int = 2,
                     src += [i, j]
                     dst += [j, i]
         edge_index = np.stack([np.array(src), np.array(dst)]).astype(np.int64)
+        # Labels form spatially contiguous regions (a Voronoi partition of
+        # the superpixel lattice), matching real VOC-SP semantics where a
+        # node's class is the object its superpixel belongs to: neighboring
+        # superpixels usually share a label, so message passing helps —
+        # unlike i.i.d. per-node labels, which are adversarial for any
+        # smoothing model.
+        num_regions = max(4, int(rng.integers(6, 13)))
+        anchors = rng.uniform(0, side, size=(num_regions, 2))
+        anchor_cls = rng.integers(0, NUM_VOC_CLASSES, size=num_regions)
+        d2 = ((coords[:, None, :] - anchors[None]) ** 2).sum(-1)
+        labels = anchor_cls[d2.argmin(axis=1)]
+        # Features: a fixed per-class signature (shared across graphs, like
+        # RGB statistics of an object class) + per-node noise + coords.
+        class_sig = np.random.default_rng(12345).normal(
+            size=(NUM_VOC_CLASSES, 12)).astype(np.float32)
         x = rng.normal(size=(n, 14)).astype(np.float32)  # 12 RGB stats + 2 pos
+        x[:, :12] = 0.8 * class_sig[labels] + 0.6 * x[:, :12]
         x[:, 12:] = coords / side
-        # Linear-teacher labels: argmax of a fixed random projection of the
-        # features (+ mild label noise) — cleanly learnable, so tests can
-        # assert above-chance F1.
-        teacher = np.random.default_rng(12345).normal(
-            size=(14, NUM_VOC_CLASSES))
-        logits = x @ teacher + rng.normal(0, 0.5, size=(n, NUM_VOC_CLASSES))
-        labels = logits.argmax(axis=1)
         node_y = np.zeros((n, NUM_VOC_CLASSES), dtype=np.float32)
         node_y[np.arange(n), labels] = 1.0
         out.append(GraphData(x=x, edge_index=edge_index, node_y=node_y))
