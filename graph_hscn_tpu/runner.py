@@ -20,7 +20,9 @@ from graph_hscn_tpu.utils.logger import Logger
 
 
 def run_experiment(cfg: ExperimentConfig, log_file=None) -> FitResult:
-    from graph_hscn_tpu.utils.profiling import maybe_init_distributed
+    from graph_hscn_tpu.utils.profiling import (enable_compile_cache,
+                                                maybe_init_distributed)
+    enable_compile_cache()
     maybe_init_distributed(cfg.runtime.multihost)
     jax.config.update("jax_default_matmul_precision",
                       cfg.runtime.matmul_precision)
@@ -217,6 +219,8 @@ def run_eval(cfg: ExperimentConfig, which: str = "best", log_file=None):
 
     if not cfg.training.checkpoint_dir:
         raise ValueError("eval mode needs training.checkpoint_dir")
+    from graph_hscn_tpu.utils.profiling import enable_compile_cache
+    enable_compile_cache()
     jax.config.update("jax_default_matmul_precision",
                       cfg.runtime.matmul_precision)
     compute_dtype = resolve_dtype(cfg.runtime.compute_dtype)

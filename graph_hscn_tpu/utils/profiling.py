@@ -73,6 +73,30 @@ def nan_guard(enable: bool = True):
     jax.config.update("jax_debug_nans", enable)
 
 
+def enable_compile_cache(cache_dir: str | None = None) -> bool:
+    """Persist compiled executables to disk (default ``.jax_cache`` under
+    the repo root, override via ``GRAPH_HSCN_COMPILE_CACHE``; set it to
+    ``off`` to disable).  On this rig the remote compile service
+    intermittently wedges for minutes; once a program has compiled
+    anywhere before, reruns are served from the cache and never touch the
+    service.  Safe no-op on backends/jax versions without support."""
+    import os
+
+    cache_dir = cache_dir or os.environ.get("GRAPH_HSCN_COMPILE_CACHE")
+    if cache_dir == "off":
+        return False
+    if not cache_dir:
+        from graph_hscn_tpu.constants import PROJECT_DIR
+        cache_dir = str(PROJECT_DIR / ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        return True
+    except Exception:
+        return False
+
+
 def maybe_init_distributed(mode: str = "auto") -> bool:
     """Multi-host bring-up (SURVEY §2.4 comm-backend row): call
     ``jax.distributed.initialize()`` so every host in a pod slice joins one
