@@ -77,7 +77,8 @@ def init_sharded_gcn_params(rng, dims: list[int]) -> list[dict]:
 
 
 def make_sharded_gcn(mesh: Mesh, num_layers: int, axis: str = "data",
-                     use_spmm_plan: bool = False):
+                     use_spmm_plan: bool = False, shard_axes=None,
+                     grad_axes=None):
     """Builds (forward_fn, train_step_fn) over the mesh.
 
     forward(params, x_blocks, plan_arrays) -> logits blocks [D, Nb, C]
@@ -91,8 +92,17 @@ def make_sharded_gcn(mesh: Mesh, num_layers: int, axis: str = "data",
     local-sender aggregation then runs the fused windowed one-hot MXU
     SpMM kernel while the halo all_to_all is in flight (SURVEY §2.4
     "async collective + Pallas compute").
+
+    Hybrid 2-D meshes (parallel/hybrid.py): ``axis`` is the mesh axis the
+    halo all_to_all rides (the edge-partition axis), ``shard_axes`` the
+    axis/axes the leading device dimension of the arrays is sharded over
+    (e.g. ``("data", "model")``), and ``grad_axes`` the axes the loss and
+    gradients are all-reduced over.  Both default to ``axis`` (the 1-D
+    edge-partition layout).
     """
     n_extra = 1 if use_spmm_plan else 0
+    shard_axes = shard_axes if shard_axes is not None else axis
+    grad_axes = grad_axes if grad_axes is not None else axis
 
     def per_device_forward(params, x_blk, send_idx, snd_loc, rcv_loc,
                            m_loc, snd_hal, rcv_hal, m_hal, *sp):
@@ -131,8 +141,8 @@ def make_sharded_gcn(mesh: Mesh, num_layers: int, axis: str = "data",
 
     forward = jax.jit(jax.shard_map(
         per_device_forward, mesh=mesh,
-        in_specs=(P(),) + (P(axis),) * (8 + n_extra),
-        out_specs=P(axis),
+        in_specs=(P(),) + (P(shard_axes),) * (8 + n_extra),
+        out_specs=P(shard_axes),
         check_vma=False,
     ))
 
@@ -150,9 +160,9 @@ def make_sharded_gcn(mesh: Mesh, num_layers: int, axis: str = "data",
             return jnp.sum(per * ok) / gcnt
 
         loss, grads = jax.value_and_grad(local_loss)(params)
-        loss = jax.lax.psum(loss, axis)
-        grads = jax.tree_util.tree_map(lambda g: jax.lax.psum(g, axis),
-                                       grads)
+        loss = jax.lax.psum(loss, grad_axes)
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.psum(g, grad_axes), grads)
         return loss, grads
 
     def _extras(plan):
@@ -165,7 +175,8 @@ def make_sharded_gcn(mesh: Mesh, num_layers: int, axis: str = "data",
 
     _vg = jax.jit(jax.shard_map(
         per_device_value_grad, mesh=mesh,
-        in_specs=(P(),) + (P(axis),) * 10 + (None,) + (P(axis),) * n_extra,
+        in_specs=(P(),) + (P(shard_axes),) * 10 + (None,)
+        + (P(shard_axes),) * n_extra,
         out_specs=(P(), P()),
         check_vma=False,
     ), static_argnums=(11,))
@@ -352,7 +363,8 @@ def init_sharded_gat_params(rng, dims: list[int]) -> list[dict]:
 
 def make_sharded_gat(mesh: Mesh, num_layers: int, axis: str = "data",
                      negative_slope: float = 0.2,
-                     use_spmm_plan: bool = False):
+                     use_spmm_plan: bool = False, shard_axes=None,
+                     grad_axes=None):
     """Edge-partitioned single-head GAT (PyG semantics incl. the self edge
     in each node's softmax, matching models.layers.GATConv with
     add_self_loops=True).
@@ -363,8 +375,12 @@ def make_sharded_gat(mesh: Mesh, num_layers: int, axis: str = "data",
     the same per-layer targeted all_to_all as the sharded GCN.  Halo
     senders' attention logits are computed from the received halo features
     (no extra exchange).  ReLU between layers mirrors the MPNN stack.
+
+    ``shard_axes``/``grad_axes``: see make_sharded_gcn (hybrid 2-D meshes).
     """
     n_extra = 1 if use_spmm_plan else 0
+    shard_axes = shard_axes if shard_axes is not None else axis
+    grad_axes = grad_axes if grad_axes is not None else axis
 
     def per_device_forward(params, x_blk, send_idx, snd_loc, rcv_loc,
                            m_loc, snd_hal, rcv_hal, m_hal, *sp):
@@ -419,8 +435,8 @@ def make_sharded_gat(mesh: Mesh, num_layers: int, axis: str = "data",
 
     forward = jax.jit(jax.shard_map(
         per_device_forward, mesh=mesh,
-        in_specs=(P(),) + (P(axis),) * (8 + n_extra),
-        out_specs=P(axis),
+        in_specs=(P(),) + (P(shard_axes),) * (8 + n_extra),
+        out_specs=P(shard_axes),
         check_vma=False,
     ))
 
@@ -438,14 +454,15 @@ def make_sharded_gat(mesh: Mesh, num_layers: int, axis: str = "data",
             return jnp.sum(per * ok) / gcnt
 
         loss, grads = jax.value_and_grad(local_loss)(params)
-        loss = jax.lax.psum(loss, axis)
-        grads = jax.tree_util.tree_map(lambda g: jax.lax.psum(g, axis),
-                                       grads)
+        loss = jax.lax.psum(loss, grad_axes)
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.psum(g, grad_axes), grads)
         return loss, grads
 
     _vg = jax.jit(jax.shard_map(
         per_device_value_grad, mesh=mesh,
-        in_specs=(P(),) + (P(axis),) * 10 + (None,) + (P(axis),) * n_extra,
+        in_specs=(P(),) + (P(shard_axes),) * 10 + (None,)
+        + (P(shard_axes),) * n_extra,
         out_specs=(P(), P()),
         check_vma=False,
     ), static_argnums=(11,))

@@ -121,11 +121,24 @@ def run_experiment(cfg: ExperimentConfig, log_file=None) -> FitResult:
                          devices=jax.devices()[:mesh_size])
         if cfg.mesh.edge_partition:
             # TP/SP-analog: node blocks sharded, per-layer halo exchange.
-            from graph_hscn_tpu.parallel.sharded_gcn import \
-                fit_edge_partitioned
             if not node_level:
                 raise ValueError("mesh.edge_partition targets node-level "
                                  "tasks (giant-graph full-batch training)")
+            if len(shape) == 2:
+                # Hybrid 2-D: data-parallel graph groups x edge-partitioned
+                # blocks (parallel/hybrid.py).
+                from graph_hscn_tpu.parallel.hybrid import fit_hybrid
+                logger.info(f"Hybrid {shape[0]}x{shape[1]} training "
+                            f"(axes {list(cfg.mesh.axes)}: DP groups x "
+                            "halo-exchange edge partition).")
+                result = fit_hybrid(dm, mesh, cfg.mpnn, cfg.optim,
+                                    cfg.training, logger,
+                                    checkpointer=checkpointer,
+                                    reorder=cfg.mesh.locality_reorder)
+                logger.finish()
+                return result
+            from graph_hscn_tpu.parallel.sharded_gcn import \
+                fit_edge_partitioned
             logger.info(f"Edge-partitioned training over {mesh_size} "
                         "devices (halo-exchange sharded GCN).")
             result = fit_edge_partitioned(dm, mesh, cfg.mpnn, cfg.optim,

@@ -44,6 +44,7 @@ def test_shipped_configs_parse():
     for p in ("configs/GCN/peptides_func_GCN.yaml",
               "configs/GCN/peptides_func_GCN_dp8.yaml",
               "configs/GCN/voc_superpixels_GCN_edge_partition.yaml",
+              "configs/GCN/voc_superpixels_GCN_hybrid.yaml",
               "configs/GAT/peptides_func_GAT.yaml",
               "configs/GAT/voc_superpixels_GAT_edge_partition.yaml",
               "configs/GIN/peptides_func_GIN.yaml",
