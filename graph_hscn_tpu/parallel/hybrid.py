@@ -91,7 +91,11 @@ def build_hybrid_split(graphs, d_dp: int, d_ep: int, reorder: bool = True):
         n = b.num_nodes_padded
         snd, rcv = np.asarray(b.senders), np.asarray(b.receivers)
         em = np.asarray(b.edge_mask)
-        x, y = np.asarray(b.node_feat), np.asarray(b.node_y)
+        x = np.asarray(b.node_feat)
+        # Graph-level batches (node_y None) still partition fine — only
+        # the comm planning is meaningful then (scaling_report).
+        y = (np.asarray(b.node_y) if b.node_y is not None
+             else np.zeros((n, 1), np.float32))
         ok = np.asarray(b.node_mask)
         if empty:
             ok = np.zeros_like(ok)

@@ -121,6 +121,40 @@ def comm_report(num_devices: int, feat: int = 128):
                 n * feat / max(D * int(h1) * feat, 1),
         })
 
+    # Hybrid 2-D (DP groups x edge partition) vs flat D-way partition:
+    # per-device all_to_all payload per layer.  Graphs are disjoint, so
+    # the halo is within-graph either way; the hybrid keeps each exchange
+    # inside a Dep-device row — the collective buffer shrinks from
+    # D*H_flat*F to Dep*H_hyb*F and spans fewer devices.
+    from graph_hscn_tpu.parallel.hybrid import build_hybrid_split
+    hybrid_rows = []
+    for name in ("peptides", "voc"):
+        graphs = workloads[name]
+        budget = PadBudget.for_dataset(graphs, batch_size=len(graphs),
+                                       node_multiple=D * 8)
+        b = pack_batch(graphs, budget)
+        n = b.num_nodes_padded
+        snd, rcv = np.asarray(b.senders), np.asarray(b.receivers)
+        em = np.asarray(b.edge_mask)
+        nm = np.asarray(b.node_mask)
+        perm = locality_reorder(snd, rcv, em, n, node_mask=nm)
+        s2, r2, _ = apply_node_reorder(perm, snd, rcv, nm)
+        flat = plan_halo_exchange(s2, r2, em, n, D)
+        for d_dp in (2, 4):
+            d_ep = D // d_dp
+            _, _, _, _, meta = build_hybrid_split(graphs, d_dp, d_ep)
+            hybrid_rows.append({
+                "workload": name, "mesh": f"{d_dp}x{d_ep}",
+                "flat_halo_floats_per_dev_layer":
+                    D * int(flat["halo_width"]) * feat,
+                "hybrid_halo_floats_per_dev_layer":
+                    d_ep * int(meta["halo_width"]) * feat,
+                "collective_span_flat": D,
+                "collective_span_hybrid": d_ep,
+                "payload_reduction": (D * int(flat["halo_width"]))
+                    / max(d_ep * int(meta["halo_width"]), 1),
+            })
+
     # 1-vs-N numerical equality: sharded GCN forward on the D-device mesh
     # vs the single-device GCNConv stack, on the VOC workload.
     graphs = workloads["voc"]
@@ -155,7 +189,8 @@ def comm_report(num_devices: int, feat: int = 128):
     denom = float(np.abs(ref[mask]).max())
     equality = {"max_abs_diff": max_abs, "max_rel_diff": max_abs / denom,
                 "devices": D}
-    return {"comm": rows, "equality_1_vs_N": equality}
+    return {"comm": rows, "hybrid": hybrid_rows,
+            "equality_1_vs_N": equality}
 
 
 def main():
