@@ -67,7 +67,46 @@ def run_experiment(cfg: ExperimentConfig, log_file=None) -> FitResult:
 
     node_level = dm.task_level == "node"
 
+    import numpy as _np
+    shape = list(cfg.mesh.shape)
+    if -1 in shape:
+        # -1 = "all remaining devices on that axis" (config/defaults.py);
+        # resolve against the actual device count so the multi-device
+        # branch is taken whenever it should be.
+        fixed = int(_np.prod([s for s in shape if s != -1])) or 1
+        shape[shape.index(-1)] = len(jax.devices()) // fixed
+    mesh_size = int(_np.prod(shape))
+
     if cfg.hscn is not None:
+        if mesh_size > 1 and cfg.mesh.edge_partition:
+            # Giant-graph HSCN: sharded SCN clustering + sharded hetero
+            # conv over the edge-partitioned mesh (parallel/sharded_scn.py).
+            if not node_level:
+                raise ValueError("mesh.edge_partition targets node-level "
+                                 "tasks (giant-graph full-batch training)")
+            if len(shape) != 1:
+                raise ValueError("edge-partitioned HSCN takes a 1-D mesh")
+            from graph_hscn_tpu.parallel.mesh import make_mesh
+            from graph_hscn_tpu.parallel.sharded_scn import \
+                fit_hscn_edge_partitioned
+            mesh = make_mesh(tuple(cfg.mesh.axes), tuple(shape),
+                             devices=jax.devices()[:mesh_size])
+            checkpointer = None
+            if cfg.training.checkpoint_dir:
+                from graph_hscn_tpu.train.checkpoint import Checkpointer
+                checkpointer = Checkpointer(cfg.training.checkpoint_dir)
+            logger.info(f"Edge-partitioned HSCN pipeline over {mesh_size} "
+                        "devices (sharded SCN clustering + halo-exchange "
+                        "hetero conv).")
+            result = fit_hscn_edge_partitioned(
+                dm, mesh, cfg.hscn, cfg.optim, cfg.training, logger,
+                checkpointer=checkpointer,
+                reorder=cfg.mesh.locality_reorder,
+                vv_pattern=("triangular"
+                            if cfg.compat.vv_triangular_pattern
+                            else "clique"))
+            logger.finish()
+            return result
         from graph_hscn_tpu.hscn_pipeline import run_hscn_pipeline
         dm.use_device_dataset = _use_device_dataset(cfg, dm)
         return run_hscn_pipeline(cfg, dm, logger)
@@ -99,15 +138,6 @@ def run_experiment(cfg: ExperimentConfig, log_file=None) -> FitResult:
         from graph_hscn_tpu.train.checkpoint import Checkpointer
         checkpointer = Checkpointer(cfg.training.checkpoint_dir)
 
-    import numpy as _np
-    shape = list(cfg.mesh.shape)
-    if -1 in shape:
-        # -1 = "all remaining devices on that axis" (config/defaults.py);
-        # resolve against the actual device count so the multi-device
-        # branch is taken whenever it should be.
-        fixed = int(_np.prod([s for s in shape if s != -1])) or 1
-        shape[shape.index(-1)] = len(jax.devices()) // fixed
-    mesh_size = int(_np.prod(shape))
     if mesh_size > 1:
         # Data-parallel SPMD over the configured mesh (SURVEY §2.4 DP row):
         # psum-reduced shard_map steps, update identical to single-device.
