@@ -222,6 +222,7 @@ def fit_edge_partitioned(dm, mesh: Mesh, mpnn_cfg, optim_cfg, training_cfg,
             "entropy; set loss_fn: softmax_cross_entropy")
     D = int(np.prod(mesh.devices.shape))
     metric_fn = METRICS[training_cfg.metric]
+    conv = mpnn_cfg.conv_type.lower()
 
     def packed(split):
         from types import SimpleNamespace
@@ -237,13 +238,14 @@ def fit_edge_partitioned(dm, mesh: Mesh, mpnn_cfg, optim_cfg, training_cfg,
         em = np.asarray(b.edge_mask)
         x, y = np.asarray(b.node_feat), np.asarray(b.node_y)
         node_ok = np.asarray(b.node_mask)
+        gid = np.asarray(b.node_graph).astype(np.int32)
         if reorder:
             # Cuthill-McKee order before blocking: halo width (per-layer
             # all_to_all volume) drops on locality-rich graphs; results
             # are permutation-invariant (node-level loss/metrics are sets).
             perm = locality_reorder(snd, rcv, em, n, node_mask=node_ok)
-            snd, rcv, x, y, node_ok = apply_node_reorder(
-                perm, snd, rcv, x, y, node_ok)
+            snd, rcv, x, y, node_ok, gid = apply_node_reorder(
+                perm, snd, rcv, x, y, node_ok, gid)
         plan_np = plan_halo_exchange(snd, rcv, em, n, D)
         logger.info(f"[edge-partition] {split}: {n} node rows over {D} "
                     f"devices, halo width H={plan_np['halo_width']}"
@@ -257,6 +259,11 @@ def fit_edge_partitioned(dm, mesh: Mesh, mpnn_cfg, optim_cfg, training_cfg,
             if sp is not None:
                 plan["spmm_loc"] = sp
         xb, yb, okb = shard_node_blocks(mesh, D, x, y, node_ok)
+        if conv == "gps":
+            # Ring attention needs graph ids (per-graph attention mask)
+            # and the node mask as rotating K/V side-channels.
+            (plan["gid_blocks"],) = shard_node_blocks(mesh, D, gid)
+            plan["ok_blocks"] = okb
         pb = SimpleNamespace(num_nodes_padded=n, node_mask=node_ok,
                              node_y=y, edge_mask=em)
         return pb, plan, xb, yb, okb
@@ -264,7 +271,8 @@ def fit_edge_partitioned(dm, mesh: Mesh, mpnn_cfg, optim_cfg, training_cfg,
     splits = {name: packed(name) for name in ("train", "val", "test")}
     # Pallas local aggregation only if EVERY split's blocks admit plans
     # (one shard_map program serves all splits).
-    use_spmm_plan = all("spmm_loc" in s[1] for s in splits.values())
+    use_spmm_plan = conv != "gps" and all(
+        "spmm_loc" in s[1] for s in splits.values())
     if not use_spmm_plan:
         for s in splits.values():
             s[1].pop("spmm_loc", None)
@@ -274,8 +282,27 @@ def fit_edge_partitioned(dm, mesh: Mesh, mpnn_cfg, optim_cfg, training_cfg,
     dims = ([dm.num_features]
             + [mpnn_cfg.hidden_channels] * (mpnn_cfg.num_layers - 1)
             + [dm.num_classes])
-    conv = mpnn_cfg.conv_type.lower()
-    if conv == "gcn":
+    if conv == "gps":
+        # Ring-attention GPS (parallel/sharded_gps.py): the CP analog —
+        # global per-graph attention with K/V blocks rotating over the
+        # mesh axis.  Layer count = num_layers GPS blocks at constant
+        # hidden width (input/head projections handle F and C).
+        from graph_hscn_tpu.parallel.sharded_gps import (
+            init_sharded_gps_params, make_sharded_gps)
+        params = init_sharded_gps_params(
+            jax.random.PRNGKey(training_cfg.seed), dm.num_features,
+            mpnn_cfg.hidden_channels, dm.num_classes,
+            mpnn_cfg.num_layers, mpnn_cfg.num_heads)
+        _fw, _vg_gps = make_sharded_gps(mesh, mpnn_cfg.num_layers,
+                                        mpnn_cfg.num_heads, axis=axis)
+
+        def forward(p, xb, plan):
+            return _fw(p, xb, plan["gid_blocks"], plan["ok_blocks"], plan)
+
+        def value_and_grad(p, xb, plan, yb, okb):
+            return _vg_gps(p, xb, plan["gid_blocks"], plan["ok_blocks"],
+                           plan, yb)
+    elif conv == "gcn":
         params = init_sharded_gcn_params(
             jax.random.PRNGKey(training_cfg.seed), dims)
         forward, value_and_grad = make_sharded_gcn(
@@ -288,8 +315,8 @@ def fit_edge_partitioned(dm, mesh: Mesh, mpnn_cfg, optim_cfg, training_cfg,
             mesh, num_layers=len(dims) - 1, axis=axis,
             use_spmm_plan=use_spmm_plan)
     else:
-        raise ValueError("edge-partitioned path supports conv_type gcn "
-                         f"or gat, got {mpnn_cfg.conv_type!r}")
+        raise ValueError("edge-partitioned path supports conv_type gcn, "
+                         f"gat or gps, got {mpnn_cfg.conv_type!r}")
     tx = build_optimizer(optim_cfg.optim_type, optim_cfg.lr,
                          optim_cfg.weight_decay,
                          optim_cfg.batch_accumulation,

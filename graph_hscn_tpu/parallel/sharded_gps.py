@@ -1,0 +1,281 @@
+"""Edge-partitioned GPS: ring attention over node blocks — the
+context-parallel (sequence-parallel) analog for giant-graph transformers.
+
+The single-device GPS (models/gps.py) computes per-graph global attention
+as batched slot-block matmuls; that caps the attendable context at one
+graph per slot and one device's memory.  This module shards the node
+dimension across the mesh exactly like the sharded GCN
+(parallel/edge_partition.py: contiguous node blocks, receiver-owned edges,
+targeted all_to_all halo exchange for the local conv) and computes the
+global attention with a RING schedule:
+
+    each device holds Q for its own node block; K/V blocks rotate around
+    the mesh axis via ``lax.ppermute`` (D-1 hops over ICI), and the
+    softmax is accumulated ONLINE (flash-attention style running
+    max/denominator/numerator), so no device ever materializes an
+    [N, N] score matrix — per-step memory is [Nb, tile] per head.
+
+Attention is masked per graph (queries attend only to keys with the same
+graph id), which makes the result exactly equal to the single-device
+per-graph slot attention — verified with mapped weights in
+tests/test_sharded_gps.py.  For a single giant graph the same code is
+true global attention over all N nodes, a capability the slotted layout
+cannot express (SURVEY §2.4 listed CP/ring attention as "no graph analog"
+— this is the analog: the node dimension IS the sequence dimension).
+
+Layer semantics mirror models/gps.py (pre-norm, GCN local + MHA global +
+GELU FFN, residuals); dropout is omitted (full-batch regime, like the
+other edge-partitioned paths).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from graph_hscn_tpu.ops.segment import segment_sum
+
+_PLAN_KEYS = ("send_idx", "snd_loc", "rcv_loc", "mask_loc",
+              "snd_hal", "rcv_hal", "mask_hal")
+NEG_INF = -1e9   # additive key-mask bias (matches models/gps.py)
+
+
+def _glorot(key, shape):
+    fan_in = int(np.prod(shape[:-1]))
+    fan_out = shape[-1]
+    scale = jnp.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, minval=-scale, maxval=scale)
+
+
+def init_sharded_gps_params(rng, num_features: int, hidden: int,
+                            num_classes: int, num_layers: int,
+                            num_heads: int) -> dict:
+    """Param pytree mirroring GPSModel's module structure
+    (tests map it 1:1 onto the flax variables)."""
+    assert hidden % num_heads == 0
+    hd = hidden // num_heads
+
+    def ln():
+        return {"scale": jnp.ones((hidden,)), "bias": jnp.zeros((hidden,))}
+
+    rng, k = jax.random.split(rng)
+    params = {"in": {"kernel": _glorot(k, (num_features, hidden)),
+                     "bias": jnp.zeros((hidden,))},
+              "layers": [], "ln_f": ln()}
+    for _ in range(num_layers):
+        rng, k1, k2, k3, k4, k5, k6, k7 = jax.random.split(rng, 8)
+        params["layers"].append({
+            "ln1": ln(),
+            "local": {"kernel": _glorot(k1, (hidden, hidden)),
+                      "bias": jnp.zeros((hidden,))},
+            "ln2": ln(),
+            "attn": {
+                "wq": _glorot(k2, (hidden, num_heads, hd)),
+                "bq": jnp.zeros((num_heads, hd)),
+                "wk": _glorot(k3, (hidden, num_heads, hd)),
+                "bk": jnp.zeros((num_heads, hd)),
+                "wv": _glorot(k4, (hidden, num_heads, hd)),
+                "bv": jnp.zeros((num_heads, hd)),
+                "wo": _glorot(k5, (num_heads, hd, hidden)),
+                "bo": jnp.zeros((hidden,)),
+            },
+            "ln3": ln(),
+            "ffn1": {"kernel": _glorot(k6, (hidden, 2 * hidden)),
+                     "bias": jnp.zeros((2 * hidden,))},
+            "ffn2": {"kernel": _glorot(k7, (2 * hidden, hidden)),
+                     "bias": jnp.zeros((hidden,))},
+        })
+    rng, k = jax.random.split(rng)
+    params["head"] = {"kernel": _glorot(k, (hidden, num_classes)),
+                      "bias": jnp.zeros((num_classes,))}
+    return params
+
+
+def _layer_norm(x, p, eps=1e-6):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+
+
+def _ring_attention(g, ap, gid, ok, axis: str, num_devices: int,
+                    tile: int):
+    """Online-softmax ring attention over the mesh axis.
+
+    g [Nb, H] pre-normed features; gid [Nb] graph ids; ok [Nb] node mask.
+    Returns [Nb, H].  K/V/gid/ok blocks rotate via ppermute; each resident
+    block is consumed in [tile]-sized chunks under lax.scan, maintaining
+    the running (max, denom, numerator) in f32.
+    """
+    nb = g.shape[0]
+    nh, hd = ap["wq"].shape[1], ap["wq"].shape[2]
+    assert nb % tile == 0
+    q = jnp.einsum("nf,fhd->nhd", g, ap["wq"]) + ap["bq"]
+    k = jnp.einsum("nf,fhd->nhd", g, ap["wk"]) + ap["bk"]
+    v = jnp.einsum("nf,fhd->nhd", g, ap["wv"]) + ap["bv"]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(hd, jnp.float32))
+
+    m0 = jnp.full((nb, nh), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((nb, nh), jnp.float32)
+    a0 = jnp.zeros((nb, nh, hd), jnp.float32)
+    perm = [(i, (i + 1) % num_devices) for i in range(num_devices)]
+
+    def tile_step(carry, blk):
+        m, l, acc = carry
+        k_t, v_t, g_t, o_t = blk                       # [tile, ...]
+        s = jnp.einsum("qhd,khd->qhk", q, k_t).astype(jnp.float32) * scale
+        bias = jnp.where((gid[:, None] == g_t[None, :]) & o_t[None, :],
+                         0.0, NEG_INF)                 # [Nb, tile]
+        s = s + bias[:, None, :]
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1))
+        p = jnp.exp(s - m_new[..., None])
+        corr = jnp.exp(m - m_new)
+        l = l * corr + jnp.sum(p, axis=-1)
+        acc = acc * corr[..., None] + jnp.einsum(
+            "qhk,khd->qhd", p, v_t.astype(jnp.float32))
+        return (m_new, l, acc), None
+
+    def ring_step(carry, _):
+        m, l, acc, kc, vc, gc, oc = carry
+        t = nb // tile
+        blocks = (kc.reshape(t, tile, nh, hd), vc.reshape(t, tile, nh, hd),
+                  gc.reshape(t, tile), oc.reshape(t, tile))
+        (m, l, acc), _ = jax.lax.scan(tile_step, (m, l, acc), blocks)
+        kc = jax.lax.ppermute(kc, axis, perm)
+        vc = jax.lax.ppermute(vc, axis, perm)
+        gc = jax.lax.ppermute(gc, axis, perm)
+        oc = jax.lax.ppermute(oc, axis, perm)
+        return (m, l, acc, kc, vc, gc, oc), None
+
+    (m, l, acc, *_), _ = jax.lax.scan(
+        ring_step, (m0, l0, a0, k, v, gid, ok), None, length=num_devices)
+    out = acc / jnp.maximum(l, 1e-30)[..., None]
+    out = jnp.einsum("qhd,hdf->qf", out.astype(g.dtype), ap["wo"]) \
+        + ap["bo"]
+    return jnp.where(ok[:, None], out, 0.0)
+
+
+def make_sharded_gps(mesh: Mesh, num_layers: int, num_heads: int,
+                     axis: str = "data", tile: int | None = None):
+    """Builds (forward, value_and_grad) for the ring-attention GPS.
+
+    forward(params, x_blocks [D,Nb,F], gid_blocks [D,Nb], ok_blocks [D,Nb],
+            plan) -> logits [D, Nb, C]
+    value_and_grad adds y_blocks/node_ok_blocks -> (psum'd node-level CE
+    loss, psum'd grads) — the same contract as make_sharded_gcn.
+    """
+    D = int(np.prod(mesh.devices.shape))
+
+    def per_device_forward(params, x_blk, gid_blk, ok_blk, send_idx,
+                           snd_loc, rcv_loc, m_loc, snd_hal, rcv_hal,
+                           m_hal):
+        x0 = x_blk[0]
+        gid, ok = gid_blk[0], ok_blk[0]
+        send_idx = send_idx[0]
+        snd_loc, rcv_loc, m_loc = snd_loc[0], rcv_loc[0], m_loc[0]
+        snd_hal, rcv_hal, m_hal = snd_hal[0], rcv_hal[0], m_hal[0]
+        nb = x0.shape[0]
+        t = tile or _pick_tile(nb)
+
+        def _halo(h):
+            outbound = jnp.take(h, send_idx, axis=0)
+            inbound = jax.lax.all_to_all(outbound, axis, split_axis=0,
+                                         concat_axis=0, tiled=False)
+            return inbound.reshape(-1, h.shape[-1])
+
+        # GCN normalization (layer-independent): in-degree + self loop,
+        # sender-side dinv exchanged once — same as make_sharded_gcn.
+        deg = (segment_sum(jnp.where(m_loc, 1.0, 0.0), rcv_loc, nb)
+               + segment_sum(jnp.where(m_hal, 1.0, 0.0), rcv_hal, nb)
+               + 1.0)
+        dinv = jax.lax.rsqrt(deg)
+        dinv_halo = _halo(dinv[:, None])[:, 0]
+        w_loc = jnp.where(m_loc, dinv[snd_loc] * dinv[rcv_loc], 0.0)
+        w_hal = jnp.where(m_hal, dinv_halo[snd_hal] * dinv[rcv_hal], 0.0)
+        diag = dinv * dinv
+
+        x = x0 @ params["in"]["kernel"] + params["in"]["bias"]
+        for layer in params["layers"]:
+            # Local: GCNConv over the real edges (halo overlapped).
+            h = _layer_norm(x, layer["ln1"])
+            hh = h @ layer["local"]["kernel"]
+            halo_h = _halo(hh)
+            agg = segment_sum(hh[snd_loc] * w_loc[:, None], rcv_loc, nb)
+            agg = agg + segment_sum(halo_h[snd_hal] * w_hal[:, None],
+                                    rcv_hal, nb)
+            local = agg + diag[:, None] * hh + layer["local"]["bias"]
+            h_local = x + jax.nn.relu(local)
+
+            # Global: ring attention, per-graph masked.
+            g = _layer_norm(x, layer["ln2"])
+            h_global = x + _ring_attention(g, layer["attn"], gid, ok,
+                                           axis, D, t)
+
+            h2 = h_local + h_global
+            f = _layer_norm(h2, layer["ln3"])
+            f = jax.nn.gelu(f @ layer["ffn1"]["kernel"]
+                            + layer["ffn1"]["bias"])
+            f = f @ layer["ffn2"]["kernel"] + layer["ffn2"]["bias"]
+            x = h2 + f
+
+        x = _layer_norm(x, params["ln_f"])
+        out = x @ params["head"]["kernel"] + params["head"]["bias"]
+        out = jnp.where(ok[:, None], out, 0.0)
+        return out[None]
+
+    forward = jax.jit(jax.shard_map(
+        per_device_forward, mesh=mesh,
+        in_specs=(P(),) + (P(axis),) * 10,
+        out_specs=P(axis),
+        check_vma=False,
+    ))
+
+    def per_device_value_grad(params, x_blk, gid_blk, ok_blk, send_idx,
+                              snd_loc, rcv_loc, m_loc, snd_hal, rcv_hal,
+                              m_hal, y_blk, gcnt):
+        def local_loss(params):
+            logits = per_device_forward(
+                params, x_blk, gid_blk, ok_blk, send_idx, snd_loc,
+                rcv_loc, m_loc, snd_hal, rcv_hal, m_hal)[0]
+            y = y_blk[0]
+            w = ok_blk[0].astype(logits.dtype)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            per = -jnp.sum(y * logp, axis=-1)
+            return jnp.sum(per * w) / gcnt
+
+        loss, grads = jax.value_and_grad(local_loss)(params)
+        loss = jax.lax.psum(loss, axis)
+        grads = jax.tree_util.tree_map(lambda g: jax.lax.psum(g, axis),
+                                       grads)
+        return loss, grads
+
+    _vg = jax.jit(jax.shard_map(
+        per_device_value_grad, mesh=mesh,
+        in_specs=(P(),) + (P(axis),) * 11 + (None,),
+        out_specs=(P(), P()),
+        check_vma=False,
+    ), static_argnums=(12,))
+
+    def forward_wrapper(params, x_blocks, gid_blocks, ok_blocks, plan):
+        return forward(params, x_blocks, gid_blocks, ok_blocks,
+                       *(plan[k] for k in _PLAN_KEYS))
+
+    def value_and_grad(params, x_blocks, gid_blocks, ok_blocks, plan,
+                       y_blocks):
+        gcnt = float(np.maximum(np.asarray(ok_blocks).sum(), 1.0))
+        return _vg(params, x_blocks, gid_blocks, ok_blocks,
+                   *(plan[k] for k in _PLAN_KEYS), y_blocks, gcnt)
+
+    return forward_wrapper, value_and_grad
+
+
+@functools.lru_cache(maxsize=None)
+def _pick_tile(nb: int, cap: int = 512) -> int:
+    """Largest divisor of nb that is <= cap (nb is a multiple of 8)."""
+    for t in range(min(cap, nb), 0, -1):
+        if nb % t == 0:
+            return t
+    return nb

@@ -78,7 +78,10 @@ def run_experiment(cfg: ExperimentConfig, log_file=None) -> FitResult:
     mesh_size = int(_np.prod(shape))
 
     if cfg.hscn is not None:
-        if mesh_size > 1 and cfg.mesh.edge_partition:
+        # edge_partition is an explicit opt-in; honor it even on a
+        # 1-device mesh (identical shard_map program — lets the single
+        # attached chip run/validate the giant-graph path).
+        if cfg.mesh.edge_partition:
             # Giant-graph HSCN: sharded SCN clustering + sharded hetero
             # conv over the edge-partitioned mesh (parallel/sharded_scn.py).
             if not node_level:
@@ -138,9 +141,12 @@ def run_experiment(cfg: ExperimentConfig, log_file=None) -> FitResult:
         from graph_hscn_tpu.train.checkpoint import Checkpointer
         checkpointer = Checkpointer(cfg.training.checkpoint_dir)
 
-    if mesh_size > 1:
+    if mesh_size > 1 or cfg.mesh.edge_partition:
         # Data-parallel SPMD over the configured mesh (SURVEY §2.4 DP row):
         # psum-reduced shard_map steps, update identical to single-device.
+        # edge_partition is honored even on a 1-device mesh (identical
+        # shard_map program — lets the single attached chip run the
+        # giant-graph path end-to-end).
         from graph_hscn_tpu.parallel.data_parallel import fit_dp
         from graph_hscn_tpu.parallel.mesh import make_mesh
         if len(jax.devices()) < mesh_size:
