@@ -201,7 +201,7 @@ def shard_node_blocks(mesh: Mesh, num_devices: int, *arrays,
 
 def fit_edge_partitioned(dm, mesh: Mesh, mpnn_cfg, optim_cfg, training_cfg,
                          logger, checkpointer=None, axis: str = "data",
-                         reorder: bool = True):
+                         reorder: bool = True, eval_only: str | None = None):
     """CLI-reachable edge-partitioned training (mesh.edge_partition: true):
     each split is packed into ONE padded batch whose node blocks shard
     across the mesh — full-batch gradient descent per epoch, the standard
@@ -337,10 +337,6 @@ def fit_edge_partitioned(dm, mesh: Mesh, mpnn_cfg, optim_cfg, training_cfg,
                           step=jnp.asarray(0, jnp.int32),
                           rng=jax.random.PRNGKey(training_cfg.seed))
 
-    state0, start_epoch, best_loss = _maybe_resume(get_state(),
-                                                   checkpointer, logger)
-    params, opt_state = state0.params, state0.opt_state
-
     def evaluate_any(split):
         b, plan, xb, yb, okb = splits[split]
         logits = np.asarray(forward(params, xb, plan)).reshape(
@@ -350,6 +346,21 @@ def fit_edge_partitioned(dm, mesh: Mesh, mpnn_cfg, optim_cfg, training_cfg,
         logp = jax.nn.log_softmax(jnp.asarray(logits[mask]), axis=-1)
         loss = float(-jnp.mean(jnp.sum(jnp.asarray(y[mask]) * logp, -1)))
         return loss, metric_fn(y[mask], logits[mask])
+
+    if eval_only:
+        # Eval-only mode: restore a snapshot and score val/test (the
+        # sharded analog of train.loop.evaluate_checkpoint).
+        state, meta = checkpointer.restore(eval_only, get_state())
+        params = state.params
+        results = {}
+        for split in ("val", "test"):
+            loss, perf = evaluate_any(split)
+            results[split] = {"loss": loss, training_cfg.metric: perf}
+        return results, meta
+
+    state0, start_epoch, best_loss = _maybe_resume(get_state(),
+                                                   checkpointer, logger)
+    params, opt_state = state0.params, state0.opt_state
 
     b_tr, plan_tr, xb, yb, okb = splits["train"]
     train_edges = int(np.asarray(b_tr.edge_mask).sum())

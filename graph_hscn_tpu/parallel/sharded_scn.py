@@ -210,7 +210,8 @@ def make_sharded_scn(mesh: Mesh, num_clusters: int, mp_act: str = "relu",
 def fit_hscn_edge_partitioned(dm, mesh: Mesh, hscn_cfg, optim_cfg,
                               training_cfg, logger, checkpointer=None,
                               axis: str = "data", reorder: bool = True,
-                              vv_pattern: str = "clique"):
+                              vv_pattern: str = "clique",
+                              eval_only: str | None = None):
     """CLI-reachable giant-graph HSCN pipeline (``hscn:`` +
     ``mesh.edge_partition: true``): each split packed as ONE padded batch
     whose node blocks shard across the mesh, then
@@ -333,10 +334,6 @@ def fit_hscn_edge_partitioned(dm, mesh: Mesh, hscn_cfg, optim_cfg,
                           step=jnp.asarray(0, jnp.int32),
                           rng=jax.random.PRNGKey(training_cfg.seed))
 
-    state0, start_epoch, best_loss = _maybe_resume(get_state(),
-                                                   checkpointer, logger)
-    params, opt_state = state0.params, state0.opt_state
-
     def evaluate_any(split):
         s = splits[split]
         logits = np.asarray(forward(params, s["xb"], s["okb"], s["cb"],
@@ -346,6 +343,23 @@ def fit_hscn_edge_partitioned(dm, mesh: Mesh, hscn_cfg, optim_cfg,
         logp = jax.nn.log_softmax(jnp.asarray(logits[mask]), axis=-1)
         loss = float(-jnp.mean(jnp.sum(jnp.asarray(y[mask]) * logp, -1)))
         return loss, metric_fn(y[mask], logits[mask])
+
+    if eval_only:
+        # Eval-only: clusters were reconstructed deterministically above
+        # (stage 1+2 re-run from training.seed — they are not part of the
+        # snapshot, matching runner.run_eval's single-device HSCN); now
+        # restore stage-4 weights and score.
+        state, meta = checkpointer.restore(eval_only, get_state())
+        params = state.params
+        results = {}
+        for split in ("val", "test"):
+            loss, perf = evaluate_any(split)
+            results[split] = {"loss": loss, training_cfg.metric: perf}
+        return results, meta
+
+    state0, start_epoch, best_loss = _maybe_resume(get_state(),
+                                                   checkpointer, logger)
+    params, opt_state = state0.params, state0.opt_state
 
     tr = splits["train"]
 

@@ -285,6 +285,44 @@ def run_eval(cfg: ExperimentConfig, which: str = "best", log_file=None):
                       frozen_random=cfg.compat.frozen_random_signnet)
     node_level = dm.task_level == "node"
 
+    if cfg.mesh.edge_partition:
+        # Sharded eval: rebuild the packed splits + shard_map forward and
+        # restore the sharded param pytree (fit_*'s eval_only mode).
+        import numpy as _np
+        shape = list(cfg.mesh.shape)
+        if -1 in shape:
+            fixed = int(_np.prod([s for s in shape if s != -1])) or 1
+            shape[shape.index(-1)] = len(jax.devices()) // fixed
+        from graph_hscn_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(tuple(cfg.mesh.axes), tuple(shape),
+                         devices=jax.devices()[:int(_np.prod(shape))])
+        checkpointer = Checkpointer(cfg.training.checkpoint_dir)
+        if cfg.hscn is not None:
+            from graph_hscn_tpu.parallel.sharded_scn import \
+                fit_hscn_edge_partitioned
+            results, meta = fit_hscn_edge_partitioned(
+                dm, mesh, cfg.hscn, cfg.optim, cfg.training, logger,
+                checkpointer=checkpointer,
+                reorder=cfg.mesh.locality_reorder,
+                vv_pattern=("triangular"
+                            if cfg.compat.vv_triangular_pattern
+                            else "clique"),
+                eval_only=which)
+        else:
+            from graph_hscn_tpu.parallel.sharded_gcn import \
+                fit_edge_partitioned
+            results, meta = fit_edge_partitioned(
+                dm, mesh, cfg.mpnn, cfg.optim, cfg.training, logger,
+                checkpointer=checkpointer,
+                reorder=cfg.mesh.locality_reorder, eval_only=which)
+        for split, m in results.items():
+            logger.info(f"[eval:{which}] {split}: " + ", ".join(
+                f"{k}={v:.4f}" for k, v in m.items()))
+        if meta:
+            logger.info(f"[eval:{which}] snapshot meta: {meta}")
+        logger.finish()
+        return results
+
     if cfg.hscn is not None:
         from graph_hscn_tpu.models.hscn import build_hscn
         from graph_hscn_tpu.models.scn import build_scn

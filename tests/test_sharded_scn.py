@@ -158,3 +158,41 @@ def test_runner_edge_partitioned_hscn():
     assert result.epochs_run == 3
     assert np.isfinite(result.history[-1]["train_loss"])
     assert "validation_perf" in result.history[-1]
+
+
+def test_eval_only_edge_partitioned(tmp_path):
+    """--eval best works on the sharded paths: the snapshot (a sharded
+    param pytree, not flax variables) restores into the shard_map forward
+    for both the HSCN pipeline and the plain sharded GCN."""
+    from graph_hscn_tpu.config.config import parse_config
+    from graph_hscn_tpu.runner import run_eval, run_experiment
+
+    raw = {
+        "data": {"dataset_name": "voc_superpixels", "batch_size": 4,
+                 "num_graphs": 10},
+        "hscn": {"activation": "relu", "hidden_channels": 8,
+                 "num_layers": 2, "num_clusters": 4, "cluster_epochs": 1,
+                 "mp_units": [8]},
+        "optim": {"optim_type": "adamW", "lr": 0.01,
+                  "weight_decay": 5e-4},
+        "training": {"model_type": "hscn", "use_wandb": False,
+                     "loss_fn": "softmax_cross_entropy", "metric": "f1",
+                     "max_epochs": 2, "eval_period": 1, "min_delta": 0.0,
+                     "patience": 50,
+                     "checkpoint_dir": str(tmp_path / "ck_hscn")},
+        "mesh": {"axes": ["data"], "shape": [8], "edge_partition": True},
+    }
+    run_experiment(parse_config(raw))
+    results = run_eval(parse_config(raw), which="best")
+    assert set(results) == {"val", "test"}
+    assert np.isfinite(results["val"]["loss"])
+    assert "f1" in results["test"]
+
+    raw.pop("hscn")
+    raw["mp"] = {"conv_type": "gcn", "activation": "relu",
+                 "hidden_channels": 8, "num_layers": 2, "dropout": 0.0}
+    raw["training"]["model_type"] = "gcn"
+    raw["training"]["checkpoint_dir"] = str(tmp_path / "ck_gcn")
+    run_experiment(parse_config(raw))
+    results = run_eval(parse_config(raw), which="best")
+    assert np.isfinite(results["val"]["loss"])
