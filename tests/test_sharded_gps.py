@@ -89,6 +89,52 @@ def test_sharded_gps_matches_flax():
     np.testing.assert_allclose(out[mask], ref[mask], rtol=2e-4, atol=2e-4)
 
 
+def test_sharded_gps_grads_match_flax():
+    """AD through the ring (ppermute + scan online-softmax) vs jax.grad
+    of the flax GPS loss under mapped weights."""
+    b, plan, n = _setup()
+    mesh = make_mesh(("data",), (D,))
+    params = init_sharded_gps_params(jax.random.PRNGKey(9), 14, HID, 21, L,
+                                     HEADS)
+    _, vg = make_sharded_gps(mesh, L, HEADS)
+    xb, gb, okb, yb = shard_node_blocks(
+        mesh, D, np.asarray(b.node_feat),
+        np.asarray(b.node_graph).astype(np.int32),
+        np.asarray(b.node_mask), np.asarray(b.node_y))
+    loss, grads = vg(params, xb, gb, okb, plan, yb)
+
+    flax_model = GPSModel(num_features=14, hidden_channels=HID,
+                          num_classes=21, num_layers=L, num_heads=HEADS,
+                          dropout=0.0, readout="none")
+    ok = jnp.asarray(b.node_mask)
+    y = jnp.asarray(b.node_y)
+    gcnt = float(np.asarray(b.node_mask).sum())
+
+    def flax_loss(p):
+        logits = flax_model.apply({"params": p}, b, train=False)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        per = -jnp.sum(y * logp, axis=-1)
+        return jnp.sum(per * ok.astype(logits.dtype)) / gcnt
+
+    mapped = _map_params(params, L)["params"]
+    ref_loss = float(flax_loss(mapped))
+    ref_grads = jax.grad(flax_loss)(mapped)
+    np.testing.assert_allclose(float(loss), ref_loss, rtol=1e-5)
+
+    # Spot-check the gradient leaves that exercise the ring transpose.
+    att = grads["layers"][0]["attn"]
+    ref_att = ref_grads["GPSLayer_0"]["GraphMHA_0"]
+    for mine, theirs in ((att["wq"], ref_att["query"]["kernel"]),
+                         (att["wk"], ref_att["key"]["kernel"]),
+                         (att["wv"], ref_att["value"]["kernel"]),
+                         (att["wo"], ref_att["out"]["kernel"])):
+        np.testing.assert_allclose(np.asarray(mine), np.asarray(theirs),
+                                   rtol=5e-3, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(grads["in"]["kernel"]),
+        np.asarray(ref_grads["Dense_0"]["kernel"]), rtol=5e-3, atol=1e-6)
+
+
 def test_sharded_gps_grads_finite_and_partition_invariant():
     b, _, n = _setup()
     params = init_sharded_gps_params(jax.random.PRNGKey(4), 14, HID, 21, L,
