@@ -46,24 +46,28 @@ def partition_edges_by_receiver(senders: np.ndarray, receivers: np.ndarray,
         "devices — pad the batch budget accordingly")
     nb = num_nodes // num_devices
     owner = receivers // nb
-    groups_s, groups_r, groups_m = [], [], []
+    eids = np.arange(senders.shape[0], dtype=np.int32)
+    groups_s, groups_r, groups_m, groups_e = [], [], [], []
     for d in range(num_devices):
         sel = (owner == d) & edge_mask
         groups_s.append(senders[sel])
         groups_r.append(receivers[sel] - d * nb)
         groups_m.append(np.ones(sel.sum(), bool))
+        groups_e.append(eids[sel])
     eb = max(len(g) for g in groups_s)
     eb = ((eb + 127) // 128) * 128 if eb else 128
     D = num_devices
     out_s = np.zeros((D, eb), np.int32)
     out_r = np.zeros((D, eb), np.int32)
     out_m = np.zeros((D, eb), bool)
+    out_e = np.zeros((D, eb), np.int32)
     for d in range(D):
         k = len(groups_s[d])
         out_s[d, :k] = groups_s[d]
         out_r[d, :k] = groups_r[d]
         out_m[d, :k] = groups_m[d]
-    return out_s, out_r, out_m, nb
+        out_e[d, :k] = groups_e[d]
+    return out_s, out_r, out_m, nb, out_e
 
 
 def make_sharded_spmm(mesh: Mesh, axis: str = "data"):
@@ -113,11 +117,14 @@ def plan_halo_exchange(senders: np.ndarray, receivers: np.ndarray,
     local aggregation):
       snd_loc [D, El], rcv_loc [D, El], mask_loc [D, El]   (own-block ids)
       snd_hal [D, Eh], rcv_hal [D, Eh], mask_hal [D, Eh]   (halo-table ids)
+    plus ``eidx_loc [D, El]`` / ``eidx_hal [D, Eh]``: each group edge's
+    index into the ORIGINAL edge array, so per-edge data (edge features
+    for GatedGCN) can be gathered into the same per-device layout.
     """
     assert num_nodes % num_devices == 0
     nb = num_nodes // num_devices
     D = num_devices
-    snd_d, rcv_d, mask_d, _ = partition_edges_by_receiver(
+    snd_d, rcv_d, mask_d, _, eidx_d = partition_edges_by_receiver(
         senders, receivers, edge_mask, num_nodes, D)
     eb = snd_d.shape[1]
 
@@ -154,7 +161,7 @@ def plan_halo_exchange(senders: np.ndarray, receivers: np.ndarray,
                 snd_remap[d, e] = lookup[gid]
     plan = dict(send_idx=send_idx, snd_remap=snd_remap, rcv_local=rcv_d,
                 mask=mask_d, block_size=nb, halo_width=H)
-    plan.update(_split_local_halo(snd_remap, rcv_d, mask_d, nb))
+    plan.update(_split_local_halo(snd_remap, rcv_d, mask_d, nb, eidx_d))
     return plan
 
 
@@ -246,37 +253,42 @@ def apply_node_reorder(perm: np.ndarray, senders: np.ndarray,
     return (new_s, new_r) + tuple(np.asarray(a)[perm] for a in node_arrays)
 
 
-def _split_local_halo(snd_remap, rcv_local, mask, nb):
+def _split_local_halo(snd_remap, rcv_local, mask, nb, eidx):
     """Split each device's edges into local-sender (id < Nb) and
-    halo-sender groups, padded separately to 128-multiples."""
+    halo-sender groups, padded separately to 128-multiples.  Also carries
+    each edge's original-array index (for per-edge feature gathers)."""
     D = snd_remap.shape[0]
-    groups = {"loc": ([], []), "hal": ([], [])}
+    groups = {"loc": ([], [], []), "hal": ([], [], [])}
     for d in range(D):
         m = mask[d]
         is_loc = (snd_remap[d] < nb) & m
         is_hal = (snd_remap[d] >= nb) & m
         groups["loc"][0].append(snd_remap[d][is_loc])
         groups["loc"][1].append(rcv_local[d][is_loc])
+        groups["loc"][2].append(eidx[d][is_loc])
         groups["hal"][0].append(snd_remap[d][is_hal] - nb)
         groups["hal"][1].append(rcv_local[d][is_hal])
+        groups["hal"][2].append(eidx[d][is_hal])
 
-    def pad(ss, rr):
+    def pad(ss, rr, ee):
         e = max(max((len(g) for g in ss), default=0), 1)
         e = ((e + 127) // 128) * 128
         s = np.zeros((D, e), np.int32)
         r = np.zeros((D, e), np.int32)
         mk = np.zeros((D, e), bool)
+        ei = np.zeros((D, e), np.int32)
         for d in range(D):
             k = len(ss[d])
             s[d, :k] = ss[d]
             r[d, :k] = rr[d]
             mk[d, :k] = True
-        return s, r, mk
+            ei[d, :k] = ee[d]
+        return s, r, mk, ei
 
-    ls, lr, lm = pad(*groups["loc"])
-    hs, hr, hm = pad(*groups["hal"])
-    return dict(snd_loc=ls, rcv_loc=lr, mask_loc=lm,
-                snd_hal=hs, rcv_hal=hr, mask_hal=hm)
+    ls, lr, lm, le = pad(*groups["loc"])
+    hs, hr, hm, he = pad(*groups["hal"])
+    return dict(snd_loc=ls, rcv_loc=lr, mask_loc=lm, eidx_loc=le,
+                snd_hal=hs, rcv_hal=hr, mask_hal=hm, eidx_hal=he)
 
 
 def make_sharded_spmm_halo(mesh: Mesh, axis: str = "data"):

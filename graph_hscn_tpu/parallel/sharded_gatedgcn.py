@@ -1,0 +1,220 @@
+"""Edge-partitioned GatedGCN: edge-featured gated message passing over a
+device mesh — the LRGB-standard VOC-SP architecture (models/gatedgcn.py,
+absent from the reference's CONV_DICT) at giant-graph scale.
+
+Sharding layout is the sharded-GCN one (parallel/edge_partition.py):
+contiguous node blocks, receiver-owned edges, targeted all_to_all halo
+exchange of the current node features once per layer.  GatedGCN's edge
+STATE never moves: every edge lives on its receiver's device for the whole
+run (gates, edge LayerNorm, and edge residuals are all edge-local), so the
+only per-layer communication is the same node-feature halo as GCN — the
+gate computation E(x_snd)/B(x_snd) for halo senders happens on the
+receiving device from the exchanged raw features.
+
+Per-layer math mirrors models/layers.GatedGCNConv exactly (parity-tested
+with mapped weights in tests/test_sharded_gatedgcn.py):
+
+    e'  = C e + D x_rcv + E x_snd
+    eta = sigmoid(e') / (sum_rcv sigmoid(e') + 1e-6)
+    x'  = A x + sum eta * (B x_snd)
+    LayerNorm(x'), LayerNorm(e'), ReLU, residual on both streams.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from graph_hscn_tpu.ops.segment import segment_sum
+
+_PLAN_KEYS = ("send_idx", "snd_loc", "rcv_loc", "mask_loc",
+              "snd_hal", "rcv_hal", "mask_hal")
+_EPS = 1e-6
+
+
+def _glorot(key, shape):
+    scale = jnp.sqrt(6.0 / (shape[0] + shape[1]))
+    return jax.random.uniform(key, shape, minval=-scale, maxval=scale)
+
+
+def init_sharded_gatedgcn_params(rng, num_features: int, edge_features,
+                                 hidden: int, num_classes: int,
+                                 num_layers: int) -> dict:
+    """Param pytree mirroring GatedGCNNet (node/edge encoders ->
+    L x {A..E, LN_x, LN_e} -> node-level head)."""
+    def ln():
+        return {"scale": jnp.ones((hidden,)), "bias": jnp.zeros((hidden,))}
+
+    rng, k = jax.random.split(rng)
+    params = {"enc_x": {"kernel": _glorot(k, (num_features, hidden)),
+                        "bias": jnp.zeros((hidden,))},
+              "layers": []}
+    if edge_features:
+        rng, k = jax.random.split(rng)
+        params["enc_e"] = {"kernel": _glorot(k, (edge_features, hidden)),
+                           "bias": jnp.zeros((hidden,))}
+    for _ in range(num_layers):
+        rng, *ks = jax.random.split(rng, 6)
+        layer = {name: {"kernel": _glorot(kk, (hidden, hidden)),
+                        "bias": jnp.zeros((hidden,))}
+                 for name, kk in zip("ABCDE", ks)}
+        layer["ln_x"] = ln()
+        layer["ln_e"] = ln()
+        params["layers"].append(layer)
+    rng, k = jax.random.split(rng)
+    params["head"] = {"kernel": _glorot(k, (hidden, num_classes)),
+                      "bias": jnp.zeros((num_classes,))}
+    return params
+
+
+def _layer_norm(x, p, eps=1e-6):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+
+
+def make_sharded_gatedgcn(mesh: Mesh, num_layers: int, axis: str = "data"):
+    """Builds (forward, value_and_grad).
+
+    forward(params, x_blocks [D,Nb,F], e_loc [D,El,Fe]|None,
+            e_hal [D,Eh,Fe]|None, ok_blocks [D,Nb], plan) -> [D, Nb, C]
+    value_and_grad adds y_blocks -> (psum'd node-level CE loss, psum'd
+    grads) — same contract as make_sharded_gcn.
+    """
+
+    def _dense(h, p):
+        return h @ p["kernel"] + p["bias"]
+
+    def per_device_forward(params, x_blk, ok_blk, *args):
+        has_e = len(args) == 9   # e_loc + e_hal + the 7 plan arrays
+        if has_e:
+            e0_loc, e0_hal = args[0][0], args[1][0]
+            plan_args = args[2:]
+        else:
+            e0_loc = e0_hal = None
+            plan_args = args
+        (send_idx, snd_loc, rcv_loc, m_loc, snd_hal, rcv_hal,
+         m_hal) = (a[0] for a in plan_args)
+        x0 = x_blk[0]
+        ok = ok_blk[0]
+        nb = x0.shape[0]
+
+        def _halo(h):
+            outbound = jnp.take(h, send_idx, axis=0)
+            inbound = jax.lax.all_to_all(outbound, axis, split_axis=0,
+                                         concat_axis=0, tiled=False)
+            return inbound.reshape(-1, h.shape[-1])
+
+        x = _dense(x0, params["enc_x"])
+        hidden = x.shape[-1]
+        if has_e:
+            e_loc = _dense(e0_loc, params["enc_e"])
+            e_hal = _dense(e0_hal, params["enc_e"])
+        else:
+            e_loc = jnp.zeros((snd_loc.shape[0], hidden), x.dtype)
+            e_hal = jnp.zeros((snd_hal.shape[0], hidden), x.dtype)
+
+        for layer in params["layers"]:
+            # Issue the feature exchange first; all local-sender work
+            # (the bulk) runs while the all_to_all is in flight.
+            halo = _halo(x)
+            dx = _dense(x, layer["D"])
+            ex = _dense(x, layer["E"])
+            bx = _dense(x, layer["B"])
+            e_hal_src = _dense(halo, layer["E"])
+            b_hal_src = _dense(halo, layer["B"])
+
+            e_new_loc = _dense(e_loc, layer["C"]) + dx[rcv_loc] \
+                + ex[snd_loc]
+            e_new_hal = _dense(e_hal, layer["C"]) + dx[rcv_hal] \
+                + e_hal_src[snd_hal]
+            sig_loc = jnp.where(m_loc[:, None],
+                                jax.nn.sigmoid(e_new_loc), 0.0)
+            sig_hal = jnp.where(m_hal[:, None],
+                                jax.nn.sigmoid(e_new_hal), 0.0)
+            denom = (segment_sum(sig_loc, rcv_loc, nb)
+                     + segment_sum(sig_hal, rcv_hal, nb))
+            agg = (segment_sum(sig_loc * bx[snd_loc], rcv_loc, nb)
+                   + segment_sum(sig_hal * b_hal_src[snd_hal], rcv_hal,
+                                 nb))
+            x_new = _dense(x, layer["A"]) + agg / (denom + _EPS)
+
+            x_new = jax.nn.relu(_layer_norm(x_new, layer["ln_x"]))
+            e_new_loc = jax.nn.relu(_layer_norm(e_new_loc, layer["ln_e"]))
+            e_new_hal = jax.nn.relu(_layer_norm(e_new_hal, layer["ln_e"]))
+            x = x + x_new
+            e_loc = e_loc + e_new_loc
+            e_hal = e_hal + e_new_hal
+
+        x = jnp.where(ok[:, None], x, 0.0)
+        out = _dense(x, params["head"])
+        return out[None]
+
+    def _specs(n_in):
+        return (P(),) + (P(axis),) * n_in
+
+    fwd_e = jax.jit(jax.shard_map(per_device_forward, mesh=mesh,
+                                  in_specs=_specs(11), out_specs=P(axis),
+                                  check_vma=False))
+    fwd_noe = jax.jit(jax.shard_map(per_device_forward, mesh=mesh,
+                                    in_specs=_specs(9), out_specs=P(axis),
+                                    check_vma=False))
+
+    def per_device_value_grad(params, x_blk, ok_blk, y_blk, gcnt, *args):
+        def local_loss(params):
+            logits = per_device_forward(params, x_blk, ok_blk, *args)[0]
+            y = y_blk[0]
+            w = ok_blk[0].astype(logits.dtype)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            per = -jnp.sum(y * logp, axis=-1)
+            return jnp.sum(per * w) / gcnt
+
+        loss, grads = jax.value_and_grad(local_loss)(params)
+        loss = jax.lax.psum(loss, axis)
+        grads = jax.tree_util.tree_map(lambda g: jax.lax.psum(g, axis),
+                                       grads)
+        return loss, grads
+
+    def _vg_specs(n_in):
+        return (P(),) + (P(axis),) * 3 + (None,) + (P(axis),) * n_in
+
+    vg_e = jax.jit(jax.shard_map(per_device_value_grad, mesh=mesh,
+                                 in_specs=_vg_specs(9),
+                                 out_specs=(P(), P()), check_vma=False),
+                   static_argnums=(4,))
+    vg_noe = jax.jit(jax.shard_map(per_device_value_grad, mesh=mesh,
+                                   in_specs=_vg_specs(7),
+                                   out_specs=(P(), P()), check_vma=False),
+                     static_argnums=(4,))
+
+    def _eargs(e_loc, e_hal, plan):
+        base = tuple(plan[k] for k in _PLAN_KEYS)
+        if e_loc is None:
+            return base
+        return (e_loc, e_hal) + base
+
+    def forward(params, x_blocks, e_loc, e_hal, ok_blocks, plan):
+        f = fwd_noe if e_loc is None else fwd_e
+        return f(params, x_blocks, ok_blocks, *_eargs(e_loc, e_hal, plan))
+
+    def value_and_grad(params, x_blocks, e_loc, e_hal, ok_blocks, plan,
+                       y_blocks):
+        gcnt = float(np.maximum(np.asarray(ok_blocks).sum(), 1.0))
+        f = vg_noe if e_loc is None else vg_e
+        return f(params, x_blocks, ok_blocks, y_blocks, gcnt,
+                 *_eargs(e_loc, e_hal, plan))
+
+    return forward, value_and_grad
+
+
+def gather_edge_groups(edge_feat, plan_np):
+    """Host-side: per-device edge-feature groups aligned with the plan's
+    local/halo edge layout ([D, El, Fe], [D, Eh, Fe]); None passthrough."""
+    if edge_feat is None:
+        return None, None
+    ef = np.asarray(edge_feat)
+    e_loc = ef[plan_np["eidx_loc"]] * plan_np["mask_loc"][..., None]
+    e_hal = ef[plan_np["eidx_hal"]] * plan_np["mask_hal"][..., None]
+    return e_loc.astype(np.float32), e_hal.astype(np.float32)

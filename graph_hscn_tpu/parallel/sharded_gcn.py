@@ -264,6 +264,15 @@ def fit_edge_partitioned(dm, mesh: Mesh, mpnn_cfg, optim_cfg, training_cfg,
             # and the node mask as rotating K/V side-channels.
             (plan["gid_blocks"],) = shard_node_blocks(mesh, D, gid)
             plan["ok_blocks"] = okb
+        if conv == "gatedgcn":
+            plan["ok_blocks"] = okb
+            if b.edge_feat is not None:
+                from graph_hscn_tpu.parallel.sharded_gatedgcn import \
+                    gather_edge_groups
+                el, eh = gather_edge_groups(b.edge_feat, plan_np)
+                from graph_hscn_tpu.parallel.edge_partition import \
+                    shard_arrays
+                plan["e_loc"], plan["e_hal"] = shard_arrays(mesh, el, eh)
         pb = SimpleNamespace(num_nodes_padded=n, node_mask=node_ok,
                              node_y=y, edge_mask=em)
         return pb, plan, xb, yb, okb
@@ -271,7 +280,7 @@ def fit_edge_partitioned(dm, mesh: Mesh, mpnn_cfg, optim_cfg, training_cfg,
     splits = {name: packed(name) for name in ("train", "val", "test")}
     # Pallas local aggregation only if EVERY split's blocks admit plans
     # (one shard_map program serves all splits).
-    use_spmm_plan = conv != "gps" and all(
+    use_spmm_plan = conv in ("gcn", "gat") and all(
         "spmm_loc" in s[1] for s in splits.values())
     if not use_spmm_plan:
         for s in splits.values():
@@ -302,6 +311,28 @@ def fit_edge_partitioned(dm, mesh: Mesh, mpnn_cfg, optim_cfg, training_cfg,
         def value_and_grad(p, xb, plan, yb, okb):
             return _vg_gps(p, xb, plan["gid_blocks"], plan["ok_blocks"],
                            plan, yb)
+    elif conv == "gatedgcn":
+        # Edge-featured gated message passing; edge state is resident on
+        # the receiver's device for the whole run (parallel/
+        # sharded_gatedgcn.py) — per-layer comms = the node-feature halo.
+        from graph_hscn_tpu.parallel.sharded_gatedgcn import (
+            init_sharded_gatedgcn_params, make_sharded_gatedgcn)
+        edge_dim = (splits["train"][1]["e_loc"].shape[-1]
+                    if "e_loc" in splits["train"][1] else None)
+        params = init_sharded_gatedgcn_params(
+            jax.random.PRNGKey(training_cfg.seed), dm.num_features,
+            edge_dim, mpnn_cfg.hidden_channels, dm.num_classes,
+            mpnn_cfg.num_layers)
+        _fw_g, _vg_g = make_sharded_gatedgcn(mesh, mpnn_cfg.num_layers,
+                                             axis=axis)
+
+        def forward(p, xb, plan):
+            return _fw_g(p, xb, plan.get("e_loc"), plan.get("e_hal"),
+                         plan["ok_blocks"], plan)
+
+        def value_and_grad(p, xb, plan, yb, okb):
+            return _vg_g(p, xb, plan.get("e_loc"), plan.get("e_hal"),
+                         plan["ok_blocks"], plan, yb)
     elif conv == "gcn":
         params = init_sharded_gcn_params(
             jax.random.PRNGKey(training_cfg.seed), dims)
@@ -316,7 +347,8 @@ def fit_edge_partitioned(dm, mesh: Mesh, mpnn_cfg, optim_cfg, training_cfg,
             use_spmm_plan=use_spmm_plan)
     else:
         raise ValueError("edge-partitioned path supports conv_type gcn, "
-                         f"gat or gps, got {mpnn_cfg.conv_type!r}")
+                         f"gat, gatedgcn or gps, got "
+                         f"{mpnn_cfg.conv_type!r}")
     tx = build_optimizer(optim_cfg.optim_type, optim_cfg.lr,
                          optim_cfg.weight_decay,
                          optim_cfg.batch_accumulation,

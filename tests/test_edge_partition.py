@@ -25,7 +25,7 @@ def test_sharded_spmm_matches_single_device():
     D = 8
     b = _batch(D)
     n = b.num_nodes_padded
-    snd, rcv_l, mask, nb = partition_edges_by_receiver(
+    snd, rcv_l, mask, nb, _ = partition_edges_by_receiver(
         np.asarray(b.senders), np.asarray(b.receivers),
         np.asarray(b.edge_mask), n, D)
     x = np.random.default_rng(0).normal(size=(n, 64)).astype(np.float32)
@@ -52,7 +52,7 @@ def test_sharded_mincut_contractions():
     rng = np.random.default_rng(1)
     s = rng.normal(size=(n, K)).astype(np.float32)
     x = rng.normal(size=(n, F)).astype(np.float32)
-    snd, rcv_l, mask, nb = partition_edges_by_receiver(
+    snd, rcv_l, mask, nb, _ = partition_edges_by_receiver(
         np.asarray(b.senders), np.asarray(b.receivers),
         np.asarray(b.edge_mask), n, D)
 
