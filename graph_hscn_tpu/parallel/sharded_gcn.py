@@ -78,7 +78,7 @@ def init_sharded_gcn_params(rng, dims: list[int]) -> list[dict]:
 
 def make_sharded_gcn(mesh: Mesh, num_layers: int, axis: str = "data",
                      use_spmm_plan: bool = False, shard_axes=None,
-                     grad_axes=None):
+                     grad_axes=None, dtype=None):
     """Builds (forward_fn, train_step_fn) over the mesh.
 
     forward(params, x_blocks, plan_arrays) -> logits blocks [D, Nb, C]
@@ -99,7 +99,15 @@ def make_sharded_gcn(mesh: Mesh, num_layers: int, axis: str = "data",
     (e.g. ``("data", "model")``), and ``grad_axes`` the axes the loss and
     gradients are all-reduced over.  Both default to ``axis`` (the 1-D
     edge-partition layout).
+
+    ``dtype`` (e.g. jnp.bfloat16): mixed-precision compute — params stay
+    f32 master copies, features/halos/aggregations run in ``dtype``
+    (HALVING the per-layer all_to_all payload), logits return f32.
+    Mutually exclusive with ``use_spmm_plan`` (the VMEM kernel is f32).
     """
+    assert not (use_spmm_plan and dtype is not None), (
+        "spmm_backend pallas and compute_dtype bfloat16 are mutually "
+        "exclusive on the edge-partitioned path")
     n_extra = 1 if use_spmm_plan else 0
     shard_axes = shard_axes if shard_axes is not None else axis
     grad_axes = grad_axes if grad_axes is not None else axis
@@ -124,20 +132,27 @@ def make_sharded_gcn(mesh: Mesh, num_layers: int, axis: str = "data",
         w_loc = jnp.where(m_loc, dinv[snd_loc] * dinv[rcv_loc], 0.0)
         w_hal = jnp.where(m_hal, dinv_halo[snd_hal] * dinv[rcv_hal], 0.0)
         diag = dinv * dinv
+        if dtype is not None:
+            x = x.astype(dtype)
+            w_loc, w_hal, diag = (w_loc.astype(dtype),
+                                  w_hal.astype(dtype), diag.astype(dtype))
 
         h = x
         for layer in params:
-            h = h @ layer["kernel"]
+            kernel, bias = layer["kernel"], layer["bias"]
+            if dtype is not None:
+                kernel, bias = kernel.astype(dtype), bias.astype(dtype)
+            h = h @ kernel
             # Issue the exchange first; aggregate local edges while the
             # all_to_all is in flight; consume the halo last.
             halo = _halo(h, send_idx, axis)
             agg = local_agg(h, w_loc)
             agg = agg + segment_sum(halo[snd_hal] * w_hal[:, None],
                                     rcv_hal, nb)
-            h = agg + diag[:, None] * h + layer["bias"]
+            h = agg + diag[:, None] * h + bias
             if layer is not params[-1]:
                 h = jax.nn.relu(h)
-        return h[None]
+        return h.astype(jnp.float32)[None]
 
     forward = jax.jit(jax.shard_map(
         per_device_forward, mesh=mesh,
@@ -201,7 +216,8 @@ def shard_node_blocks(mesh: Mesh, num_devices: int, *arrays,
 
 def fit_edge_partitioned(dm, mesh: Mesh, mpnn_cfg, optim_cfg, training_cfg,
                          logger, checkpointer=None, axis: str = "data",
-                         reorder: bool = True, eval_only: str | None = None):
+                         reorder: bool = True, eval_only: str | None = None,
+                         dtype=None):
     """CLI-reachable edge-partitioned training (mesh.edge_partition: true):
     each split is packed into ONE padded batch whose node blocks shard
     across the mesh — full-batch gradient descent per epoch, the standard
@@ -280,7 +296,14 @@ def fit_edge_partitioned(dm, mesh: Mesh, mpnn_cfg, optim_cfg, training_cfg,
     splits = {name: packed(name) for name in ("train", "val", "test")}
     # Pallas local aggregation only if EVERY split's blocks admit plans
     # (one shard_map program serves all splits).
-    use_spmm_plan = conv in ("gcn", "gat") and all(
+    if dtype is not None and conv in ("gat", "gatedgcn"):
+        logger.info(f"[edge-partition] compute_dtype ignored for {conv} "
+                    "(f32 path)")
+        dtype = None
+    if dtype is not None:
+        logger.info("[edge-partition] mixed precision: bf16 compute + "
+                    "halo payloads, f32 params/logits.")
+    use_spmm_plan = conv in ("gcn", "gat") and dtype is None and all(
         "spmm_loc" in s[1] for s in splits.values())
     if not use_spmm_plan:
         for s in splits.values():
@@ -303,7 +326,8 @@ def fit_edge_partitioned(dm, mesh: Mesh, mpnn_cfg, optim_cfg, training_cfg,
             mpnn_cfg.hidden_channels, dm.num_classes,
             mpnn_cfg.num_layers, mpnn_cfg.num_heads)
         _fw, _vg_gps = make_sharded_gps(mesh, mpnn_cfg.num_layers,
-                                        mpnn_cfg.num_heads, axis=axis)
+                                        mpnn_cfg.num_heads, axis=axis,
+                                        dtype=dtype)
 
         def forward(p, xb, plan):
             return _fw(p, xb, plan["gid_blocks"], plan["ok_blocks"], plan)
@@ -338,7 +362,7 @@ def fit_edge_partitioned(dm, mesh: Mesh, mpnn_cfg, optim_cfg, training_cfg,
             jax.random.PRNGKey(training_cfg.seed), dims)
         forward, value_and_grad = make_sharded_gcn(
             mesh, num_layers=len(dims) - 1, axis=axis,
-            use_spmm_plan=use_spmm_plan)
+            use_spmm_plan=use_spmm_plan, dtype=dtype)
     elif conv == "gat":
         params = init_sharded_gat_params(
             jax.random.PRNGKey(training_cfg.seed), dims)

@@ -159,15 +159,24 @@ def _ring_attention(g, ap, gid, ok, axis: str, num_devices: int,
 
 
 def make_sharded_gps(mesh: Mesh, num_layers: int, num_heads: int,
-                     axis: str = "data", tile: int | None = None):
+                     axis: str = "data", tile: int | None = None,
+                     dtype=None):
     """Builds (forward, value_and_grad) for the ring-attention GPS.
 
     forward(params, x_blocks [D,Nb,F], gid_blocks [D,Nb], ok_blocks [D,Nb],
             plan) -> logits [D, Nb, C]
     value_and_grad adds y_blocks/node_ok_blocks -> (psum'd node-level CE
     loss, psum'd grads) — the same contract as make_sharded_gcn.
+
+    ``dtype`` (e.g. jnp.bfloat16): mixed precision — the residual stream
+    and softmax statistics stay f32; matmul inputs/kernels, the GCN halo,
+    and the rotating K/V ring blocks run in ``dtype`` (halving the
+    per-layer all_to_all AND per-hop ppermute payloads).
     """
     D = int(np.prod(mesh.devices.shape))
+
+    def _c(a):
+        return a.astype(dtype) if dtype is not None else a
 
     def per_device_forward(params, x_blk, gid_blk, ok_blk, send_idx,
                            snd_loc, rcv_loc, m_loc, snd_hal, rcv_hal,
@@ -193,32 +202,39 @@ def make_sharded_gps(mesh: Mesh, num_layers: int, num_heads: int,
                + 1.0)
         dinv = jax.lax.rsqrt(deg)
         dinv_halo = _halo(dinv[:, None])[:, 0]
-        w_loc = jnp.where(m_loc, dinv[snd_loc] * dinv[rcv_loc], 0.0)
-        w_hal = jnp.where(m_hal, dinv_halo[snd_hal] * dinv[rcv_hal], 0.0)
-        diag = dinv * dinv
+        w_loc = _c(jnp.where(m_loc, dinv[snd_loc] * dinv[rcv_loc], 0.0))
+        w_hal = _c(jnp.where(m_hal, dinv_halo[snd_hal] * dinv[rcv_hal],
+                             0.0))
+        diag = _c(dinv * dinv)
 
-        x = x0 @ params["in"]["kernel"] + params["in"]["bias"]
+        x = (_c(x0) @ _c(params["in"]["kernel"])
+             + params["in"]["bias"]).astype(jnp.float32)
         for layer in params["layers"]:
             # Local: GCNConv over the real edges (halo overlapped).
-            h = _layer_norm(x, layer["ln1"])
-            hh = h @ layer["local"]["kernel"]
+            h = _c(_layer_norm(x, layer["ln1"]))
+            hh = h @ _c(layer["local"]["kernel"])
             halo_h = _halo(hh)
             agg = segment_sum(hh[snd_loc] * w_loc[:, None], rcv_loc, nb)
             agg = agg + segment_sum(halo_h[snd_hal] * w_hal[:, None],
                                     rcv_hal, nb)
-            local = agg + diag[:, None] * hh + layer["local"]["bias"]
+            local = (agg + diag[:, None] * hh).astype(jnp.float32) \
+                + layer["local"]["bias"]
             h_local = x + jax.nn.relu(local)
 
-            # Global: ring attention, per-graph masked.
-            g = _layer_norm(x, layer["ln2"])
-            h_global = x + _ring_attention(g, layer["attn"], gid, ok,
-                                           axis, D, t)
+            # Global: ring attention, per-graph masked (K/V rotate in
+            # the compute dtype; accumulation stays f32 inside).
+            g = _c(_layer_norm(x, layer["ln2"]))
+            attn_p = (jax.tree_util.tree_map(_c, layer["attn"])
+                      if dtype is not None else layer["attn"])
+            h_global = x + _ring_attention(g, attn_p, gid, ok,
+                                           axis, D, t).astype(jnp.float32)
 
             h2 = h_local + h_global
-            f = _layer_norm(h2, layer["ln3"])
-            f = jax.nn.gelu(f @ layer["ffn1"]["kernel"]
-                            + layer["ffn1"]["bias"])
-            f = f @ layer["ffn2"]["kernel"] + layer["ffn2"]["bias"]
+            f = _c(_layer_norm(h2, layer["ln3"]))
+            f = jax.nn.gelu(f @ _c(layer["ffn1"]["kernel"])
+                            + _c(layer["ffn1"]["bias"]))
+            f = (f @ _c(layer["ffn2"]["kernel"])).astype(jnp.float32) \
+                + layer["ffn2"]["bias"]
             x = h2 + f
 
         x = _layer_norm(x, params["ln_f"])

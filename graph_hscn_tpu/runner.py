@@ -180,7 +180,8 @@ def run_experiment(cfg: ExperimentConfig, log_file=None) -> FitResult:
             result = fit_edge_partitioned(dm, mesh, cfg.mpnn, cfg.optim,
                                           cfg.training, logger,
                                           checkpointer=checkpointer,
-                                          reorder=cfg.mesh.locality_reorder)
+                                          reorder=cfg.mesh.locality_reorder,
+                                          dtype=compute_dtype)
             logger.finish()
             return result
         logger.info(f"Data-parallel training over {mesh_size} devices "

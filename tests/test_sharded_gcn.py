@@ -90,3 +90,49 @@ def test_sharded_gradients_match_unsharded():
                     jax.tree_util.tree_leaves(ref_g)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                    rtol=5e-4, atol=5e-5)
+
+
+def test_sharded_gcn_bf16_tracks_f32():
+    """dtype=bfloat16: f32 master params, bf16 compute + halo payloads;
+    forward tracks the f32 path and grads stay finite."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from graph_hscn_tpu.data.batching import PadBudget, pack_batch
+    from graph_hscn_tpu.data.synthetic import make_voc_superpixels
+    from graph_hscn_tpu.parallel.edge_partition import plan_halo_exchange
+    from graph_hscn_tpu.parallel.mesh import make_mesh
+    from graph_hscn_tpu.parallel.sharded_gcn import (
+        init_sharded_gcn_params, make_sharded_gcn, shard_node_blocks)
+
+    D = 8
+    graphs = make_voc_superpixels(num_graphs=2, seed=5, mean_nodes=120)
+    budget = PadBudget.for_dataset(graphs, batch_size=2,
+                                   node_multiple=D * 8)
+    b = pack_batch(graphs, budget)
+    n = b.num_nodes_padded
+    plan_np = plan_halo_exchange(np.asarray(b.senders),
+                                 np.asarray(b.receivers),
+                                 np.asarray(b.edge_mask), n, D)
+    plan = {k: jnp.asarray(v) for k, v in plan_np.items()
+            if k not in ("block_size", "halo_width")}
+    mesh = make_mesh(("data",), (D,))
+    params = init_sharded_gcn_params(jax.random.PRNGKey(0), [14, 16, 21])
+    fwd32, _ = make_sharded_gcn(mesh, num_layers=2)
+    fwd16, vg16 = make_sharded_gcn(mesh, num_layers=2,
+                                   dtype=jnp.bfloat16)
+    xb, yb, okb = shard_node_blocks(mesh, D, np.asarray(b.node_feat),
+                                    np.asarray(b.node_y),
+                                    np.asarray(b.node_mask))
+    out32 = np.asarray(fwd32(params, xb, plan))
+    out16 = np.asarray(fwd16(params, xb, plan))
+    assert out16.dtype == np.float32
+    mask = np.asarray(b.node_mask).reshape(out32.shape[:2] + (1,) * 0)
+    scale = np.abs(out32).max()
+    assert np.abs(out16 - out32).max() <= 0.05 * scale
+
+    loss, grads = vg16(params, xb, plan, yb, okb)
+    assert np.isfinite(float(loss))
+    for leaf in jax.tree_util.tree_leaves(grads):
+        assert np.isfinite(np.asarray(leaf)).all()

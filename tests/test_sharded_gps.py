@@ -185,3 +185,28 @@ def test_runner_edge_partitioned_gps():
     assert result.epochs_run == 3
     assert np.isfinite(result.history[-1]["train_loss"])
     assert "validation_perf" in result.history[-1]
+
+
+def test_sharded_gps_bf16_tracks_f32():
+    """dtype=bfloat16 GPS: f32 residual stream + softmax stats, bf16
+    matmuls and ring K/V payloads; forward tracks the f32 path."""
+    b, plan, n = _setup()
+    mesh = make_mesh(("data",), (D,))
+    params = init_sharded_gps_params(jax.random.PRNGKey(12), 14, HID, 21,
+                                     L, HEADS)
+    fwd32, _ = make_sharded_gps(mesh, L, HEADS)
+    fwd16, vg16 = make_sharded_gps(mesh, L, HEADS, dtype=jnp.bfloat16)
+    xb, gb, okb, yb = shard_node_blocks(
+        mesh, D, np.asarray(b.node_feat),
+        np.asarray(b.node_graph).astype(np.int32),
+        np.asarray(b.node_mask), np.asarray(b.node_y))
+    out32 = np.asarray(fwd32(params, xb, gb, okb, plan))
+    out16 = np.asarray(fwd16(params, xb, gb, okb, plan))
+    assert out16.dtype == np.float32
+    scale = np.abs(out32).max()
+    assert np.abs(out16 - out32).max() <= 0.05 * scale
+
+    loss, grads = vg16(params, xb, gb, okb, plan, yb)
+    assert np.isfinite(float(loss))
+    for leaf in jax.tree_util.tree_leaves(grads):
+        assert np.isfinite(np.asarray(leaf)).all()
