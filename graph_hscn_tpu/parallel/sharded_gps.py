@@ -108,14 +108,24 @@ def _ring_attention(g, ap, gid, ok, axis: str, num_devices: int,
     g [Nb, H] pre-normed features; gid [Nb] graph ids; ok [Nb] node mask.
     Returns [Nb, H].  K/V/gid/ok blocks rotate via ppermute; each resident
     block is consumed in [tile]-sized chunks under lax.scan, maintaining
-    the running (max, denom, numerator) in f32.
+    the running (max, denom, numerator) in f32.  K/V blocks are padded up
+    to a tile multiple (padding keys masked out via ok), so any block
+    size gets full-width MXU tiles.
     """
     nb = g.shape[0]
     nh, hd = ap["wq"].shape[1], ap["wq"].shape[2]
-    assert nb % tile == 0
     q = jnp.einsum("nf,fhd->nhd", g, ap["wq"]) + ap["bq"]
     k = jnp.einsum("nf,fhd->nhd", g, ap["wk"]) + ap["bk"]
     v = jnp.einsum("nf,fhd->nhd", g, ap["wv"]) + ap["bv"]
+    pad = (-nb) % tile
+    if pad:
+        k = jnp.pad(k, ((0, pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, pad), (0, 0), (0, 0)))
+        gid_k = jnp.pad(gid, (0, pad))
+        ok_k = jnp.pad(ok, (0, pad))
+    else:
+        gid_k, ok_k = gid, ok
+    nbp = nb + pad
     scale = 1.0 / jnp.sqrt(jnp.asarray(hd, jnp.float32))
 
     m0 = jnp.full((nb, nh), -jnp.inf, jnp.float32)
@@ -140,7 +150,7 @@ def _ring_attention(g, ap, gid, ok, axis: str, num_devices: int,
 
     def ring_step(carry, _):
         m, l, acc, kc, vc, gc, oc = carry
-        t = nb // tile
+        t = nbp // tile
         blocks = (kc.reshape(t, tile, nh, hd), vc.reshape(t, tile, nh, hd),
                   gc.reshape(t, tile), oc.reshape(t, tile))
         (m, l, acc), _ = jax.lax.scan(tile_step, (m, l, acc), blocks)
@@ -151,7 +161,8 @@ def _ring_attention(g, ap, gid, ok, axis: str, num_devices: int,
         return (m, l, acc, kc, vc, gc, oc), None
 
     (m, l, acc, *_), _ = jax.lax.scan(
-        ring_step, (m0, l0, a0, k, v, gid, ok), None, length=num_devices)
+        ring_step, (m0, l0, a0, k, v, gid_k, ok_k), None,
+        length=num_devices)
     out = acc / jnp.maximum(l, 1e-30)[..., None]
     out = jnp.einsum("qhd,hdf->qf", out.astype(g.dtype), ap["wo"]) \
         + ap["bo"]
@@ -290,8 +301,6 @@ def make_sharded_gps(mesh: Mesh, num_layers: int, num_heads: int,
 
 @functools.lru_cache(maxsize=None)
 def _pick_tile(nb: int, cap: int = 512) -> int:
-    """Largest divisor of nb that is <= cap (nb is a multiple of 8)."""
-    for t in range(min(cap, nb), 0, -1):
-        if nb % t == 0:
-            return t
-    return nb
+    """Key-tile width: the block is padded up to a tile multiple inside
+    _ring_attention, so simply cap at the block size."""
+    return min(cap, nb)
