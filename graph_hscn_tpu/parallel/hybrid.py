@@ -97,14 +97,16 @@ def build_hybrid_split(graphs, d_dp: int, d_ep: int, reorder: bool = True):
         y = (np.asarray(b.node_y) if b.node_y is not None
              else np.zeros((n, 1), np.float32))
         ok = np.asarray(b.node_mask)
+        gid = np.asarray(b.node_graph).astype(np.int32)
         if empty:
             ok = np.zeros_like(ok)
             y = np.zeros_like(y)
         if reorder:
             perm = locality_reorder(snd, rcv, em, n, node_mask=ok)
-            snd, rcv, x, y, ok = apply_node_reorder(perm, snd, rcv, x, y, ok)
+            snd, rcv, x, y, ok, gid = apply_node_reorder(
+                perm, snd, rcv, x, y, ok, gid)
         plan = plan_halo_exchange(snd, rcv, em, n, d_ep)
-        per_group.append((plan, x, y, ok, (snd, rcv, em)))
+        per_group.append((plan, x, y, ok, (snd, rcv, em), gid))
 
     # Common padded shapes across groups.
     H = max(p["halo_width"] for p, *_ in per_group)
@@ -115,8 +117,8 @@ def build_hybrid_split(graphs, d_dp: int, d_ep: int, reorder: bool = True):
     stacked: dict[str, list[np.ndarray]] = {
         k: [] for k in ("send_idx", "snd_loc", "rcv_loc", "mask_loc",
                         "snd_hal", "rcv_hal", "mask_hal")}
-    xs, ys, oks = [], [], []
-    for plan, x, y, ok, _ in per_group:
+    xs, ys, oks, gids = [], [], [], []
+    for plan, x, y, ok, _, gid in per_group:
         hg = plan["halo_width"]
         send_idx = _pad_axis(plan["send_idx"], 2, H)        # [Dep, Dep, H]
         # Halo-table indices are o*Hg + slot; restride to the padded H.
@@ -132,9 +134,14 @@ def build_hybrid_split(graphs, d_dp: int, d_ep: int, reorder: bool = True):
         xs.append(x.reshape(d_ep, nb, -1))
         ys.append(y.reshape(d_ep, nb, -1))
         oks.append(ok.reshape(d_ep, nb))
+        gids.append(gid.reshape(d_ep, nb))
 
     plan_out = {k: jnp.asarray(np.concatenate(v, axis=0))
                 for k, v in stacked.items()}
+    # Group-local graph ids for the ring-attention GPS (per-graph
+    # attention masking; the ring spans one data row = one group, so
+    # group-local ids are exactly right).
+    plan_out["gid_blocks"] = jnp.asarray(np.concatenate(gids, axis=0))
     x = jnp.asarray(np.concatenate(xs, axis=0))            # [Ddp*Dep, Nb, F]
     y = jnp.asarray(np.concatenate(ys, axis=0))
     ok = jnp.asarray(np.concatenate(oks, axis=0))
@@ -175,6 +182,7 @@ def fit_hybrid(dm, mesh: Mesh, mpnn_cfg, optim_cfg, training_cfg, logger,
         graphs = dm.split(split)
         plan, x, y, ok, meta = build_hybrid_split(graphs, d_dp, d_ep,
                                                   reorder=reorder)
+        plan["ok_blocks"] = ok   # ring-attention GPS key-mask side-channel
         logger.info(f"[hybrid {d_dp}x{d_ep}] {split}: "
                     f"{d_dp} groups x {d_ep} blocks x "
                     f"{meta['block_size']} rows, halo H={meta['halo_width']}")
@@ -196,8 +204,28 @@ def fit_hybrid(dm, mesh: Mesh, mpnn_cfg, optim_cfg, training_cfg, logger,
             jax.random.PRNGKey(training_cfg.seed), dims)
         forward, value_and_grad = make_sharded_gat(
             mesh, num_layers=len(dims) - 1, **kw)
+    elif conv == "gps":
+        # Ring-attention GPS on the hybrid mesh: the K/V ring and the
+        # halo all_to_all ride the model axis, so attention spans exactly
+        # one data row's graph group (per-graph masked via the
+        # group-local gid blocks build_hybrid_split stacks into the plan).
+        from graph_hscn_tpu.parallel.sharded_gps import (
+            init_sharded_gps_params, make_sharded_gps)
+        params = init_sharded_gps_params(
+            jax.random.PRNGKey(training_cfg.seed), dm.num_features,
+            mpnn_cfg.hidden_channels, dm.num_classes, mpnn_cfg.num_layers,
+            mpnn_cfg.num_heads)
+        _fw, _vg = make_sharded_gps(mesh, mpnn_cfg.num_layers,
+                                    mpnn_cfg.num_heads, **kw)
+
+        def forward(p, x, plan):
+            return _fw(p, x, plan["gid_blocks"], plan["ok_blocks"], plan)
+
+        def value_and_grad(p, x, plan, y, ok):
+            return _vg(p, x, plan["gid_blocks"], plan["ok_blocks"],
+                       plan, y)
     else:
-        raise ValueError("hybrid path supports conv_type gcn or gat, "
+        raise ValueError("hybrid path supports conv_type gcn, gat or gps, "
                          f"got {mpnn_cfg.conv_type!r}")
     tx = build_optimizer(optim_cfg.optim_type, optim_cfg.lr,
                          optim_cfg.weight_decay,

@@ -133,6 +133,13 @@ def _ring_attention(g, ap, gid, ok, axis: str, num_devices: int,
     a0 = jnp.zeros((nb, nh, hd), jnp.float32)
     perm = [(i, (i + 1) % num_devices) for i in range(num_devices)]
 
+    # Rematerialized: without checkpoint, AD through the scan would SAVE
+    # every tile's [Nb, nh, tile] probability block for the backward —
+    # O(N^2) memory, exactly what the online softmax exists to avoid
+    # (observed: 60 GB HBM demand at N=25k).  With it, the backward
+    # recomputes scores/probs per tile from q/k_t (flash-attention
+    # backward via recompute); only the O(N) carries are stored.
+    @jax.checkpoint
     def tile_step(carry, blk):
         m, l, acc = carry
         k_t, v_t, g_t, o_t = blk                       # [tile, ...]
@@ -171,7 +178,7 @@ def _ring_attention(g, ap, gid, ok, axis: str, num_devices: int,
 
 def make_sharded_gps(mesh: Mesh, num_layers: int, num_heads: int,
                      axis: str = "data", tile: int | None = None,
-                     dtype=None):
+                     dtype=None, shard_axes=None, grad_axes=None):
     """Builds (forward, value_and_grad) for the ring-attention GPS.
 
     forward(params, x_blocks [D,Nb,F], gid_blocks [D,Nb], ok_blocks [D,Nb],
@@ -183,8 +190,16 @@ def make_sharded_gps(mesh: Mesh, num_layers: int, num_heads: int,
     and softmax statistics stay f32; matmul inputs/kernels, the GCN halo,
     and the rotating K/V ring blocks run in ``dtype`` (halving the
     per-layer all_to_all AND per-hop ppermute payloads).
+
+    ``shard_axes``/``grad_axes``: hybrid 2-D meshes (parallel/hybrid.py) —
+    the halo all_to_all and the K/V ring ride ``axis`` (the edge-partition
+    axis, so attention spans exactly one data row's graph group), the
+    leading device dimension shards over ``shard_axes``, loss/grads
+    all-reduce over ``grad_axes``.  Both default to ``axis``.
     """
-    D = int(np.prod(mesh.devices.shape))
+    D = int(dict(zip(mesh.axis_names, mesh.devices.shape))[axis])
+    shard_axes = shard_axes if shard_axes is not None else axis
+    grad_axes = grad_axes if grad_axes is not None else axis
 
     def _c(a):
         return a.astype(dtype) if dtype is not None else a
@@ -255,8 +270,8 @@ def make_sharded_gps(mesh: Mesh, num_layers: int, num_heads: int,
 
     forward = jax.jit(jax.shard_map(
         per_device_forward, mesh=mesh,
-        in_specs=(P(),) + (P(axis),) * 10,
-        out_specs=P(axis),
+        in_specs=(P(),) + (P(shard_axes),) * 10,
+        out_specs=P(shard_axes),
         check_vma=False,
     ))
 
@@ -274,14 +289,14 @@ def make_sharded_gps(mesh: Mesh, num_layers: int, num_heads: int,
             return jnp.sum(per * w) / gcnt
 
         loss, grads = jax.value_and_grad(local_loss)(params)
-        loss = jax.lax.psum(loss, axis)
-        grads = jax.tree_util.tree_map(lambda g: jax.lax.psum(g, axis),
+        loss = jax.lax.psum(loss, grad_axes)
+        grads = jax.tree_util.tree_map(lambda g: jax.lax.psum(g, grad_axes),
                                        grads)
         return loss, grads
 
     _vg = jax.jit(jax.shard_map(
         per_device_value_grad, mesh=mesh,
-        in_specs=(P(),) + (P(axis),) * 11 + (None,),
+        in_specs=(P(),) + (P(shard_axes),) * 11 + (None,),
         out_specs=(P(), P()),
         check_vma=False,
     ), static_argnums=(12,))

@@ -148,3 +148,51 @@ def test_hybrid_cli_path(tmp_path):
     hist = result.history
     assert np.isfinite(hist[-1]["train_loss"])
     assert hist[-1]["train_loss"] < hist[0]["train_loss"]
+
+
+def test_hybrid_gps_matches_flax_loss():
+    """Ring-attention GPS on the 2x4 hybrid mesh: the K/V ring rides the
+    model axis inside each data row (group-local graph-id masking), and
+    the node-level CE equals the flax GPS loss on the same graphs."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from graph_hscn_tpu.data.batching import PadBudget, pack_batch
+    from graph_hscn_tpu.data.synthetic import make_voc_superpixels
+    from graph_hscn_tpu.models.gps import GPSModel
+    from graph_hscn_tpu.parallel.hybrid import build_hybrid_split
+    from graph_hscn_tpu.parallel.mesh import make_mesh
+    from graph_hscn_tpu.parallel.sharded_gps import (
+        init_sharded_gps_params, make_sharded_gps)
+    from tests.test_sharded_gps import _map_params
+
+    HID, HEADS, L = 16, 4, 2
+    graphs = make_voc_superpixels(num_graphs=6, seed=31, mean_nodes=40)
+    mesh = make_mesh(("data", "model"), (2, 4))
+    plan, x, y, ok, meta = build_hybrid_split(graphs, 2, 4)
+    plan["ok_blocks"] = ok
+    params = init_sharded_gps_params(jax.random.PRNGKey(7), 14, HID, 21,
+                                     L, HEADS)
+    _, vg = make_sharded_gps(mesh, L, HEADS, axis="model",
+                             shard_axes=("data", "model"),
+                             grad_axes=("data", "model"))
+    loss, grads = vg(params, x, plan["gid_blocks"], ok, plan, y)
+    assert np.isfinite(float(loss))
+    for leaf in jax.tree_util.tree_leaves(grads):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+    # Flax reference on a slotted pack of the same graphs.
+    slot = ((max(g.num_nodes for g in graphs) + 7) // 8) * 8
+    budget = PadBudget.for_dataset(graphs, batch_size=len(graphs))
+    b = pack_batch(graphs, budget, slot_nodes=slot)
+    flax_model = GPSModel(num_features=14, hidden_channels=HID,
+                          num_classes=21, num_layers=L, num_heads=HEADS,
+                          dropout=0.0, readout="none")
+    logits = flax_model.apply(_map_params(params, L), b, train=False)
+    mask = jnp.asarray(b.node_mask)
+    yy = jnp.asarray(b.node_y)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    per = -jnp.sum(yy * logp, axis=-1)
+    ref_loss = float(jnp.sum(per * mask) / jnp.sum(mask))
+    np.testing.assert_allclose(float(loss), ref_loss, rtol=1e-4)
