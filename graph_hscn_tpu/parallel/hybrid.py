@@ -155,7 +155,8 @@ def build_hybrid_split(graphs, d_dp: int, d_ep: int, reorder: bool = True):
 
 
 def fit_hybrid(dm, mesh: Mesh, mpnn_cfg, optim_cfg, training_cfg, logger,
-               checkpointer=None, reorder: bool = True):
+               checkpointer=None, reorder: bool = True,
+               eval_only: str | None = None):
     """CLI-reachable hybrid training (mesh.axes: [data, model] +
     mesh.edge_partition: true): full-batch node-level training where each
     data row of the mesh owns a balanced group of graphs and
@@ -247,10 +248,6 @@ def fit_hybrid(dm, mesh: Mesh, mpnn_cfg, optim_cfg, training_cfg, logger,
                           step=jnp.asarray(0, jnp.int32),
                           rng=jax.random.PRNGKey(training_cfg.seed))
 
-    state0, start_epoch, best_loss = _maybe_resume(get_state(),
-                                                   checkpointer, logger)
-    params, opt_state = state0.params, state0.opt_state
-
     def evaluate_any(split):
         plan, x, _, _, meta = splits[split]
         logits = np.asarray(forward(params, x, plan)).reshape(
@@ -260,6 +257,19 @@ def fit_hybrid(dm, mesh: Mesh, mpnn_cfg, optim_cfg, training_cfg, logger,
         logp = jax.nn.log_softmax(jnp.asarray(logits[mask]), axis=-1)
         loss = float(-jnp.mean(jnp.sum(jnp.asarray(y[mask]) * logp, -1)))
         return loss, metric_fn(y[mask], logits[mask])
+
+    if eval_only:
+        state, meta = checkpointer.restore(eval_only, get_state())
+        params = state.params
+        results = {}
+        for split in ("val", "test"):
+            loss, perf = evaluate_any(split)
+            results[split] = {"loss": loss, training_cfg.metric: perf}
+        return results, meta
+
+    state0, start_epoch, best_loss = _maybe_resume(get_state(),
+                                                   checkpointer, logger)
+    params, opt_state = state0.params, state0.opt_state
 
     plan_tr, xb, yb, okb, meta_tr = splits["train"]
     train_edges = sum(g.num_edges for g in dm.split("train"))

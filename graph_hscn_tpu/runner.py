@@ -309,6 +309,12 @@ def run_eval(cfg: ExperimentConfig, which: str = "best", log_file=None):
                             if cfg.compat.vv_triangular_pattern
                             else "clique"),
                 eval_only=which)
+        elif len(shape) == 2:
+            from graph_hscn_tpu.parallel.hybrid import fit_hybrid
+            results, meta = fit_hybrid(
+                dm, mesh, cfg.mpnn, cfg.optim, cfg.training, logger,
+                checkpointer=checkpointer,
+                reorder=cfg.mesh.locality_reorder, eval_only=which)
         else:
             from graph_hscn_tpu.parallel.sharded_gcn import \
                 fit_edge_partitioned

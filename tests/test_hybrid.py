@@ -196,3 +196,32 @@ def test_hybrid_gps_matches_flax_loss():
     per = -jnp.sum(yy * logp, axis=-1)
     ref_loss = float(jnp.sum(per * mask) / jnp.sum(mask))
     np.testing.assert_allclose(float(loss), ref_loss, rtol=1e-4)
+
+
+def test_hybrid_eval_only(tmp_path):
+    """--eval best on the hybrid 2-D mesh restores the sharded snapshot
+    into the hybrid forward."""
+    import numpy as np
+
+    from graph_hscn_tpu.config.config import parse_config
+    from graph_hscn_tpu.runner import run_eval, run_experiment
+
+    raw = {
+        "data": {"dataset_name": "voc_superpixels", "batch_size": 4,
+                 "num_graphs": 10},
+        "mp": {"conv_type": "gcn", "activation": "relu",
+               "hidden_channels": 8, "num_layers": 2, "dropout": 0.0},
+        "optim": {"optim_type": "adamW", "lr": 0.01,
+                  "weight_decay": 5e-4},
+        "training": {"model_type": "gcn", "use_wandb": False,
+                     "loss_fn": "softmax_cross_entropy", "metric": "f1",
+                     "max_epochs": 2, "eval_period": 1, "min_delta": 0.0,
+                     "patience": 50,
+                     "checkpoint_dir": str(tmp_path / "ck_hy")},
+        "mesh": {"axes": ["data", "model"], "shape": [2, 4],
+                 "edge_partition": True},
+    }
+    run_experiment(parse_config(raw))
+    results = run_eval(parse_config(raw), which="best")
+    assert set(results) == {"val", "test"}
+    assert np.isfinite(results["val"]["loss"])
