@@ -160,6 +160,14 @@ def run_experiment(cfg: ExperimentConfig, log_file=None) -> FitResult:
             if not node_level:
                 raise ValueError("mesh.edge_partition targets node-level "
                                  "tasks (giant-graph full-batch training)")
+            if cfg.pe is not None and not cfg.compat.frozen_random_signnet:
+                # Trainable SignNet lives in the flax model wrapper, which
+                # the sharded per-device programs don't use — refuse
+                # rather than silently train without PE.
+                raise ValueError(
+                    "edge-partitioned paths support PE only as the "
+                    "precomputed transform; set "
+                    "compat.frozen_random_signnet: true")
             if len(shape) == 2:
                 # Hybrid 2-D: data-parallel graph groups x edge-partitioned
                 # blocks (parallel/hybrid.py).

@@ -136,3 +136,37 @@ def test_sharded_gcn_bf16_tracks_f32():
     assert np.isfinite(float(loss))
     for leaf in jax.tree_util.tree_leaves(grads):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_edge_partition_pe_composition():
+    """Frozen-random SignNet PE composes with the edge-partitioned path
+    (features enriched before packing); the trainable-SignNet variant is
+    refused explicitly instead of silently dropping PE."""
+    import numpy as np
+    import pytest
+
+    from graph_hscn_tpu.config.config import parse_config
+    from graph_hscn_tpu.runner import run_experiment
+
+    raw = {
+        "data": {"dataset_name": "voc_superpixels", "batch_size": 4,
+                 "num_graphs": 8},
+        "mp": {"conv_type": "gcn", "activation": "relu",
+               "hidden_channels": 8, "num_layers": 2, "dropout": 0.0},
+        "pe": {"use": True, "max_freqs": 4, "phi_out_dim": 4,
+               "hidden_channels": 8},
+        "optim": {"optim_type": "adamW", "lr": 0.01,
+                  "weight_decay": 5e-4},
+        "training": {"model_type": "gcn", "use_wandb": False,
+                     "loss_fn": "softmax_cross_entropy", "metric": "f1",
+                     "max_epochs": 2, "eval_period": 1, "min_delta": 0.0,
+                     "patience": 50},
+        "mesh": {"axes": ["data"], "shape": [8], "edge_partition": True},
+    }
+    result = run_experiment(parse_config(raw))
+    assert result.epochs_run == 2
+    assert np.isfinite(result.history[-1]["train_loss"])
+
+    raw["compat"] = {"frozen_random_signnet": False}
+    with pytest.raises(ValueError, match="frozen_random_signnet"):
+        run_experiment(parse_config(raw))
