@@ -369,9 +369,14 @@ def fit_edge_partitioned(dm, mesh: Mesh, mpnn_cfg, optim_cfg, training_cfg,
         forward, value_and_grad = make_sharded_gat(
             mesh, num_layers=len(dims) - 1, axis=axis,
             use_spmm_plan=use_spmm_plan)
+    elif conv == "gin":
+        params = init_sharded_gin_params(
+            jax.random.PRNGKey(training_cfg.seed), dims)
+        forward, value_and_grad = make_sharded_gin(
+            mesh, num_layers=len(dims) - 1, axis=axis, dtype=dtype)
     else:
         raise ValueError("edge-partitioned path supports conv_type gcn, "
-                         f"gat, gatedgcn or gps, got "
+                         f"gat, gin, gatedgcn or gps, got "
                          f"{mpnn_cfg.conv_type!r}")
     tx = build_optimizer(optim_cfg.optim_type, optim_cfg.lr,
                          optim_cfg.weight_decay,
@@ -434,6 +439,107 @@ def fit_edge_partitioned(dm, mesh: Mesh, mpnn_cfg, optim_cfg, training_cfg,
     return run_fit_loop(training_cfg, logger, checkpointer, train_epoch,
                         evaluate_any, get_state, start_epoch=start_epoch,
                         best_loss=best_loss)
+
+
+def init_sharded_gin_params(rng, dims: list[int]) -> list[dict]:
+    """GIN stack params: per layer a 2-layer MLP (models/layers.GINConv
+    with train_eps=False — eps is the constant 0)."""
+    params = []
+    for i in range(len(dims) - 1):
+        rng, k1, k2 = jax.random.split(rng, 3)
+        f_out = dims[i + 1]
+        s1 = jnp.sqrt(6.0 / (dims[i] + f_out))
+        s2 = jnp.sqrt(6.0 / (f_out + f_out))
+        params.append({
+            "w1": jax.random.uniform(k1, (dims[i], f_out),
+                                     minval=-s1, maxval=s1),
+            "b1": jnp.zeros((f_out,)),
+            "w2": jax.random.uniform(k2, (f_out, f_out),
+                                     minval=-s2, maxval=s2),
+            "b2": jnp.zeros((f_out,)),
+        })
+    return params
+
+
+def make_sharded_gin(mesh: Mesh, num_layers: int, axis: str = "data",
+                     shard_axes=None, grad_axes=None, dtype=None):
+    """Edge-partitioned GIN:  x' = MLP((1 + eps) x + sum_j x_j) with
+    eps = 0 (models/layers.GINConv semantics), unweighted sum aggregation
+    over the same receiver-owned halo layout as the sharded GCN, ReLU
+    between layers.  Same (forward, value_and_grad) contract."""
+    shard_axes = shard_axes if shard_axes is not None else axis
+    grad_axes = grad_axes if grad_axes is not None else axis
+
+    def per_device_forward(params, x_blk, send_idx, snd_loc, rcv_loc,
+                           m_loc, snd_hal, rcv_hal, m_hal):
+        x = x_blk[0]
+        send_idx = send_idx[0]
+        snd_loc, rcv_loc, m_loc = snd_loc[0], rcv_loc[0], m_loc[0]
+        snd_hal, rcv_hal, m_hal = snd_hal[0], rcv_hal[0], m_hal[0]
+        nb = x.shape[0]
+        if dtype is not None:
+            x = x.astype(dtype)
+
+        h = x
+        for layer in params:
+            w1, b1, w2, b2 = (layer[k] for k in ("w1", "b1", "w2", "b2"))
+            if dtype is not None:
+                w1, b1, w2, b2 = (a.astype(dtype)
+                                  for a in (w1, b1, w2, b2))
+            halo = _halo(h, send_idx, axis)
+            agg = segment_sum(
+                jnp.where(m_loc[:, None], h[snd_loc], 0.0), rcv_loc, nb)
+            agg = agg + segment_sum(
+                jnp.where(m_hal[:, None], halo[snd_hal], 0.0), rcv_hal,
+                nb)
+            h = h + agg                       # (1 + eps) x + sum, eps = 0
+            h = jax.nn.relu(h @ w1 + b1) @ w2 + b2
+            if layer is not params[-1]:
+                h = jax.nn.relu(h)
+        return h.astype(jnp.float32)[None]
+
+    forward = jax.jit(jax.shard_map(
+        per_device_forward, mesh=mesh,
+        in_specs=(P(),) + (P(shard_axes),) * 8,
+        out_specs=P(shard_axes),
+        check_vma=False,
+    ))
+
+    def per_device_value_grad(params, x_blk, send_idx, snd_loc, rcv_loc,
+                              m_loc, snd_hal, rcv_hal, m_hal, y_blk,
+                              node_ok_blk, gcnt):
+        def local_loss(params):
+            logits = per_device_forward(
+                params, x_blk, send_idx, snd_loc, rcv_loc, m_loc,
+                snd_hal, rcv_hal, m_hal)[0]
+            y = y_blk[0]
+            ok = node_ok_blk[0].astype(logits.dtype)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            per = -jnp.sum(y * logp, axis=-1)
+            return jnp.sum(per * ok) / gcnt
+
+        loss, grads = jax.value_and_grad(local_loss)(params)
+        loss = jax.lax.psum(loss, grad_axes)
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.psum(g, grad_axes), grads)
+        return loss, grads
+
+    _vg = jax.jit(jax.shard_map(
+        per_device_value_grad, mesh=mesh,
+        in_specs=(P(),) + (P(shard_axes),) * 10 + (None,),
+        out_specs=(P(), P()),
+        check_vma=False,
+    ), static_argnums=(11,))
+
+    def forward_wrapper(params, x_blocks, plan):
+        return forward(params, x_blocks, *(plan[k] for k in _PLAN_KEYS))
+
+    def value_and_grad(params, x_blocks, plan, y_blocks, node_ok_blocks):
+        gcnt = float(np.maximum(np.asarray(node_ok_blocks).sum(), 1.0))
+        return _vg(params, x_blocks, *(plan[k] for k in _PLAN_KEYS),
+                   y_blocks, node_ok_blocks, gcnt)
+
+    return forward_wrapper, value_and_grad
 
 
 def init_sharded_gat_params(rng, dims: list[int]) -> list[dict]:

@@ -170,3 +170,71 @@ def test_edge_partition_pe_composition():
     raw["compat"] = {"frozen_random_signnet": False}
     with pytest.raises(ValueError, match="frozen_random_signnet"):
         run_experiment(parse_config(raw))
+
+
+def test_sharded_gin_matches_flax_and_cli():
+    """Sharded GIN vs a stacked flax GINConv (ReLU between layers) with
+    mapped weights, plus the CLI route."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from graph_hscn_tpu.data.batching import PadBudget, pack_batch
+    from graph_hscn_tpu.data.synthetic import make_voc_superpixels
+    from graph_hscn_tpu.models.layers import GINConv
+    from graph_hscn_tpu.parallel.edge_partition import plan_halo_exchange
+    from graph_hscn_tpu.parallel.mesh import make_mesh
+    from graph_hscn_tpu.parallel.sharded_gcn import (
+        init_sharded_gin_params, make_sharded_gin, shard_node_blocks)
+
+    D = 8
+    graphs = make_voc_superpixels(num_graphs=2, seed=15, mean_nodes=120)
+    budget = PadBudget.for_dataset(graphs, batch_size=2,
+                                   node_multiple=D * 8)
+    b = pack_batch(graphs, budget)
+    n = b.num_nodes_padded
+    plan_np = plan_halo_exchange(np.asarray(b.senders),
+                                 np.asarray(b.receivers),
+                                 np.asarray(b.edge_mask), n, D)
+    plan = {k: jnp.asarray(v) for k, v in plan_np.items()
+            if k not in ("block_size", "halo_width")}
+    mesh = make_mesh(("data",), (D,))
+    dims = [14, 16, 21]
+    params = init_sharded_gin_params(jax.random.PRNGKey(1), dims)
+    forward, _ = make_sharded_gin(mesh, num_layers=2)
+    (xb,) = shard_node_blocks(mesh, D, np.asarray(b.node_feat))
+    out = np.asarray(forward(params, xb, plan)).reshape(n, -1)
+
+    x = jnp.asarray(b.node_feat)
+    for i, layer in enumerate(params):
+        conv = GINConv(features=dims[i + 1])
+        x = conv.apply({"params": {"Dense_0": {"kernel": layer["w1"],
+                                               "bias": layer["b1"]},
+                                   "Dense_1": {"kernel": layer["w2"],
+                                               "bias": layer["b2"]}}},
+                       x, b.senders, b.receivers, b.edge_mask,
+                       num_nodes=n)
+        if i < len(params) - 1:
+            x = jax.nn.relu(x)
+    ref = np.asarray(x)
+    mask = np.asarray(b.node_mask)
+    np.testing.assert_allclose(out[mask], ref[mask], rtol=2e-4, atol=2e-4)
+
+    from graph_hscn_tpu.config.config import parse_config
+    from graph_hscn_tpu.runner import run_experiment
+    raw = {
+        "data": {"dataset_name": "voc_superpixels", "batch_size": 4,
+                 "num_graphs": 8},
+        "mp": {"conv_type": "gin", "activation": "relu",
+               "hidden_channels": 8, "num_layers": 2, "dropout": 0.0},
+        "optim": {"optim_type": "adamW", "lr": 0.01,
+                  "weight_decay": 5e-4},
+        "training": {"model_type": "gin", "use_wandb": False,
+                     "loss_fn": "softmax_cross_entropy", "metric": "f1",
+                     "max_epochs": 2, "eval_period": 1, "min_delta": 0.0,
+                     "patience": 50},
+        "mesh": {"axes": ["data"], "shape": [8], "edge_partition": True},
+    }
+    result = run_experiment(parse_config(raw))
+    assert result.epochs_run == 2
+    assert np.isfinite(result.history[-1]["train_loss"])
