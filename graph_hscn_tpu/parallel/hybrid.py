@@ -212,6 +212,10 @@ def fit_hybrid(dm, mesh: Mesh, mpnn_cfg, optim_cfg, training_cfg, logger,
         # group-local gid blocks build_hybrid_split stacks into the plan).
         from graph_hscn_tpu.parallel.sharded_gps import (
             init_sharded_gps_params, make_sharded_gps)
+        if getattr(mpnn_cfg, "gps_local_conv", "gcn").lower() != "gcn":
+            raise ValueError(
+                "sharded GPS implements the GCN local block only; "
+                "gps_local_conv: gatedgcn is single-device-only")
         params = init_sharded_gps_params(
             jax.random.PRNGKey(training_cfg.seed), dm.num_features,
             mpnn_cfg.hidden_channels, dm.num_classes, mpnn_cfg.num_layers,

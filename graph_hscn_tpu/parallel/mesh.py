@@ -30,6 +30,16 @@ def make_mesh(axes=("data",), shape=(-1,), devices=None) -> Mesh:
     return Mesh(dev_array, tuple(axes))
 
 
+def resolve_mesh_shape(shape) -> list[int]:
+    """Resolve a config mesh shape: ``-1`` means "all remaining devices on
+    that axis" against the actual device count (config/defaults.py)."""
+    shape = list(shape)
+    if -1 in shape:
+        fixed = int(np.prod([s for s in shape if s != -1])) or 1
+        shape[shape.index(-1)] = len(jax.devices()) // fixed
+    return shape
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

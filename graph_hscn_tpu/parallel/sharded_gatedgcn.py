@@ -196,11 +196,13 @@ def make_sharded_gatedgcn(mesh: Mesh, num_layers: int, axis: str = "data"):
         return (e_loc, e_hal) + base
 
     def forward(params, x_blocks, e_loc, e_hal, ok_blocks, plan):
+        assert len(params["layers"]) == num_layers
         f = fwd_noe if e_loc is None else fwd_e
         return f(params, x_blocks, ok_blocks, *_eargs(e_loc, e_hal, plan))
 
     def value_and_grad(params, x_blocks, e_loc, e_hal, ok_blocks, plan,
                        y_blocks):
+        assert len(params["layers"]) == num_layers
         gcnt = float(np.maximum(np.asarray(ok_blocks).sum(), 1.0))
         f = vg_noe if e_loc is None else vg_e
         return f(params, x_blocks, ok_blocks, y_blocks, gcnt,

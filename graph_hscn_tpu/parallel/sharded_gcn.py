@@ -266,9 +266,11 @@ def fit_edge_partitioned(dm, mesh: Mesh, mpnn_cfg, optim_cfg, training_cfg,
         logger.info(f"[edge-partition] {split}: {n} node rows over {D} "
                     f"devices, halo width H={plan_np['halo_width']}"
                     f"{' (locality-reordered)' if reorder else ''}")
+        # eidx_* are host-side edge-feature gather indices — never upload.
         plan = {k: jnp.asarray(v) for k, v in plan_np.items()
-                if k not in ("block_size", "halo_width")}
-        if pallas_enabled():
+                if k not in ("block_size", "halo_width",
+                             "eidx_loc", "eidx_hal")}
+        if conv in ("gcn", "gat") and dtype is None and pallas_enabled():
             from graph_hscn_tpu.parallel.edge_partition import \
                 local_spmm_plans
             sp = local_spmm_plans(plan_np, plan_np["block_size"])
@@ -321,6 +323,10 @@ def fit_edge_partitioned(dm, mesh: Mesh, mpnn_cfg, optim_cfg, training_cfg,
         # hidden width (input/head projections handle F and C).
         from graph_hscn_tpu.parallel.sharded_gps import (
             init_sharded_gps_params, make_sharded_gps)
+        if getattr(mpnn_cfg, "gps_local_conv", "gcn").lower() != "gcn":
+            raise ValueError(
+                "sharded GPS implements the GCN local block only; "
+                "gps_local_conv: gatedgcn is single-device-only")
         params = init_sharded_gps_params(
             jax.random.PRNGKey(training_cfg.seed), dm.num_features,
             mpnn_cfg.hidden_channels, dm.num_classes,

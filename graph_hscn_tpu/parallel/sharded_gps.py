@@ -44,9 +44,12 @@ _PLAN_KEYS = ("send_idx", "snd_loc", "rcv_loc", "mask_loc",
 NEG_INF = -1e9   # additive key-mask bias (matches models/gps.py)
 
 
-def _glorot(key, shape):
-    fan_in = int(np.prod(shape[:-1]))
-    fan_out = shape[-1]
+def _glorot(key, shape, n_in: int = 1):
+    """Glorot-uniform with the first ``n_in`` axes as fan-in — matches
+    flax DenseGeneral's fan computation for multi-axis kernels (wq/wk/wv
+    have 1 input axis and (heads, hd) output axes; wo the reverse)."""
+    fan_in = int(np.prod(shape[:n_in]))
+    fan_out = int(np.prod(shape[n_in:]))
     scale = jnp.sqrt(6.0 / (fan_in + fan_out))
     return jax.random.uniform(key, shape, minval=-scale, maxval=scale)
 
@@ -80,7 +83,7 @@ def init_sharded_gps_params(rng, num_features: int, hidden: int,
                 "bk": jnp.zeros((num_heads, hd)),
                 "wv": _glorot(k4, (hidden, num_heads, hd)),
                 "bv": jnp.zeros((num_heads, hd)),
-                "wo": _glorot(k5, (num_heads, hd, hidden)),
+                "wo": _glorot(k5, (num_heads, hd, hidden), n_in=2),
                 "bo": jnp.zeros((hidden,)),
             },
             "ln3": ln(),

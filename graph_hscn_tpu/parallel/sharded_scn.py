@@ -266,7 +266,8 @@ def fit_hscn_edge_partitioned(dm, mesh: Mesh, hscn_cfg, optim_cfg,
                     f"devices, halo width H={plan_np['halo_width']}"
                     f"{' (locality-reordered)' if reorder else ''}")
         plan = {k: jnp.asarray(v) for k, v in plan_np.items()
-                if k not in ("block_size", "halo_width")}
+                if k not in ("block_size", "halo_width",
+                             "eidx_loc", "eidx_hal")}
         xb, yb, okb, db = shard_node_blocks(mesh, D, x, y, node_ok, outdeg)
         return dict(n=n, plan=plan, xb=xb, yb=yb, okb=okb, db=db,
                     node_mask=node_ok, node_y=y,

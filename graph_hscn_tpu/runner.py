@@ -68,13 +68,9 @@ def run_experiment(cfg: ExperimentConfig, log_file=None) -> FitResult:
     node_level = dm.task_level == "node"
 
     import numpy as _np
-    shape = list(cfg.mesh.shape)
-    if -1 in shape:
-        # -1 = "all remaining devices on that axis" (config/defaults.py);
-        # resolve against the actual device count so the multi-device
-        # branch is taken whenever it should be.
-        fixed = int(_np.prod([s for s in shape if s != -1])) or 1
-        shape[shape.index(-1)] = len(jax.devices()) // fixed
+
+    from graph_hscn_tpu.parallel.mesh import resolve_mesh_shape
+    shape = resolve_mesh_shape(cfg.mesh.shape)
     mesh_size = int(_np.prod(shape))
 
     if cfg.hscn is not None:
@@ -89,6 +85,11 @@ def run_experiment(cfg: ExperimentConfig, log_file=None) -> FitResult:
                                  "tasks (giant-graph full-batch training)")
             if len(shape) != 1:
                 raise ValueError("edge-partitioned HSCN takes a 1-D mesh")
+            if cfg.pe is not None and not cfg.compat.frozen_random_signnet:
+                raise ValueError(
+                    "edge-partitioned paths support PE only as the "
+                    "precomputed transform; set "
+                    "compat.frozen_random_signnet: true")
             from graph_hscn_tpu.parallel.mesh import make_mesh
             from graph_hscn_tpu.parallel.sharded_scn import \
                 fit_hscn_edge_partitioned
@@ -298,15 +299,16 @@ def run_eval(cfg: ExperimentConfig, which: str = "best", log_file=None):
         # Sharded eval: rebuild the packed splits + shard_map forward and
         # restore the sharded param pytree (fit_*'s eval_only mode).
         import numpy as _np
-        shape = list(cfg.mesh.shape)
-        if -1 in shape:
-            fixed = int(_np.prod([s for s in shape if s != -1])) or 1
-            shape[shape.index(-1)] = len(jax.devices()) // fixed
-        from graph_hscn_tpu.parallel.mesh import make_mesh
+
+        from graph_hscn_tpu.parallel.mesh import (make_mesh,
+                                                  resolve_mesh_shape)
+        shape = resolve_mesh_shape(cfg.mesh.shape)
         mesh = make_mesh(tuple(cfg.mesh.axes), tuple(shape),
                          devices=jax.devices()[:int(_np.prod(shape))])
         checkpointer = Checkpointer(cfg.training.checkpoint_dir)
         if cfg.hscn is not None:
+            if len(shape) != 1:
+                raise ValueError("edge-partitioned HSCN takes a 1-D mesh")
             from graph_hscn_tpu.parallel.sharded_scn import \
                 fit_hscn_edge_partitioned
             results, meta = fit_hscn_edge_partitioned(
@@ -329,7 +331,10 @@ def run_eval(cfg: ExperimentConfig, which: str = "best", log_file=None):
             results, meta = fit_edge_partitioned(
                 dm, mesh, cfg.mpnn, cfg.optim, cfg.training, logger,
                 checkpointer=checkpointer,
-                reorder=cfg.mesh.locality_reorder, eval_only=which)
+                reorder=cfg.mesh.locality_reorder, eval_only=which,
+                # Same program as training-time eval (a bf16-trained
+                # 'best' must be re-scored by the bf16 forward).
+                dtype=compute_dtype)
         for split, m in results.items():
             logger.info(f"[eval:{which}] {split}: " + ", ".join(
                 f"{k}={v:.4f}" for k, v in m.items()))
