@@ -156,7 +156,8 @@ def build_hybrid_split(graphs, d_dp: int, d_ep: int, reorder: bool = True):
 
 def fit_hybrid(dm, mesh: Mesh, mpnn_cfg, optim_cfg, training_cfg, logger,
                checkpointer=None, reorder: bool = True,
-               eval_only: str | None = None):
+               eval_only: str | None = None,
+               predictions_sink: dict | None = None):
     """CLI-reachable hybrid training (mesh.axes: [data, model] +
     mesh.edge_partition: true): full-batch node-level training where each
     data row of the mesh owns a balanced group of graphs and
@@ -269,6 +270,14 @@ def fit_hybrid(dm, mesh: Mesh, mpnn_cfg, optim_cfg, training_cfg, logger,
         for split in ("val", "test"):
             loss, perf = evaluate_any(split)
             results[split] = {"loss": loss, training_cfg.metric: perf}
+            if predictions_sink is not None:
+                plan, x, _, _, meta_s = splits[split]
+                logits = np.asarray(forward(params, x, plan)).reshape(
+                    meta_s["node_mask"].shape[0], -1)
+                mask = meta_s["node_mask"]
+                predictions_sink[split] = {
+                    "scores": logits[mask],
+                    "targets": meta_s["node_y"][mask]}
         return results, meta
 
     state0, start_epoch, best_loss = _maybe_resume(get_state(),

@@ -217,7 +217,7 @@ def shard_node_blocks(mesh: Mesh, num_devices: int, *arrays,
 def fit_edge_partitioned(dm, mesh: Mesh, mpnn_cfg, optim_cfg, training_cfg,
                          logger, checkpointer=None, axis: str = "data",
                          reorder: bool = True, eval_only: str | None = None,
-                         dtype=None):
+                         dtype=None, predictions_sink: dict | None = None):
     """CLI-reachable edge-partitioned training (mesh.edge_partition: true):
     each split is packed into ONE padded batch whose node blocks shard
     across the mesh — full-batch gradient descent per epoch, the standard
@@ -423,6 +423,14 @@ def fit_edge_partitioned(dm, mesh: Mesh, mpnn_cfg, optim_cfg, training_cfg,
         for split in ("val", "test"):
             loss, perf = evaluate_any(split)
             results[split] = {"loss": loss, training_cfg.metric: perf}
+            if predictions_sink is not None:
+                b, plan, xb, _, _ = splits[split]
+                logits = np.asarray(forward(params, xb, plan)).reshape(
+                    b.num_nodes_padded, -1)
+                mask = np.asarray(b.node_mask)
+                predictions_sink[split] = {
+                    "scores": logits[mask],
+                    "targets": np.asarray(b.node_y)[mask]}
         return results, meta
 
     state0, start_epoch, best_loss = _maybe_resume(get_state(),

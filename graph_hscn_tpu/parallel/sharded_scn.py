@@ -211,7 +211,8 @@ def fit_hscn_edge_partitioned(dm, mesh: Mesh, hscn_cfg, optim_cfg,
                               training_cfg, logger, checkpointer=None,
                               axis: str = "data", reorder: bool = True,
                               vv_pattern: str = "clique",
-                              eval_only: str | None = None):
+                              eval_only: str | None = None,
+                              predictions_sink: dict | None = None):
     """CLI-reachable giant-graph HSCN pipeline (``hscn:`` +
     ``mesh.edge_partition: true``): each split packed as ONE padded batch
     whose node blocks shard across the mesh, then
@@ -356,6 +357,14 @@ def fit_hscn_edge_partitioned(dm, mesh: Mesh, hscn_cfg, optim_cfg,
         for split in ("val", "test"):
             loss, perf = evaluate_any(split)
             results[split] = {"loss": loss, training_cfg.metric: perf}
+            if predictions_sink is not None:
+                s = splits[split]
+                logits = np.asarray(forward(
+                    params, s["xb"], s["okb"], s["cb"],
+                    s["plan"])).reshape(s["n"], -1)
+                mask = s["node_mask"]
+                predictions_sink[split] = {"scores": logits[mask],
+                                           "targets": s["node_y"][mask]}
         return results, meta
 
     state0, start_epoch, best_loss = _maybe_resume(get_state(),

@@ -263,7 +263,8 @@ def _use_device_dataset(cfg: ExperimentConfig, dm) -> bool:
     return fits
 
 
-def run_eval(cfg: ExperimentConfig, which: str = "best", log_file=None):
+def run_eval(cfg: ExperimentConfig, which: str = "best", log_file=None,
+             predict_out: str | None = None):
     """Eval-only / inference mode: restore a checkpoint and score the val
     and test splits.  New capability vs the reference (it defines
     MODEL_DIR but never saves or loads weights, constants.py:6).
@@ -271,6 +272,10 @@ def run_eval(cfg: ExperimentConfig, which: str = "best", log_file=None):
     For the HSCN pipeline the cluster assignments are not part of the
     snapshot; stage-1 clustering is deterministic given training.seed, so
     it is re-run to reconstruct them before restoring HSCN weights.
+
+    ``predict_out``: path of an ``.npz`` to receive the prediction export
+    (``{split}_scores`` / ``{split}_targets`` over real rows) — the
+    serving surface (LRGB submissions, downstream consumers).
     """
     from graph_hscn_tpu.models.layers import resolve_dtype
     from graph_hscn_tpu.train.checkpoint import Checkpointer
@@ -285,6 +290,7 @@ def run_eval(cfg: ExperimentConfig, which: str = "best", log_file=None):
     compute_dtype = resolve_dtype(cfg.runtime.compute_dtype)
     logger = Logger(log_file=log_file, metric_name=cfg.training.metric,
                     use_wandb=False)
+    sink = {} if predict_out else None
     dm = DataModule.from_config(cfg.data, pad_safety=cfg.runtime.pad_safety)
     if cfg.runtime.dense_path in ("auto", "dense"):
         from graph_hscn_tpu.config import defaults as D
@@ -318,13 +324,14 @@ def run_eval(cfg: ExperimentConfig, which: str = "best", log_file=None):
                 vv_pattern=("triangular"
                             if cfg.compat.vv_triangular_pattern
                             else "clique"),
-                eval_only=which)
+                eval_only=which, predictions_sink=sink)
         elif len(shape) == 2:
             from graph_hscn_tpu.parallel.hybrid import fit_hybrid
             results, meta = fit_hybrid(
                 dm, mesh, cfg.mpnn, cfg.optim, cfg.training, logger,
                 checkpointer=checkpointer,
-                reorder=cfg.mesh.locality_reorder, eval_only=which)
+                reorder=cfg.mesh.locality_reorder, eval_only=which,
+                predictions_sink=sink)
         else:
             from graph_hscn_tpu.parallel.sharded_gcn import \
                 fit_edge_partitioned
@@ -334,12 +341,13 @@ def run_eval(cfg: ExperimentConfig, which: str = "best", log_file=None):
                 reorder=cfg.mesh.locality_reorder, eval_only=which,
                 # Same program as training-time eval (a bf16-trained
                 # 'best' must be re-scored by the bf16 forward).
-                dtype=compute_dtype)
+                dtype=compute_dtype, predictions_sink=sink)
         for split, m in results.items():
             logger.info(f"[eval:{which}] {split}: " + ", ".join(
                 f"{k}={v:.4f}" for k, v in m.items()))
         if meta:
             logger.info(f"[eval:{which}] snapshot meta: {meta}")
+        _maybe_write_predictions(predict_out, sink, logger)
         logger.finish()
         return results
 
@@ -373,11 +381,24 @@ def run_eval(cfg: ExperimentConfig, which: str = "best", log_file=None):
         {"val": dm.eval_batches("val"), "test": dm.eval_batches("test")},
         cfg.optim, cfg.training, checkpointer, which=which,
         node_level=node_level,
-        compat_sigmoid_score=cfg.compat.sigmoid_regression_score)
+        compat_sigmoid_score=cfg.compat.sigmoid_regression_score,
+        predictions_sink=sink)
     for split, m in results.items():
         logger.info(f"[eval:{which}] {split}: " + ", ".join(
             f"{k}={v:.4f}" for k, v in m.items()))
     if meta:
         logger.info(f"[eval:{which}] snapshot meta: {meta}")
+    _maybe_write_predictions(predict_out, sink, logger)
     logger.finish()
     return results
+
+
+def _maybe_write_predictions(predict_out, sink, logger):
+    if not predict_out or sink is None:
+        return
+    import numpy as _np
+    arrays = {f"{split}_{k}": v for split, d in sink.items()
+              for k, v in d.items()}
+    _np.savez(predict_out, **arrays)
+    logger.info(f"[predict] wrote {', '.join(sorted(arrays))} "
+                f"to {predict_out}")

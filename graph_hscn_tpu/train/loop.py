@@ -412,10 +412,13 @@ def evaluate_checkpoint(model, batches_by_split: dict, optim_cfg,
                         training_cfg, checkpointer, which: str = "best",
                         example_batch: GraphBatch | None = None,
                         node_level: bool = False,
-                        compat_sigmoid_score: bool = False):
+                        compat_sigmoid_score: bool = False,
+                        predictions_sink: dict | None = None):
     """Restore a snapshot and score it on the given splits (inference /
     eval-only mode — no training).  Returns ({split: {"loss", metric}},
-    checkpoint_meta)."""
+    checkpoint_meta).  With ``predictions_sink`` (a dict), also collects
+    per-split prediction scores/targets over the real rows (masked) —
+    the serving/export surface used by ``main.py --eval --predict``."""
     # Inference-only restore: schedule VALUES are irrelevant, but the
     # opt-state STRUCTURE must match the training run's (a schedule adds a
     # step counter), so build with the same schedule and a dummy horizon.
@@ -449,4 +452,10 @@ def evaluate_checkpoint(model, batches_by_split: dict, optim_cfg,
         loss, perf = _epoch_metrics(scores, trues, masks, losses,
                                     metric_fn)
         results[split] = {"loss": loss, training_cfg.metric: perf}
+        if predictions_sink is not None:
+            import numpy as _np
+            s = _np.concatenate([_np.asarray(x) for x in scores])
+            t = _np.concatenate([_np.asarray(x) for x in trues])
+            m = _np.concatenate([_np.asarray(x) for x in masks])
+            predictions_sink[split] = {"scores": s[m], "targets": t[m]}
     return results, meta

@@ -27,13 +27,21 @@ def main() -> None:
                              "('best' or 'latest') from "
                              "training.checkpoint_dir and score val/test "
                              "instead of training.")
+    parser.add_argument("--predict", type=str, default=None,
+                        metavar="OUT.npz",
+                        help="With --eval: also export per-row prediction "
+                             "scores and targets ({split}_scores / "
+                             "{split}_targets) to the given .npz.")
     args = parser.parse_args()
+    if args.predict and not args.eval:
+        parser.error("--predict requires --eval")
     cfg: ExperimentConfig = load_config(args.cfg)
     LOGS_DIR.mkdir(parents=True, exist_ok=True)
     log_file = LOGS_DIR / (f"{cfg.data.dataset_name}_"
                            f"{cfg.training.model_type}.log")
     if args.eval:
-        run_eval(cfg, which=args.eval, log_file=log_file)
+        run_eval(cfg, which=args.eval, log_file=log_file,
+                 predict_out=args.predict)
     else:
         run_experiment(cfg, log_file=log_file)
 

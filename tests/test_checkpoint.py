@@ -115,3 +115,55 @@ def test_eval_only_mode(tmp_path):
     assert np.isfinite(scores["test"]["ap"])
     np.testing.assert_allclose(scores["val"]["loss"], best_val,
                                rtol=1e-5, atol=1e-6)
+
+
+def test_predict_export(tmp_path):
+    """--eval --predict exports {split}_scores/{split}_targets npz on
+    both the flax path and the edge-partitioned path."""
+    import numpy as np
+
+    from graph_hscn_tpu.config.config import parse_config
+    from graph_hscn_tpu.runner import run_eval, run_experiment
+
+    raw = {
+        "data": {"dataset_name": "peptides_func", "batch_size": 8,
+                 "num_graphs": 24},
+        "mp": {"conv_type": "gcn", "activation": "relu",
+               "hidden_channels": 8, "num_layers": 2, "dropout": 0.0},
+        "optim": {"optim_type": "adamW", "lr": 0.01,
+                  "weight_decay": 5e-4},
+        "training": {"model_type": "gcn", "use_wandb": False,
+                     "loss_fn": "cross_entropy", "metric": "ap",
+                     "max_epochs": 2, "eval_period": 1, "min_delta": 0.0,
+                     "patience": 50,
+                     "checkpoint_dir": str(tmp_path / "ck")},
+    }
+    run_experiment(parse_config(raw))
+    out = tmp_path / "preds.npz"
+    run_eval(parse_config(raw), which="best", predict_out=str(out))
+    z = np.load(out)
+    assert {"val_scores", "val_targets", "test_scores",
+            "test_targets"} <= set(z.files)
+    assert z["val_scores"].shape == z["val_targets"].shape
+    assert np.isfinite(z["val_scores"]).all()
+
+    raw_ep = {
+        "data": {"dataset_name": "voc_superpixels", "batch_size": 4,
+                 "num_graphs": 10},
+        "mp": {"conv_type": "gcn", "activation": "relu",
+               "hidden_channels": 8, "num_layers": 2, "dropout": 0.0},
+        "optim": {"optim_type": "adamW", "lr": 0.01,
+                  "weight_decay": 5e-4},
+        "training": {"model_type": "gcn", "use_wandb": False,
+                     "loss_fn": "softmax_cross_entropy", "metric": "f1",
+                     "max_epochs": 2, "eval_period": 1, "min_delta": 0.0,
+                     "patience": 50,
+                     "checkpoint_dir": str(tmp_path / "ck_ep")},
+        "mesh": {"axes": ["data"], "shape": [8], "edge_partition": True},
+    }
+    run_experiment(parse_config(raw_ep))
+    out2 = tmp_path / "preds_ep.npz"
+    run_eval(parse_config(raw_ep), which="best", predict_out=str(out2))
+    z2 = np.load(out2)
+    assert np.isfinite(z2["test_scores"]).all()
+    assert z2["val_scores"].shape[1] == 21
