@@ -55,10 +55,21 @@ def eigvec_normalizer(evects: np.ndarray, normalization: str = "L2",
 
 def compute_posenc_stats(g: GraphData, max_freqs: int = 10,
                          eigvec_norm: str = "L2",
-                         laplacian_norm: str = "sym") -> GraphData:
+                         laplacian_norm: str = "sym",
+                         dense_threshold: int = 2048) -> GraphData:
     """Attach eigvals [N, K] / eigvecs [N, K] to one graph (NaN-padded when
-    N < K, like reference posenc.py:67-78)."""
+    N < K, like reference posenc.py:67-78).
+
+    Graphs above ``dense_threshold`` nodes route to the matrix-free LOBPCG
+    path (:func:`sparse_lap_stats`) — the reference's dense
+    ``np.linalg.eigh`` (posenc.py:40) is O(N^2) memory / O(N^3) compute
+    and simply cannot produce PE for giant graphs.
+    """
     n = g.num_nodes
+    if n > dense_threshold and n >= 8 * max_freqs:
+        return sparse_lap_stats(g, max_freqs=max_freqs,
+                                eigvec_norm=eigvec_norm,
+                                laplacian_norm=laplacian_norm)
     norm = None if laplacian_norm.lower() == "none" else laplacian_norm
     lap = _sym_laplacian(g, norm)
     evals, evects = np.linalg.eigh(lap)
@@ -73,6 +84,65 @@ def compute_posenc_stats(g: GraphData, max_freqs: int = 10,
     eigvals = np.full((max_freqs,), np.nan, dtype=np.float32)
     eigvals[:k] = evals
     eigvals = np.broadcast_to(eigvals, (n, max_freqs)).copy()
+    return g.replace(eigvals=eigvals, eigvecs=eigvecs)
+
+
+def sparse_lap_stats(g: GraphData, max_freqs: int = 10,
+                     eigvec_norm: str = "L2",
+                     laplacian_norm: str = "sym",
+                     iters: int = 200) -> GraphData:
+    """Matrix-free Laplacian PE for large graphs via LOBPCG.
+
+    The smallest eigenpairs of the (sym-normalized) Laplacian are the top
+    eigenpairs of the PSD operator ``B = c·I − L`` (``c = 2`` for L_sym,
+    whose spectrum lies in [0, 2]; ``c = 2·deg_max`` for the unnormalized
+    L).  ``B x`` is one gather + segment-sum over the edge list — no N×N
+    matrix ever exists — and ``jax.experimental.sparse.linalg
+    .lobpcg_standard`` iterates it on-device (MXU block matmuls on the
+    [N, k] search space).  Eigenvalue order and normalization match the
+    dense path; within degenerate eigenspaces any orthobasis is valid
+    (same as LAPACK's arbitrary choice).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.sparse.linalg import lobpcg_standard
+
+    n = g.num_nodes
+    k = min(max_freqs, n)
+    src, dst = (np.asarray(a, np.int32) for a in g.edge_index)
+    deg = np.bincount(dst, minlength=n).astype(np.float64)
+    norm = laplacian_norm.lower() != "none"
+    if norm:
+        with np.errstate(divide="ignore"):
+            dinv = 1.0 / np.sqrt(deg)
+        dinv[~np.isfinite(dinv)] = 0.0
+        w = (dinv[src] * dinv[dst]).astype(np.float32)
+        c = 2.0
+        diag = jnp.ones((n,), jnp.float32)       # L = I - Anorm
+    else:
+        w = np.ones(len(src), np.float32)
+        c = float(2.0 * max(deg.max(), 1.0))
+        diag = jnp.asarray(deg, jnp.float32)     # L = D - A
+    src_j, dst_j, w_j = (jnp.asarray(a) for a in (src, dst, w))
+    c_minus_diag = (c - diag)[:, None]
+
+    def B(x):                                    # [n, k] -> [n, k]
+        ax = jax.ops.segment_sum(x[src_j] * w_j[:, None], dst_j, n)
+        return c_minus_diag * x + ax             # (c I - L) x
+
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (n, k), jnp.float32)
+    theta, u, _ = lobpcg_standard(B, x0, m=iters)
+    evals = np.clip(c - np.asarray(theta, np.float64), 0.0, None)
+    order = np.argsort(evals)[:k]                # ascending in L
+    evals = evals[order]
+    evects = eigvec_normalizer(np.asarray(u, np.float32)[:, order],
+                               eigvec_norm)
+
+    eigvecs = np.full((n, max_freqs), np.nan, dtype=np.float32)
+    eigvecs[:, :k] = evects
+    eigvals_row = np.full((max_freqs,), np.nan, dtype=np.float32)
+    eigvals_row[:k] = evals
+    eigvals = np.broadcast_to(eigvals_row, (n, max_freqs)).copy()
     return g.replace(eigvals=eigvals, eigvecs=eigvecs)
 
 

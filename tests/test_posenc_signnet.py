@@ -124,3 +124,33 @@ def test_signnet_mlp_variant_sign_invariance():
     params_ds = enc_ds.init(jax.random.PRNGKey(0), batch)
     out_ds = enc_ds.apply(params_ds, batch)
     assert not np.allclose(np.asarray(out1), np.asarray(out_ds))
+
+
+def test_sparse_lap_stats_matches_dense():
+    """LOBPCG PE path vs dense eigh on a mid-size graph: eigenvalues
+    agree and every returned pair satisfies the eigen equation (vectors
+    within degenerate eigenspaces may legitimately differ)."""
+    import numpy as np
+
+    from graph_hscn_tpu.data.synthetic import make_voc_superpixels
+    from graph_hscn_tpu.transform.posenc import (_sym_laplacian,
+                                                 compute_posenc_stats,
+                                                 sparse_lap_stats)
+
+    g = make_voc_superpixels(num_graphs=1, seed=3, mean_nodes=300)[0]
+    K = 6
+    dense = compute_posenc_stats(g, max_freqs=K)
+    sparse = sparse_lap_stats(g, max_freqs=K, iters=400)
+
+    np.testing.assert_allclose(sparse.eigvals[0], dense.eigvals[0],
+                               atol=2e-3)
+    lap = _sym_laplacian(g, "sym")
+    v = np.asarray(sparse.eigvecs, np.float64)
+    lam = np.asarray(sparse.eigvals[0], np.float64)
+    resid = lap @ v - v * lam[None, :]
+    assert np.abs(resid).max() < 5e-3
+
+    # Threshold routing: a graph above dense_threshold takes the sparse
+    # path inside compute_posenc_stats.
+    big = compute_posenc_stats(g, max_freqs=K, dense_threshold=100)
+    np.testing.assert_allclose(big.eigvals[0], dense.eigvals[0], atol=2e-3)
