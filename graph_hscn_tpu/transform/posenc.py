@@ -91,49 +91,49 @@ def sparse_lap_stats(g: GraphData, max_freqs: int = 10,
                      eigvec_norm: str = "L2",
                      laplacian_norm: str = "sym",
                      iters: int = 200) -> GraphData:
-    """Matrix-free Laplacian PE for large graphs via LOBPCG.
+    """Sparse-Laplacian PE for large graphs — no N×N matrix ever exists.
 
-    The smallest eigenpairs of the (sym-normalized) Laplacian are the top
-    eigenpairs of the PSD operator ``B = c·I − L`` (``c = 2`` for L_sym,
-    whose spectrum lies in [0, 2]; ``c = 2·deg_max`` for the unnormalized
-    L).  ``B x`` is one gather + segment-sum over the edge list — no N×N
-    matrix ever exists — and ``jax.experimental.sparse.linalg
-    .lobpcg_standard`` iterates it on-device (MXU block matmuls on the
-    [N, k] search space).  Eigenvalue order and normalization match the
-    dense path; within degenerate eigenspaces any orthobasis is valid
-    (same as LAPACK's arbitrary choice).
+    Primary path: ARPACK shift-invert (``scipy.sparse.linalg.eigsh`` with
+    ``sigma=0``) on the CSR Laplacian — the smallest eigenpairs of graph
+    Laplacians are tightly clustered, which shift-invert resolves to
+    machine precision in a handful of Lanczos iterations (host-side
+    preprocessing, same stage as the reference's LAPACK call,
+    posenc.py:40).  Fallback when ARPACK fails to converge: on-device
+    LOBPCG (``jax.experimental.sparse.linalg.lobpcg_standard``) on the
+    PSD operator ``c·I − L`` whose matvec is one gather + segment-sum.
+    Eigenvalue order and normalization match the dense path; within
+    degenerate eigenspaces any orthobasis is valid (same as LAPACK's
+    arbitrary choice).
     """
-    import jax
-    import jax.numpy as jnp
-    from jax.experimental.sparse.linalg import lobpcg_standard
+    import scipy.sparse as sp
 
     n = g.num_nodes
     k = min(max_freqs, n)
-    src, dst = (np.asarray(a, np.int32) for a in g.edge_index)
+    src, dst = (np.asarray(a, np.int64) for a in g.edge_index)
     deg = np.bincount(dst, minlength=n).astype(np.float64)
     norm = laplacian_norm.lower() != "none"
     if norm:
         with np.errstate(divide="ignore"):
             dinv = 1.0 / np.sqrt(deg)
         dinv[~np.isfinite(dinv)] = 0.0
-        w = (dinv[src] * dinv[dst]).astype(np.float32)
+        w = dinv[src] * dinv[dst]
+        diag = np.ones(n)                        # L = I - Anorm
         c = 2.0
-        diag = jnp.ones((n,), jnp.float32)       # L = I - Anorm
     else:
-        w = np.ones(len(src), np.float32)
+        w = np.ones(len(src))
+        diag = deg                               # L = D - A
         c = float(2.0 * max(deg.max(), 1.0))
-        diag = jnp.asarray(deg, jnp.float32)     # L = D - A
-    src_j, dst_j, w_j = (jnp.asarray(a) for a in (src, dst, w))
-    c_minus_diag = (c - diag)[:, None]
+    lap = (sp.csr_matrix((diag, (np.arange(n), np.arange(n))),
+                         shape=(n, n))
+           - sp.csr_matrix((w, (dst, src)), shape=(n, n)))
 
-    def B(x):                                    # [n, k] -> [n, k]
-        ax = jax.ops.segment_sum(x[src_j] * w_j[:, None], dst_j, n)
-        return c_minus_diag * x + ax             # (c I - L) x
-
-    x0 = jax.random.normal(jax.random.PRNGKey(0), (n, k), jnp.float32)
-    theta, u, _ = lobpcg_standard(B, x0, m=iters)
-    evals = np.clip(c - np.asarray(theta, np.float64), 0.0, None)
-    order = np.argsort(evals)[:k]                # ascending in L
+    try:
+        from scipy.sparse.linalg import eigsh
+        evals, u = eigsh(lap.tocsc(), k=k, sigma=0, which="LM")
+    except Exception:                            # ARPACK non-convergence
+        evals, u = _lobpcg_smallest(lap, n, k, c, iters)
+    evals = np.clip(np.real(evals), 0.0, None)
+    order = np.argsort(evals)[:k]
     evals = evals[order]
     evects = eigvec_normalizer(np.asarray(u, np.float32)[:, order],
                                eigvec_norm)
@@ -144,6 +144,28 @@ def sparse_lap_stats(g: GraphData, max_freqs: int = 10,
     eigvals_row[:k] = evals
     eigvals = np.broadcast_to(eigvals_row, (n, max_freqs)).copy()
     return g.replace(eigvals=eigvals, eigvecs=eigvecs)
+
+
+def _lobpcg_smallest(lap, n: int, k: int, c: float, iters: int):
+    """On-device LOBPCG fallback: top-k of the PSD operator c·I − L via a
+    gather + segment-sum matvec (MXU block matmuls on the [N, k] search
+    space)."""
+    import jax
+    import jax.numpy as jnp
+
+    coo = lap.tocoo()
+    src_j = jnp.asarray(coo.col, jnp.int32)
+    dst_j = jnp.asarray(coo.row, jnp.int32)
+    w_j = jnp.asarray(coo.data, jnp.float32)
+    # c I - L applied as (c x - L x); L x via the COO triplets directly.
+    def B(x):
+        lx = jax.ops.segment_sum(x[src_j] * w_j[:, None], dst_j, n)
+        return c * x - lx
+
+    from jax.experimental.sparse.linalg import lobpcg_standard
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (n, k), jnp.float32)
+    theta, u, _ = lobpcg_standard(B, x0, m=iters)
+    return c - np.asarray(theta, np.float64), np.asarray(u)
 
 
 def batched_eigh(adj_dense, node_mask):

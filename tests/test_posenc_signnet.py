@@ -143,14 +143,14 @@ def test_sparse_lap_stats_matches_dense():
     sparse = sparse_lap_stats(g, max_freqs=K, iters=400)
 
     np.testing.assert_allclose(sparse.eigvals[0], dense.eigvals[0],
-                               atol=2e-3)
+                               atol=1e-5)
     lap = _sym_laplacian(g, "sym")
     v = np.asarray(sparse.eigvecs, np.float64)
     lam = np.asarray(sparse.eigvals[0], np.float64)
     resid = lap @ v - v * lam[None, :]
-    assert np.abs(resid).max() < 5e-3
+    assert np.abs(resid).max() < 1e-4
 
     # Threshold routing: a graph above dense_threshold takes the sparse
     # path inside compute_posenc_stats.
     big = compute_posenc_stats(g, max_freqs=K, dense_threshold=100)
-    np.testing.assert_allclose(big.eigvals[0], dense.eigvals[0], atol=2e-3)
+    np.testing.assert_allclose(big.eigvals[0], dense.eigvals[0], atol=1e-5)
