@@ -129,7 +129,10 @@ def sparse_lap_stats(g: GraphData, max_freqs: int = 10,
 
     try:
         from scipy.sparse.linalg import eigsh
-        evals, u = eigsh(lap.tocsc(), k=k, sigma=0, which="LM")
+        # Small NEGATIVE shift: L is PSD with lambda_0 = 0, so L - sigma*I
+        # is positive definite and the shift-invert factorization is
+        # well-posed (sigma=0 would LU-factor a singular matrix).
+        evals, u = eigsh(lap.tocsc(), k=k, sigma=-1e-2, which="LM")
     except Exception:                            # ARPACK non-convergence
         evals, u = _lobpcg_smallest(lap, n, k, c, iters)
     evals = np.clip(np.real(evals), 0.0, None)
