@@ -4,10 +4,12 @@ runnable analog of the reference's exploratory notebook
 (notebooks/01-hetero.ipynb).
 
 Run:  python examples/hscn_walkthrough.py        (CPU-friendly sizes)
+Set WALKTHROUGH_TPU=1 to run on an attached accelerator instead.
 """
 
 from __future__ import annotations
 
+import os
 import sys
 from pathlib import Path
 
@@ -18,6 +20,14 @@ import numpy as np
 
 def main():
     import jax
+    if not os.environ.get("WALKTHROUGH_TPU"):
+        # CPU by default: the sizes here are demonstration-scale, and in
+        # relay-attached environments an implicit TPU run pays ~30 s of
+        # remote compile per stage for nothing.
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass
     import jax.numpy as jnp
 
     from graph_hscn_tpu.config.config import (DataConfig, HSCNConfig,
@@ -60,11 +70,39 @@ def main():
                                   loss_fn="cross_entropy", metric="ap",
                                   epochs=5, eval_period=2, patience=50,
                                   min_delta=0.0)
-    result = fit(model, lambda: dm.train_batches(),
+    result = fit(model,
+                 lambda epoch: dm.train_batches(epoch_seed=dm.seed + epoch),
                  dm.eval_batches("val"), dm.eval_batches("test"),
                  optim_cfg, training_cfg, logger)
     logger.info(f"done: val AP "
                 f"{result.history[-1].get('validation_perf', 0):.3f}")
+
+    # ---- Bonus: the same pipeline at giant-graph scale -------------------
+    # hscn: + mesh.edge_partition packs each split as ONE batch whose node
+    # blocks shard across a device mesh; stage 1 (MinCUT clustering) and
+    # stage 4 (hetero conv) both run as halo-exchange shard_map programs
+    # (parallel/sharded_scn.py, parallel/sharded_hscn.py).
+    from graph_hscn_tpu.config.config import parse_config
+    from graph_hscn_tpu.runner import run_experiment
+
+    giant = parse_config({
+        "data": {"dataset_name": "voc_superpixels", "batch_size": 4,
+                 "num_graphs": 12},
+        "hscn": {"activation": "relu", "hidden_channels": 8,
+                 "num_layers": 2, "num_clusters": 4, "cluster_epochs": 2,
+                 "mp_units": [8]},
+        "optim": {"optim_type": "adamW", "lr": 0.01,
+                  "weight_decay": 5e-4},
+        "training": {"model_type": "hscn", "use_wandb": False,
+                     "loss_fn": "softmax_cross_entropy", "metric": "f1",
+                     "max_epochs": 4, "eval_period": 2, "min_delta": 0.0,
+                     "patience": 50},
+        "mesh": {"axes": ["data"], "shape": [-1],
+                 "edge_partition": True},
+    })
+    giant_result = run_experiment(giant)
+    logger.info(f"giant-graph HSCN pipeline: val F1 "
+                f"{giant_result.history[-1].get('validation_perf', 0):.3f}")
 
 
 if __name__ == "__main__":
