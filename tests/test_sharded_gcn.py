@@ -238,3 +238,36 @@ def test_sharded_gin_matches_flax_and_cli():
     result = run_experiment(parse_config(raw))
     assert result.epochs_run == 2
     assert np.isfinite(result.history[-1]["train_loss"])
+
+
+def test_edge_partition_auto_resume(tmp_path):
+    """fit_edge_partitioned resumes from the latest snapshot: a second
+    invocation with more epochs continues instead of restarting."""
+    import numpy as np
+
+    from graph_hscn_tpu.config.config import parse_config
+    from graph_hscn_tpu.runner import run_experiment
+
+    raw = {
+        "data": {"dataset_name": "voc_superpixels", "batch_size": 4,
+                 "num_graphs": 8},
+        "mp": {"conv_type": "gcn", "activation": "relu",
+               "hidden_channels": 8, "num_layers": 2, "dropout": 0.0},
+        "optim": {"optim_type": "adamW", "lr": 0.01,
+                  "weight_decay": 5e-4},
+        "training": {"model_type": "gcn", "use_wandb": False,
+                     "loss_fn": "softmax_cross_entropy", "metric": "f1",
+                     "max_epochs": 3, "eval_period": 1, "min_delta": 0.0,
+                     "patience": 50,
+                     "checkpoint_dir": str(tmp_path / "ck"),
+                     "checkpoint_every": 1},
+        "mesh": {"axes": ["data"], "shape": [8], "edge_partition": True},
+    }
+    r1 = run_experiment(parse_config(raw))
+    assert r1.epochs_run == 3
+    raw["training"]["max_epochs"] = 5
+    r2 = run_experiment(parse_config(raw))
+    epochs = [h["epoch"] for h in r2.history]
+    assert min(epochs) > 0          # continued, not restarted
+    assert max(epochs) == 4
+    assert np.isfinite(r2.history[-1]["train_loss"])
