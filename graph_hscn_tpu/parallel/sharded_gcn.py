@@ -371,7 +371,8 @@ def fit_edge_partitioned(dm, mesh: Mesh, mpnn_cfg, optim_cfg, training_cfg,
             use_spmm_plan=use_spmm_plan, dtype=dtype)
     elif conv == "gat":
         params = init_sharded_gat_params(
-            jax.random.PRNGKey(training_cfg.seed), dims)
+            jax.random.PRNGKey(training_cfg.seed), dims,
+            heads=mpnn_cfg.num_heads)
         forward, value_and_grad = make_sharded_gat(
             mesh, num_layers=len(dims) - 1, axis=axis,
             use_spmm_plan=use_spmm_plan)
@@ -556,21 +557,29 @@ def make_sharded_gin(mesh: Mesh, num_layers: int, axis: str = "data",
     return forward_wrapper, value_and_grad
 
 
-def init_sharded_gat_params(rng, dims: list[int]) -> list[dict]:
-    """Single-head GAT stack params (kernel, att_src, att_dst, bias)."""
+def init_sharded_gat_params(rng, dims: list[int],
+                            heads: int = 1) -> list[dict]:
+    """GAT stack params (kernel [F_in, H*C], att_src/att_dst [H, C],
+    bias).  Head layout mirrors models/mpnn.py: hidden layers have
+    C = width // H and CONCATENATE heads; the output layer has
+    C = num_classes and AVERAGES heads (concat=False)."""
     params = []
     for i in range(len(dims) - 1):
+        last = i == len(dims) - 2
+        C = dims[i + 1] if last else dims[i + 1] // heads
+        assert last or dims[i + 1] % heads == 0
         rng, k1, k2, k3 = jax.random.split(rng, 4)
-        scale = jnp.sqrt(6.0 / (dims[i] + dims[i + 1]))
-        a_scale = jnp.sqrt(6.0 / (1 + dims[i + 1]))
+        scale = jnp.sqrt(6.0 / (dims[i] + heads * C))
+        a_scale = jnp.sqrt(6.0 / (1 + C))
         params.append({
-            "kernel": jax.random.uniform(k1, (dims[i], dims[i + 1]),
+            "kernel": jax.random.uniform(k1, (dims[i], heads * C),
                                          minval=-scale, maxval=scale),
-            "att_src": jax.random.uniform(k2, (dims[i + 1],),
+            "att_src": jax.random.uniform(k2, (heads, C),
                                           minval=-a_scale, maxval=a_scale),
-            "att_dst": jax.random.uniform(k3, (dims[i + 1],),
+            "att_dst": jax.random.uniform(k3, (heads, C),
                                           minval=-a_scale, maxval=a_scale),
-            "bias": jnp.zeros((dims[i + 1],)),
+            "bias": jnp.zeros((dims[i + 1] if last
+                               else heads * C,)),
         })
     return params
 
@@ -609,21 +618,25 @@ def make_sharded_gat(mesh: Mesh, num_layers: int, axis: str = "data",
 
         h = x
         for layer in params:
-            z = h @ layer["kernel"]
+            H, C = layer["att_src"].shape
+            last = layer is params[-1]
+            z = h @ layer["kernel"]                    # [Nb, H*C]
             # Exchange transformed sender features; local attention math
             # overlaps with the in-flight all_to_all.
             halo = _halo(z, send_idx, axis)
-            a_src = z @ layer["att_src"]
-            a_dst = z @ layer["att_dst"]
-            a_src_halo = halo @ layer["att_src"]
+            zh = z.reshape(nb, H, C)
+            halo_h = halo.reshape(-1, H, C)
+            a_src = jnp.sum(zh * layer["att_src"][None], -1)   # [Nb, H]
+            a_dst = jnp.sum(zh * layer["att_dst"][None], -1)
+            a_src_halo = jnp.sum(halo_h * layer["att_src"][None], -1)
 
             e_loc = jax.nn.leaky_relu(a_src[snd_loc] + a_dst[rcv_loc],
-                                      negative_slope)
+                                      negative_slope)          # [El, H]
             e_hal = jax.nn.leaky_relu(a_src_halo[snd_hal] + a_dst[rcv_hal],
                                       negative_slope)
             e_self = jax.nn.leaky_relu(a_src + a_dst, negative_slope)
-            e_loc = jnp.where(m_loc, e_loc, neg_inf)
-            e_hal = jnp.where(m_hal, e_hal, neg_inf)
+            e_loc = jnp.where(m_loc[:, None], e_loc, neg_inf)
+            e_hal = jnp.where(m_hal[:, None], e_hal, neg_inf)
 
             seg_max = jnp.maximum(
                 jax.ops.segment_max(e_loc, rcv_loc, nb),
@@ -631,19 +644,27 @@ def make_sharded_gat(mesh: Mesh, num_layers: int, axis: str = "data",
             m = jnp.maximum(jnp.where(jnp.isfinite(seg_max), seg_max,
                                       neg_inf), e_self)
             m = jnp.where(jnp.isfinite(m), m, 0.0)
-            exp_loc = jnp.where(m_loc, jnp.exp(e_loc - m[rcv_loc]), 0.0)
-            exp_hal = jnp.where(m_hal, jnp.exp(e_hal - m[rcv_hal]), 0.0)
+            exp_loc = jnp.where(m_loc[:, None],
+                                jnp.exp(e_loc - m[rcv_loc]), 0.0)
+            exp_hal = jnp.where(m_hal[:, None],
+                                jnp.exp(e_hal - m[rcv_hal]), 0.0)
             exp_self = jnp.exp(e_self - m)
             denom = (segment_sum(exp_loc, rcv_loc, nb)
                      + segment_sum(exp_hal, rcv_hal, nb) + exp_self)
-            denom = jnp.maximum(denom, 1e-16)
+            denom = jnp.maximum(denom, 1e-16)               # [Nb, H]
 
-            agg = local_agg(z, exp_loc)
-            agg = agg + segment_sum(halo[snd_hal] * exp_hal[:, None],
-                                    rcv_hal, nb)
-            out = (agg + z * exp_self[:, None]) / denom[:, None]
+            # Per-head weighted aggregation (the Pallas plan path runs
+            # one fused SpMM per head, like GATConv.aggregate).
+            agg = jnp.stack([local_agg(zh[:, hd, :], exp_loc[:, hd])
+                             for hd in range(H)], axis=1)   # [Nb, H, C]
+            agg = agg + segment_sum(
+                halo_h[snd_hal] * exp_hal[..., None], rcv_hal, nb)
+            out = (agg + zh * exp_self[..., None]) / denom[..., None]
+            # Hidden layers concatenate heads; the output layer averages
+            # (models/mpnn.py head layout).  Identical for H = 1.
+            out = out.mean(axis=1) if last else out.reshape(nb, H * C)
             h = out + layer["bias"]
-            if layer is not params[-1]:
+            if not last:
                 h = jax.nn.relu(h)
         return h[None]
 

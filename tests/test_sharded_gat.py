@@ -89,3 +89,61 @@ def test_sharded_gat_loss_matches_single_device():
         assert all(np.isfinite(np.asarray(g)).all()
                    for g in jax.tree_util.tree_leaves(grads))
     np.testing.assert_allclose(losses[1], losses[8], rtol=1e-5)
+
+
+def test_sharded_gat_multihead_matches_unsharded():
+    """heads=2: hidden layer concatenates heads, output layer averages
+    (models/mpnn.py layout) — allclose vs the flax GATConv stack with
+    mapped weights, and CLI-reachable via mp.num_heads."""
+    D = 8
+    b, plan_np = _setup(D)
+    mesh = make_mesh(("data",), (D,))
+    n = b.num_nodes_padded
+    dims = [14, 16, 21]
+    H = 2
+    params = init_sharded_gat_params(jax.random.PRNGKey(4), dims, heads=H)
+    forward, _ = make_sharded_gat(mesh, num_layers=2)
+    plan = {k: jnp.asarray(v) for k, v in plan_np.items()
+            if k not in ("block_size", "halo_width")}
+    (xb,) = shard_node_blocks(mesh, D, np.asarray(b.node_feat))
+    out = np.asarray(forward(params, xb, plan)).reshape(n, -1)
+
+    x = jnp.asarray(b.node_feat)
+    for i, layer in enumerate(params):
+        Hh, C = layer["att_src"].shape
+        last = i == len(params) - 1
+        conv = GATConv(features=C, heads=Hh, concat=not last,
+                       add_self_loops=True)
+        vars_ = {"params": {
+            "kernel_src": layer["kernel"],
+            "att_src": layer["att_src"].reshape(1, Hh, C),
+            "att_dst": layer["att_dst"].reshape(1, Hh, C),
+            "bias": layer["bias"],
+        }}
+        x = conv.apply(vars_, x, b.senders, b.receivers, b.edge_mask,
+                       num_nodes=n)
+        if not last:
+            x = jax.nn.relu(x)
+    ref = np.asarray(x)
+    mask = np.asarray(b.node_mask)
+    np.testing.assert_allclose(out[mask], ref[mask], rtol=2e-4, atol=2e-4)
+
+    from graph_hscn_tpu.config.config import parse_config
+    from graph_hscn_tpu.runner import run_experiment
+    raw = {
+        "data": {"dataset_name": "voc_superpixels", "batch_size": 4,
+                 "num_graphs": 8},
+        "mp": {"conv_type": "gat", "activation": "relu",
+               "hidden_channels": 8, "num_layers": 2, "dropout": 0.0,
+               "num_heads": 2},
+        "optim": {"optim_type": "adamW", "lr": 0.01,
+                  "weight_decay": 5e-4},
+        "training": {"model_type": "gat", "use_wandb": False,
+                     "loss_fn": "softmax_cross_entropy", "metric": "f1",
+                     "max_epochs": 2, "eval_period": 1, "min_delta": 0.0,
+                     "patience": 50},
+        "mesh": {"axes": ["data"], "shape": [8], "edge_partition": True},
+    }
+    result = run_experiment(parse_config(raw))
+    assert result.epochs_run == 2
+    assert np.isfinite(result.history[-1]["train_loss"])
