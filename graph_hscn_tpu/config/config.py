@@ -94,10 +94,18 @@ class HSCNConfig:
     cluster_epochs: int = D.CLUSTER_EPOCHS
     mp_units: Sequence[int] = dataclasses.field(
         default_factory=lambda: list(D.MP_UNITS))
+    # Attention heads for the GAT relation slots (lv always, ll/vv when
+    # configured as GAT).  heads > 1 concatenates H heads of
+    # hidden_channels // H each (PyG GATConv(concat=True) semantics); the
+    # reference hardcodes heads=1 (hscn.py:117-125).
+    num_heads: int = 1
 
     def __post_init__(self):
         _check(self.num_layers >= 1, "num_layers must be >= 1")
         _check(self.num_clusters >= 2, "num_clusters must be >= 2")
+        _check(self.num_heads >= 1, "num_heads must be >= 1")
+        _check(self.hidden_channels % self.num_heads == 0,
+               "hidden_channels must divide evenly into num_heads")
 
 
 @dataclasses.dataclass

@@ -116,35 +116,39 @@ class DenseGCN(nn.Module):
 
 
 class DenseGAT(nn.Module):
-    """Single-head GATConv on a dense batched adjacency (vv relation
-    alternative; PyG semantics with add_self_loops=False)."""
+    """GATConv on a dense batched adjacency (vv relation alternative; PyG
+    semantics with add_self_loops=False).  ``heads > 1`` concatenates H
+    heads of ``features`` channels each (PyG concat=True)."""
 
     features: int
+    heads: int = 1
     negative_slope: float = 0.2
     dtype: Any = None
 
     @nn.compact
     def __call__(self, x, adj):
-        w = self.param("kernel_src", glorot, (x.shape[-1], self.features))
+        H, C = self.heads, self.features
+        w = self.param("kernel_src", glorot, (x.shape[-1], H * C))
         x, w = nn.dtypes.promote_dtype(x, w, dtype=self.dtype)
-        h = x @ w                                   # [G, K, C]
-        att_src = self.param("att_src", glorot, (1, 1, self.features))
-        att_dst = self.param("att_dst", glorot, (1, 1, self.features))
+        G, K = x.shape[0], x.shape[1]
+        h = (x @ w).reshape(G, K, H, C)             # [G, K, H, C]
+        att_src = self.param("att_src", glorot, (1, 1, H, C))
+        att_dst = self.param("att_dst", glorot, (1, 1, H, C))
         att_src = att_src.astype(h.dtype)
         att_dst = att_dst.astype(h.dtype)
-        a_s = jnp.sum(h * att_src, axis=-1)         # [G, K]
+        a_s = jnp.sum(h * att_src, axis=-1)         # [G, K, H]
         a_d = jnp.sum(h * att_dst, axis=-1)
-        e = a_s[:, None, :] + a_d[:, :, None]       # [G, dst, src]
+        e = a_s[:, None, :, :] + a_d[:, :, None, :]  # [G, dst, src, H]
         e = nn.leaky_relu(e, self.negative_slope)
-        conn = adj > 0
+        conn = (adj > 0)[..., None]
         e = jnp.where(conn, e, -jnp.inf)
-        m = jnp.max(e, axis=-1, keepdims=True)
+        m = jnp.max(e, axis=2, keepdims=True)
         m = jnp.where(jnp.isfinite(m), m, 0.0)
         ex = jnp.where(conn, jnp.exp(e - m), 0.0)
-        denom = jnp.maximum(jnp.sum(ex, axis=-1, keepdims=True), 1e-16)
-        alpha = ex / denom
-        out = jnp.einsum("gij,gjc->gic", alpha, h)
-        b = self.param("bias", zeros, (self.features,))
+        denom = jnp.maximum(jnp.sum(ex, axis=2, keepdims=True), 1e-16)
+        alpha = ex / denom                          # [G, dst, src, H]
+        out = jnp.einsum("gijh,gjhc->gihc", alpha, h).reshape(G, K, H * C)
+        b = self.param("bias", zeros, (H * C,))
         return out + b.astype(out.dtype)
 
 
@@ -157,6 +161,7 @@ class HSCN(nn.Module):
     num_classes: int
     num_layers: int
     num_clusters: int
+    num_heads: int = 1               # GAT relation slots; hidden % heads == 0
     vv_pattern: str = "triangular"   # reference parity (quirk #9)
     index_shift: bool = False        # quirk #8 off by default
     readout: str = "mean"
@@ -169,6 +174,10 @@ class HSCN(nn.Module):
         G = batch.num_graphs_padded
         N = batch.num_nodes_padded
         act = ACTIVATIONS[self.activation.lower()]
+        # Multi-head GAT slots: H heads of hidden/H channels, concatenated
+        # back to hidden (PyG concat=True convention, as in MPNNConfig).
+        gat_heads = self.num_heads
+        gat_feat = self.hidden_channels // gat_heads
 
         from graph_hscn_tpu.ops.dense import resolve_dense_adj
         dense_adj = resolve_dense_adj(batch)
@@ -181,7 +190,7 @@ class HSCN(nn.Module):
             # local <- local (reference hscn.py:121, add_self_loops=False;
             # conv type per config — GCN default, GAT supported).
             if self.ll_conv.upper() == "GAT":
-                ll = GATConv(features=self.hidden_channels, heads=1,
+                ll = GATConv(features=gat_feat, heads=gat_heads,
                              add_self_loops=False, dtype=self.dtype)
                 x_l_new = ll(x_l, batch.senders, batch.receivers,
                              batch.edge_mask, num_nodes=N,
@@ -196,16 +205,19 @@ class HSCN(nn.Module):
             # virtual <- local (bipartite GAT — the only lazily-inferable
             # bipartite conv, reference's "must be GAT" slot,
             # config.py:80).
-            lv = GATConv(features=self.hidden_channels, heads=1,
+            lv = GATConv(features=gat_feat, heads=gat_heads,
                          add_self_loops=False, dtype=self.dtype)
             lv_out = lv(x_l, jnp.arange(N, dtype=jnp.int32), vid,
                         batch.node_mask, x_dst=x_v, num_dst_nodes=G * K)
 
             # virtual <- virtual (dense batched conv on the K x K pattern;
             # conv type per config).
-            vv_cls = (DenseGAT if self.vv_conv.upper() == "GAT"
-                      else DenseGCN)
-            vv = vv_cls(features=self.hidden_channels, dtype=self.dtype)
+            if self.vv_conv.upper() == "GAT":
+                vv = DenseGAT(features=gat_feat, heads=gat_heads,
+                              dtype=self.dtype)
+            else:
+                vv = DenseGCN(features=self.hidden_channels,
+                              dtype=self.dtype)
             vv_out = vv(x_v.reshape(G, K, -1), adj_vv).reshape(G * K, -1)
 
             # HeteroConv aggr="sum" + per-type ReLU (hscn.py:97,110).
@@ -236,6 +248,7 @@ def build_hscn(model_cfg, num_classes: int, compat_triangular: bool = True,
         num_classes=num_classes,
         num_layers=model_cfg.num_layers,
         num_clusters=model_cfg.num_clusters,
+        num_heads=getattr(model_cfg, "num_heads", 1),
         vv_pattern="triangular" if compat_triangular else "clique",
         index_shift=compat_index_shift,
         readout=readout,

@@ -165,3 +165,48 @@ def test_hscn_end_to_end():
                  optim_cfg, training_cfg, logger)
     assert result.history[-1]["train_loss"] < result.history[0]["train_loss"]
     assert np.isfinite(result.history[-1]["train_loss"])
+
+
+def test_hscn_multi_head():
+    """num_heads > 1 on the GAT relation slots: output keeps hidden width
+    (H heads of hidden/H concatenated), grads finite, and the attention
+    params carry the multi-head shapes."""
+    data_cfg = DataConfig(dataset_name="peptides_func", batch_size=4,
+                          num_graphs=12)
+    dm = DataModule.from_config(data_cfg)
+    rng = np.random.default_rng(7)
+    dm.graphs = [g.replace(cluster=rng.integers(0, 4, size=g.num_nodes)
+                           .astype(np.int32)) for g in dm.graphs]
+    cfg = HSCNConfig(activation="relu", num_clusters=4, num_layers=2,
+                     hidden_channels=16, num_heads=4, ll_conv_type="GAT",
+                     vv_conv_type="GAT")
+    model = build_hscn(cfg, dm.num_classes)
+    batch = dm.example_batch()
+    params = model.init(jax.random.PRNGKey(0), batch, train=False)
+    # lv GAT attention params are [1, H, C] with H=4, C=hidden/4.
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    att_shapes = {tuple(v.shape) for k, v in flat
+                  if "att_src" in "/".join(str(p) for p in k)}
+    assert (1, 4, 4) in att_shapes          # GATConv slots
+    assert (1, 1, 4, 4) in att_shapes       # DenseGAT vv slot
+    out = np.asarray(model.apply(params, batch, train=False))
+    assert out.shape[-1] == dm.num_classes
+    assert np.isfinite(out).all()
+
+    def loss(p):
+        o = model.apply(p, batch, train=False)
+        return jnp.sum(jnp.where(batch.graph_mask[:, None], o, 0.0) ** 2)
+
+    grads = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+    # At least one attention grad is non-zero (heads actually in the path).
+    att_grads = [v for k, v in jax.tree_util.tree_flatten_with_path(grads)[0]
+                 if "att_src" in "/".join(str(p) for p in k)]
+    assert any(float(jnp.abs(g).sum()) > 0 for g in att_grads)
+
+
+def test_hscn_heads_validation():
+    import pytest
+    with pytest.raises(ValueError):
+        HSCNConfig(hidden_channels=10, num_heads=4)
