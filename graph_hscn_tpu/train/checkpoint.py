@@ -6,11 +6,21 @@ SURVEY §5 "checkpoint/resume: absent") — this is a new capability:
   - ``save_latest`` : periodic resumable snapshot (params + opt state +
                       step + rng)
   - ``restore``     : rebuild a TrainState pytree
+
+Writes are asynchronous by default: ``_save`` does one batched
+device→host readback (``jax.device_get``) on the caller's thread, then
+hands the host payload to a background thread for the orbax write +
+meta sidecar, so the training loop resumes stepping immediately instead
+of stalling on disk I/O (matters on the giant-graph full-batch paths
+where a snapshot write rivals the 45-90 ms step time).  At most one
+write is in flight; every read/save entry point fences on it first, and
+a background failure re-raises at the next fence.
 """
 
 from __future__ import annotations
 
 import json
+import threading
 from pathlib import Path
 
 import jax
@@ -21,23 +31,55 @@ from graph_hscn_tpu.train.loop import TrainState
 
 
 class Checkpointer:
-    def __init__(self, directory: str | Path):
+    def __init__(self, directory: str | Path, async_writes: bool = True):
         self.dir = Path(directory).absolute()
         self.dir.mkdir(parents=True, exist_ok=True)
         self._ckptr = ocp.StandardCheckpointer()
+        self.async_writes = async_writes
+        self._pending: threading.Thread | None = None
+        self._error: BaseException | None = None
+
+    def wait(self) -> None:
+        """Block until any in-flight write has landed; re-raise its error."""
+        if self._pending is not None:
+            self._pending.join()
+            self._pending = None
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
 
     def _save(self, name: str, state: TrainState, meta: dict) -> None:
+        self.wait()   # serialize: one write in flight, best/latest ordered
         path = self.dir / name
-        payload = {
-            "params": jax.tree_util.tree_map(np.asarray, state.params),
-            "opt_state": jax.tree_util.tree_map(np.asarray, state.opt_state),
-            "step": np.asarray(state.step),
-            "rng": np.asarray(state.rng),
-        }
-        self._ckptr.save(path, payload, force=True)
-        self._ckptr.wait_until_finished()
-        # Metadata as a sidecar (keeps the orbax tree template uniform).
-        (self.dir / f"{name}.meta.json").write_text(json.dumps(meta))
+        # Batched device->host readback (synchronous — the cheap part);
+        # np.asarray afterwards only coerces scalar leaves.
+        host = jax.device_get({
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "step": state.step,
+            "rng": state.rng,
+        })
+        payload = jax.tree_util.tree_map(np.asarray, host)
+
+        def write():
+            try:
+                self._ckptr.save(path, payload, force=True)
+                self._ckptr.wait_until_finished()
+                # Metadata as a sidecar (keeps the orbax tree template
+                # uniform).  Written last: its presence marks a complete
+                # snapshot.
+                (self.dir / f"{name}.meta.json").write_text(json.dumps(meta))
+            except BaseException as e:    # surfaced at the next fence
+                self._error = e
+
+        if self.async_writes:
+            t = threading.Thread(target=write, name=f"ckpt-write-{name}",
+                                 daemon=True)
+            t.start()
+            self._pending = t
+        else:
+            write()
+            self.wait()
 
     def save_best(self, state: TrainState, epoch: int, val_loss: float
                   ) -> None:
@@ -51,6 +93,7 @@ class Checkpointer:
                 ) -> tuple[TrainState, dict]:
         """Restore into the structure of ``example_state`` (from
         init_state on the same model/optimizer)."""
+        self.wait()
         path = self.dir / name
         template = {
             "params": jax.tree_util.tree_map(np.asarray,
@@ -69,10 +112,12 @@ class Checkpointer:
         return state, meta
 
     def has(self, name: str) -> bool:
+        self.wait()
         return (self.dir / name).exists()
 
     def meta(self, name: str) -> dict:
         """Sidecar metadata of a snapshot without restoring its arrays."""
+        self.wait()
         meta_path = self.dir / f"{name}.meta.json"
         return json.loads(meta_path.read_text()) if meta_path.exists() \
             else {}

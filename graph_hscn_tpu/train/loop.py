@@ -220,6 +220,8 @@ def run_fit_loop(training_cfg, logger, checkpointer, train_epoch, evaluate,
                     % training_cfg.checkpoint_every == 0):
                 checkpointer.save_latest(get_state(), epoch)
 
+    if checkpointer is not None and hasattr(checkpointer, "wait"):
+        checkpointer.wait()   # land any in-flight async snapshot write
     return FitResult(state=get_state(), best_val_loss=best_loss,
                      history=history, stopped_early=stopped,
                      epochs_run=epochs_run)

@@ -167,3 +167,42 @@ def test_predict_export(tmp_path):
     z2 = np.load(out2)
     assert np.isfinite(z2["test_scores"]).all()
     assert z2["val_scores"].shape[1] == 21
+
+
+def test_async_write_roundtrip(tmp_path):
+    """Async (default) writes land identically to sync writes, reads fence
+    on the in-flight write, and a background failure surfaces at the next
+    fence."""
+    from graph_hscn_tpu.train.loop import TrainState
+    rng = np.random.default_rng(0)
+    state = TrainState(
+        params={"w": rng.normal(size=(4, 3)).astype(np.float32)},
+        opt_state={"m": np.zeros((4, 3), np.float32)},
+        step=np.int64(7), rng=jax.random.PRNGKey(1))
+
+    ck_async = Checkpointer(tmp_path / "a")          # async by default
+    ck_async.save_latest(state, epoch=3)
+    # has()/meta()/restore() fence on the pending write.
+    assert ck_async.has("latest")
+    assert ck_async.meta("latest") == {"epoch": 3}
+    restored, meta = ck_async.restore("latest", state)
+    np.testing.assert_array_equal(restored.params["w"], state.params["w"])
+    assert int(restored.step) == 7 and meta["epoch"] == 3
+
+    ck_sync = Checkpointer(tmp_path / "s", async_writes=False)
+    ck_sync.save_latest(state, epoch=3)
+    r2, _ = ck_sync.restore("latest", state)
+    np.testing.assert_array_equal(np.asarray(r2.rng), np.asarray(restored.rng))
+
+    # Back-to-back saves serialize (latest meta wins deterministically).
+    for epoch in range(4, 8):
+        ck_async.save_latest(state, epoch=epoch)
+    assert ck_async.meta("latest") == {"epoch": 7}
+
+    # A failing background write surfaces at the next fence.
+    import pytest
+    ck_bad = Checkpointer(tmp_path / "b")
+    ck_bad._ckptr = None          # forces AttributeError inside the thread
+    ck_bad.save_latest(state, epoch=0)
+    with pytest.raises(BaseException):
+        ck_bad.wait()
