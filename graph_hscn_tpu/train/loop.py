@@ -72,9 +72,17 @@ def is_eval_epoch(epoch: int, max_epochs: int, eval_period: int) -> bool:
 
 def make_train_step(model, tx, loss_fn: str, node_level: bool = False,
                     compat_sigmoid_score: bool = False,
-                    extra_loss_fn: Callable | None = None):
+                    extra_loss_fn: Callable | None = None,
+                    donate: bool = False):
     """Build the jitted train step.  ``extra_loss_fn(params, batch) ->
-    scalar`` lets callers fold in auxiliary losses (e.g. MinCUT)."""
+    scalar`` lets callers fold in auxiliary losses (e.g. MinCUT).
+
+    ``donate=True`` donates the incoming TrainState so XLA updates
+    params/optimizer buffers in place (no per-step copy of the full
+    state in HBM) — use it when the caller discards the old state each
+    step, as ``fit`` does.  Keep the default for oracle tests that step
+    twice from shared param buffers (donation would invalidate them on
+    TPU; CPU ignores it)."""
 
     def loss_and_score(params, batch: GraphBatch, rng, train: bool):
         variables = {"params": params}
@@ -94,7 +102,7 @@ def make_train_step(model, tx, loss_fn: str, node_level: bool = False,
             loss = loss + extra_loss_fn(params, batch)
         return loss, (score, true, mask)
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state: TrainState, batch: GraphBatch):
         rng, step_rng = jax.random.split(state.rng)
         (loss, (score, true, mask)), grads = jax.value_and_grad(
@@ -366,9 +374,11 @@ def fit(model, train_batches_fn: Callable[[int], Iterable[GraphBatch]],
     state = init_state(model, tx, example_batch, seed=training_cfg.seed)
     state, start_epoch, best_loss = _maybe_resume(state, checkpointer,
                                                   logger)
+    # fit discards the old state every step -> donate it: params/opt
+    # buffers are updated in place instead of copied per step.
     train_step, eval_step = make_train_step(
         model, tx, training_cfg.loss_fn, node_level=node_level,
-        compat_sigmoid_score=compat_sigmoid_score)
+        compat_sigmoid_score=compat_sigmoid_score, donate=True)
 
     def _feed(batches):
         if shard_batch is not None:
