@@ -277,8 +277,8 @@ def pack_batch(
 
     spmm = None
     if with_spmm_plan:
-        from graph_hscn_tpu.ops.pallas.spmm_kernel import spmm_plan
-        spmm = spmm_plan(senders, receivers, edge_mask, N)
+        from graph_hscn_tpu.ops.pallas.spmm_kernel import spmm_plan_auto
+        spmm = spmm_plan_auto(senders, receivers, edge_mask, N)
 
     return GraphBatch(
         node_feat=node_feat, senders=senders, receivers=receivers,

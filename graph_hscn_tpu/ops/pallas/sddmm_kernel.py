@@ -30,8 +30,10 @@ from graph_hscn_tpu.ops.pallas.spmm_kernel import (WINDOW, SpmmPlanArrays,
 def _sddmm_kernel(ws_ref, wr_ref, snd_rel_ref, rcv_rel_ref, hs_ref, hd_ref,
                   out_ref):
     t = pl.program_id(0)
-    ws = ws_ref[t]
-    wr = wr_ref[t]
+    # Plan starts are 32-aligned; (//32)*32 makes that structurally
+    # provable so Mosaic accepts sub-32-bit dtypes (bf16 sublane=16).
+    ws = (ws_ref[t] // 32) * 32
+    wr = (wr_ref[t] // 32) * 32
     snd_rel = snd_rel_ref[0, 0]
     rcv_rel = rcv_rel_ref[0, 0]
     te = snd_rel.shape[0]
@@ -184,7 +186,7 @@ def _segment_reduce_kernel(wr_ref, rcv_rel_ref, msgs_ref, out_ref):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    wr = wr_ref[t]
+    wr = (wr_ref[t] // 32) * 32     # 32-aligned in the plan (see spmm)
     rcv_rel = rcv_rel_ref[0, 0]
     te = rcv_rel.shape[0]
     msgs = msgs_ref[0]                                     # [TE, F]

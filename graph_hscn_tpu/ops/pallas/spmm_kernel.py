@@ -97,6 +97,12 @@ def _windows(dst_vals, src_vals, mask, num_nodes, te):
     ws = np.where(m.any(1), sv_m.min(1), 0).astype(np.int32)
     wr = np.minimum(wr, max(num_nodes - WINDOW, 0)).astype(np.int32)
     ws = np.minimum(ws, max(num_nodes - WINDOW, 0)).astype(np.int32)
+    # Sublane-align the dynamic window starts: Mosaic requires vector
+    # loads/stores at indices provably divisible by the tile's sublane
+    # count (8 for f32, 16 for bf16); 32 covers every dtype.  Aligning
+    # down widens rel offsets by < 32; the span check below still guards.
+    wr = (wr // 32) * 32
+    ws = (ws // 32) * 32
     rcv_rel = np.where(m, dv - wr[:, None], WINDOW).astype(np.int32)
     snd_rel = np.where(m, sv - ws[:, None], WINDOW).astype(np.int32)
     if ((rcv_rel != WINDOW) & ((rcv_rel < 0) | (rcv_rel >= WINDOW))).any():
@@ -138,6 +144,25 @@ def spmm_plan(senders: np.ndarray, receivers: np.ndarray,
         t_order=order)
 
 
+def spmm_plan_auto(senders, receivers, edge_mask, num_nodes,
+                   tile_sizes=(1024, 512, 256)):
+    """Plan with the widest feasible edge tile.  Wider tiles amortize
+    per-grid-step overhead (measured on-chip: 932 us vs 1058 us fwd+bwd at
+    TE=1024 vs 256 on a 32x150/F=128 molecular batch); smaller tiles span
+    fewer nodes so they are strictly more often feasible — descend until
+    one fits, None if even the narrowest violates the window constraint."""
+    E = np.asarray(senders).shape[0]
+    for i, te in enumerate(tile_sizes):
+        last = i == len(tile_sizes) - 1
+        if te > E and not last:
+            continue    # don't pad a tiny batch's edges up several-fold
+        plan = spmm_plan(senders, receivers, edge_mask, num_nodes,
+                         tile_edges=te)
+        if plan is not None:
+            return plan
+    return None
+
+
 def _spmm_kernel(ws_ref, wr_ref, snd_rel_ref, rcv_rel_ref, w_ref, x_ref,
                  out_ref):
     t = pl.program_id(0)
@@ -146,8 +171,10 @@ def _spmm_kernel(ws_ref, wr_ref, snd_rel_ref, rcv_rel_ref, w_ref, x_ref,
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    ws = ws_ref[t]
-    wr = wr_ref[t]
+    # Plan starts are 32-aligned; the (//32)*32 form makes that divisible
+    # structurally so Mosaic accepts sub-32-bit dtypes (bf16 sublane=16).
+    ws = (ws_ref[t] // 32) * 32
+    wr = (wr_ref[t] // 32) * 32
     x_win = x_ref[pl.ds(ws, WINDOW), :]                       # [WS, F]
 
     snd_rel = snd_rel_ref[0, 0]                               # [TE]
@@ -156,8 +183,10 @@ def _spmm_kernel(ws_ref, wr_ref, snd_rel_ref, rcv_rel_ref, w_ref, x_ref,
     te = snd_rel.shape[0]
 
     iota = jax.lax.broadcasted_iota(jnp.int32, (te, WINDOW), 1)
-    g_onehot = (snd_rel[:, None] == iota).astype(x_ref.dtype)
-    g_onehot = g_onehot * w[:, None]
+    # Weighted one-hot built in f32 (Mosaic only supports minor-dim
+    # broadcast insertion for 32-bit types), cast to the MXU input dtype.
+    g_onehot = (snd_rel[:, None] == iota).astype(jnp.float32)
+    g_onehot = (g_onehot * w[:, None]).astype(x_ref.dtype)
     msgs = jax.lax.dot_general(
         g_onehot, x_win, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -165,7 +194,7 @@ def _spmm_kernel(ws_ref, wr_ref, snd_rel_ref, rcv_rel_ref, w_ref, x_ref,
 
     p_onehot = (rcv_rel[:, None] == iota).astype(x_ref.dtype)
     partial = jax.lax.dot_general(
-        p_onehot, msgs, (((0,), (0,)), ((), ())),
+        p_onehot, msgs.astype(x_ref.dtype), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=_PRECISION)                                 # [WR, F]
 
@@ -182,7 +211,7 @@ def _spmm_call(x, w, ws, wr, snd_rel, rcv_rel, num_nodes: int,
         x = jnp.pad(x, ((0, n_pad - x.shape[0]), (0, 0)))
     # [T, 1, TE] layout: TPU requires the last two block dims to be
     # (equal-to-array, divisible by 128); a (1, TE) int32 block is not.
-    w = w.reshape(T, 1, te).astype(x.dtype)
+    w = w.reshape(T, 1, te).astype(jnp.float32)
     snd_rel3 = snd_rel.reshape(T, 1, te)
     rcv_rel3 = rcv_rel.reshape(T, 1, te)
     tile_spec = pl.BlockSpec((1, 1, te), lambda t, *_: (t, 0, 0),
@@ -242,16 +271,18 @@ def _spmm_hbm_kernel(ws_ref, wr_ref, snd_rel_ref, rcv_rel_ref, w_ref,
     te = snd_rel.shape[0]
 
     iota = jax.lax.broadcasted_iota(jnp.int32, (te, WINDOW), 1)
-    g_onehot = (snd_rel[:, None] == iota).astype(x_win.dtype) * w[:, None]
+    g_onehot = (snd_rel[:, None] == iota).astype(jnp.float32)
+    g_onehot = (g_onehot * w[:, None]).astype(x_win.dtype)
     msgs = jax.lax.dot_general(
         g_onehot, x_win, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=_PRECISION)
     p_onehot = (rcv_rel[:, None] == iota).astype(x_win.dtype)
     partial = jax.lax.dot_general(
-        p_onehot, msgs, (((0,), (0,)), ((), ())),
+        p_onehot, msgs.astype(x_win.dtype), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=_PRECISION)
-    acc = out_ref[pl.ds(wr_ref[t], WINDOW), :]
-    out_ref[pl.ds(wr_ref[t], WINDOW), :] = acc + partial
+    wr = (wr_ref[t] // 32) * 32   # 32-aligned in the plan
+    acc = out_ref[pl.ds(wr, WINDOW), :]
+    out_ref[pl.ds(wr, WINDOW), :] = acc + partial
 
 
 def _spmm_hbm_call(x, w, ws, wr, snd_rel, rcv_rel, num_nodes: int,
@@ -261,7 +292,7 @@ def _spmm_hbm_call(x, w, ws, wr, snd_rel, rcv_rel, num_nodes: int,
     n_pad = max(num_nodes, WINDOW)
     if x.shape[0] < n_pad:
         x = jnp.pad(x, ((0, n_pad - x.shape[0]), (0, 0)))
-    w = w.reshape(T, 1, te).astype(x.dtype)
+    w = w.reshape(T, 1, te).astype(jnp.float32)
     tile_spec = pl.BlockSpec((1, 1, te), lambda t, *_: (t, 0, 0),
                              memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -160,6 +160,11 @@ int spmm_windows(
     }
     int32_t ws = any ? std::min(smin, std::max(num_nodes - window, 0)) : 0;
     int32_t wr = any ? std::min(rmin, std::max(num_nodes - window, 0)) : 0;
+    // Sublane-align the window starts (the Pallas kernels assume starts
+    // divisible by 32 so Mosaic can prove vector load/store alignment for
+    // every dtype; see ops/pallas/spmm_kernel.py:_windows).
+    ws = (ws / 32) * 32;
+    wr = (wr / 32) * 32;
     out_ws[t] = ws;
     out_wr[t] = wr;
     for (int32_t k = 0; k < tile_edges; ++k) {
