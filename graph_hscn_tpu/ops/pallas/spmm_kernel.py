@@ -353,7 +353,8 @@ def spmm_pallas_hbm(x, plan: SpmmPlanArrays, edge_weight=None,
                             plan.t_rcv_rel, n, interpret)
         from graph_hscn_tpu.ops.pallas.sddmm_kernel import sddmm_pallas_hbm
         dw = sddmm_pallas_hbm(x, g, plan, interpret=interpret)
-        return dx, dw
+        # Kernels accumulate f32; cotangents must match primal dtypes.
+        return dx.astype(x.dtype), dw.astype(w.dtype)
 
     _spmm.defvjp(fwd, bwd)
     return _spmm(x, w)
@@ -396,7 +397,8 @@ def spmm_pallas(x, plan: SpmmPlanArrays, edge_weight=None,
         # (h_src = x, h_dst = g); masked slots return 0.
         from graph_hscn_tpu.ops.pallas.sddmm_kernel import sddmm_pallas
         dw = sddmm_pallas(x, g, plan, interpret=interpret)
-        return dx, dw
+        # Kernels accumulate f32; cotangents must match primal dtypes.
+        return dx.astype(x.dtype), dw.astype(w.dtype)
 
     _spmm.defvjp(fwd, bwd)
     return _spmm(x, w)

@@ -55,7 +55,10 @@ def _make_local_agg(sp, snd_loc, rcv_loc, nb, use_spmm_plan):
         sp_d = jax.tree_util.tree_map(lambda a: a[0], sp[0])
 
         def agg(feats, w):
-            return spmm_pallas(feats, sp_d, edge_weight=w, num_nodes=nb)
+            out = spmm_pallas(feats, sp_d, edge_weight=w, num_nodes=nb)
+            # Kernel accumulates in f32; rejoin the caller's compute
+            # dtype so bf16 mixed precision composes with the plan path.
+            return out.astype(feats.dtype)
         return agg
 
     def agg(feats, w):
@@ -103,11 +106,9 @@ def make_sharded_gcn(mesh: Mesh, num_layers: int, axis: str = "data",
     ``dtype`` (e.g. jnp.bfloat16): mixed-precision compute — params stay
     f32 master copies, features/halos/aggregations run in ``dtype``
     (HALVING the per-layer all_to_all payload), logits return f32.
-    Mutually exclusive with ``use_spmm_plan`` (the VMEM kernel is f32).
+    Composes with ``use_spmm_plan``: the kernel takes bf16 operands
+    (f32 accumulation on the MXU) and the aggregation rejoins ``dtype``.
     """
-    assert not (use_spmm_plan and dtype is not None), (
-        "spmm_backend pallas and compute_dtype bfloat16 are mutually "
-        "exclusive on the edge-partitioned path")
     n_extra = 1 if use_spmm_plan else 0
     shard_axes = shard_axes if shard_axes is not None else axis
     grad_axes = grad_axes if grad_axes is not None else axis
@@ -270,7 +271,7 @@ def fit_edge_partitioned(dm, mesh: Mesh, mpnn_cfg, optim_cfg, training_cfg,
         plan = {k: jnp.asarray(v) for k, v in plan_np.items()
                 if k not in ("block_size", "halo_width",
                              "eidx_loc", "eidx_hal")}
-        if conv in ("gcn", "gat") and dtype is None and pallas_enabled():
+        if conv in ("gcn", "gat") and pallas_enabled():
             from graph_hscn_tpu.parallel.edge_partition import \
                 local_spmm_plans
             sp = local_spmm_plans(plan_np, plan_np["block_size"])
@@ -305,7 +306,9 @@ def fit_edge_partitioned(dm, mesh: Mesh, mpnn_cfg, optim_cfg, training_cfg,
     if dtype is not None:
         logger.info("[edge-partition] mixed precision: bf16 compute + "
                     "halo payloads, f32 params/logits.")
-    use_spmm_plan = conv in ("gcn", "gat") and dtype is None and all(
+    # bf16 composes with the plan path (kernel takes bf16 operands with
+    # f32 MXU accumulation) — no dtype restriction.
+    use_spmm_plan = conv in ("gcn", "gat") and all(
         "spmm_loc" in s[1] for s in splits.values())
     if not use_spmm_plan:
         for s in splits.values():

@@ -128,3 +128,36 @@ def test_sharded_local_agg_pallas_matches_segment_sum(family):
                     jax.tree_util.tree_leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                    rtol=5e-4, atol=5e-4)
+
+
+def test_sharded_gcn_bf16_composes_with_plan():
+    """bf16 mixed precision + Pallas plan path on the sharded GCN: runs,
+    returns f32 logits, and tracks the f32 plan path loosely (bf16
+    operands, f32 MXU accumulation)."""
+    D = 8
+    b, plan, plan_sp, n = _sharded_setup(D)
+    mesh = make_mesh(("data",), (D,))
+    dims = [14, 16, 21]
+    params = init_sharded_gcn_params(jax.random.PRNGKey(0), dims)
+    fwd_f32, vg_f32 = make_sharded_gcn(mesh, num_layers=2,
+                                       use_spmm_plan=True)
+    fwd_bf16, vg_bf16 = make_sharded_gcn(mesh, num_layers=2,
+                                         use_spmm_plan=True,
+                                         dtype=jnp.bfloat16)
+
+    node_ok = np.asarray(b.node_mask) & (np.asarray(b.node_y).sum(1) > 0)
+    xb, yb, okb = shard_node_blocks(
+        mesh, D, np.asarray(b.node_feat), np.asarray(b.node_y), node_ok)
+
+    out32 = np.asarray(fwd_f32(params, xb, plan_sp)).reshape(n, -1)
+    out16 = np.asarray(fwd_bf16(params, xb, plan_sp)).reshape(n, -1)
+    assert out16.dtype == np.float32
+    mask = np.asarray(b.node_mask)
+    scale = np.abs(out32[mask]).max() + 1e-6
+    assert np.abs(out16[mask] - out32[mask]).max() / scale < 0.1
+
+    l16, g16 = vg_bf16(params, xb, plan_sp, yb, okb)
+    assert np.isfinite(float(l16))
+    for g in jax.tree_util.tree_leaves(g16):
+        assert np.asarray(g).dtype == np.float32
+        assert np.isfinite(np.asarray(g)).all()
