@@ -77,7 +77,7 @@ class MPNNConfig:
         _check(self.hidden_channels >= 1, "hidden_channels must be >= 1")
         if self.conv_type.lower() in ("gps", "gat"):
             _check(self.hidden_channels % self.num_heads == 0,
-                   "hidden_channels must divide evenly into num_heads")
+                   "hidden_channels must be divisible by num_heads")
             _check(self.gps_local_conv.lower() in ("gcn", "gatedgcn"),
                    f"unknown gps_local_conv {self.gps_local_conv}")
 
@@ -105,7 +105,7 @@ class HSCNConfig:
         _check(self.num_clusters >= 2, "num_clusters must be >= 2")
         _check(self.num_heads >= 1, "num_heads must be >= 1")
         _check(self.hidden_channels % self.num_heads == 0,
-               "hidden_channels must divide evenly into num_heads")
+               "hidden_channels must be divisible by num_heads")
 
 
 @dataclasses.dataclass

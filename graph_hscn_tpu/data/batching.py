@@ -159,6 +159,7 @@ def pack_batch(
     sort_edges_by_receiver: bool = True,
     with_spmm_plan: bool = False,
     slot_nodes: int | None = None,
+    spmm_tile: int | None = None,
 ) -> GraphBatch:
     """Flatten + pad a list of graphs into one GraphBatch (numpy arrays).
 
@@ -277,8 +278,17 @@ def pack_batch(
 
     spmm = None
     if with_spmm_plan:
-        from graph_hscn_tpu.ops.pallas.spmm_kernel import spmm_plan_auto
-        spmm = spmm_plan_auto(senders, receivers, edge_mask, N)
+        from graph_hscn_tpu.ops.pallas.spmm_kernel import (spmm_plan,
+                                                           spmm_plan_auto)
+        if spmm_tile is not None:
+            # Fixed tile width (pinned per dataset/bucket by iter_batches):
+            # keeps the plan array shapes identical across every batch of a
+            # run so the jitted train step never retraces on a tile flip —
+            # the remote compile service makes retraces expensive here.
+            spmm = spmm_plan(senders, receivers, edge_mask, N,
+                             tile_edges=spmm_tile)
+        else:
+            spmm = spmm_plan_auto(senders, receivers, edge_mask, N)
 
     return GraphBatch(
         node_feat=node_feat, senders=senders, receivers=receivers,
@@ -314,12 +324,36 @@ def iter_batches(
     buckets = (tuple(budget) if isinstance(budget, (tuple, list))
                else (budget,))
     largest = buckets[-1]
+    # Tile-width pinning: spmm_plan_auto picks the widest feasible edge
+    # tile per batch, and with shuffled compositions that width can flip
+    # 1024/512/256 across batches, changing the plan array shapes inside
+    # GraphBatch and forcing a retrace of the jitted step each time.  Pin
+    # the width per bucket to the first batch's choice; if a later batch
+    # can't satisfy it, narrow the pin (monotone — at most 2 extra shapes
+    # per run instead of unbounded flips).
+    pinned: dict[PadBudget, int] = {}
 
     def emit(group: list[GraphData], n: int, e: int) -> GraphBatch:
         b = (largest if len(buckets) == 1
              else pick_bucket(buckets, n, e, len(group)))
-        return pack_batch(group, b, with_spmm_plan=with_spmm_plan,
-                          slot_nodes=slot_nodes)
+        if not with_spmm_plan:
+            return pack_batch(group, b, slot_nodes=slot_nodes)
+        tile = pinned.get(b)
+        batch = pack_batch(group, b, with_spmm_plan=True,
+                           slot_nodes=slot_nodes, spmm_tile=tile)
+        if batch.spmm is None and tile is not None:
+            # Pinned width infeasible for this composition: re-probe with
+            # widths at or below the pin so the pin only ever narrows.
+            from graph_hscn_tpu.ops.pallas.spmm_kernel import spmm_plan_auto
+            narrower = tuple(t for t in (1024, 512, 256) if t <= tile)
+            plan = spmm_plan_auto(batch.senders, batch.receivers,
+                                  batch.edge_mask, batch.node_feat.shape[0],
+                                  tile_sizes=narrower)
+            if plan is not None:
+                batch = dataclasses.replace(batch, spmm=plan)
+        if batch.spmm is not None:
+            pinned[b] = batch.spmm.snd_rel.shape[1]
+        return batch
 
     idx = np.arange(len(graphs))
     if shuffle:

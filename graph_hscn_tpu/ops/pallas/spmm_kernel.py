@@ -103,12 +103,19 @@ def _windows(dst_vals, src_vals, mask, num_nodes, te):
     # down widens rel offsets by < 32; the span check below still guards.
     wr = (wr // 32) * 32
     ws = (ws // 32) * 32
-    rcv_rel = np.where(m, dv - wr[:, None], WINDOW).astype(np.int32)
-    snd_rel = np.where(m, sv - ws[:, None], WINDOW).astype(np.int32)
-    if ((rcv_rel != WINDOW) & ((rcv_rel < 0) | (rcv_rel >= WINDOW))).any():
+    # Validate spans against the edge MASK, not the sentinel value: a real
+    # edge with offset exactly == WINDOW would otherwise collide with the
+    # masked-slot sentinel, pass the feasibility check, and be silently
+    # dropped by the kernel (its one-hot row is all zeros).  The native
+    # planner (native/batcher.cpp spmm_windows) rejects this same case.
+    rcv_off = dv - wr[:, None]
+    snd_off = sv - ws[:, None]
+    if (m & ((rcv_off < 0) | (rcv_off >= WINDOW))).any():
         return None
-    if ((snd_rel != WINDOW) & ((snd_rel < 0) | (snd_rel >= WINDOW))).any():
+    if (m & ((snd_off < 0) | (snd_off >= WINDOW))).any():
         return None
+    rcv_rel = np.where(m, rcv_off, WINDOW).astype(np.int32)
+    snd_rel = np.where(m, snd_off, WINDOW).astype(np.int32)
     return ws, wr, snd_rel, rcv_rel
 
 

@@ -112,8 +112,13 @@ class Checkpointer:
         return state, meta
 
     def has(self, name: str) -> bool:
+        """A snapshot counts as present only when its meta sidecar exists —
+        the sidecar is written last and marks a COMPLETE snapshot.  A crash
+        between orbax finalize and the meta write must not let resume
+        restore epoch-N weights paired with a stale/absent epoch."""
         self.wait()
-        return (self.dir / name).exists()
+        return ((self.dir / name).exists()
+                and (self.dir / f"{name}.meta.json").exists())
 
     def meta(self, name: str) -> dict:
         """Sidecar metadata of a snapshot without restoring its arrays."""

@@ -185,6 +185,28 @@ def run_fit_loop(training_cfg, logger, checkpointer, train_epoch, evaluate,
     evaluate(split)    -> (loss, perf) for split in ("val", "test")
     get_state()        -> checkpointable TrainState.
     """
+    try:
+        return _fit_loop_body(training_cfg, logger, checkpointer,
+                              train_epoch, evaluate, get_state,
+                              start_epoch, best_loss)
+    except BaseException:
+        # Fence in-flight async snapshot writes even when an epoch raises:
+        # a crash mid-run must not leave an orbax tree whose meta sidecar
+        # was never written (has() requires the sidecar, so such a snapshot
+        # would be invisible to resume — worse, without this fence the
+        # write could still be mid-flight at process exit).  The original
+        # exception propagates; a concurrent write error is secondary.
+        if checkpointer is not None and hasattr(checkpointer, "wait"):
+            try:
+                checkpointer.wait()
+            except Exception:
+                pass
+        raise
+
+
+def _fit_loop_body(training_cfg, logger, checkpointer, train_epoch,
+                   evaluate, get_state, start_epoch: int,
+                   best_loss: float) -> "FitResult":
     num_improvement = 0
     history = []
     stopped = False

@@ -111,3 +111,38 @@ def test_bucketed_budgets_cover_and_save_padding():
                                        rng=np.random.default_rng(0)))
     padded_single = sum(b.node_feat.shape[0] for b in batches_single)
     assert padded_bucketed < padded_single
+
+
+def test_spmm_tile_width_pinned_across_batches():
+    """iter_batches pins the plan tile width per bucket so shuffled batch
+    compositions can't flip the SpmmPlanArrays shapes (each flip would
+    force a retrace+recompile of the jitted train step)."""
+    rng = np.random.default_rng(5)
+    graphs = []
+    # Mixed sizes so the widest feasible tile would naturally vary batch
+    # to batch under auto selection.
+    for i in range(96):
+        n = int(rng.integers(12, 28)) if i % 3 else int(rng.integers(90, 160))
+        ei = np.stack([rng.integers(0, n, 3 * n), rng.integers(0, n, 3 * n)])
+        graphs.append(batching.GraphData(
+            x=rng.normal(size=(n, 5)).astype(np.float32),
+            edge_index=ei.astype(np.int64),
+            y=np.zeros(3, np.float32)))
+    budget = PadBudget.for_dataset(graphs, 16)
+    for trial in range(3):
+        batches = list(batching.iter_batches(
+            graphs, 16, budget, shuffle=True,
+            rng=np.random.default_rng(trial), with_spmm_plan=True))
+        widths = {b.spmm.snd_rel.shape[1] for b in batches
+                  if b.spmm is not None}
+        assert len(widths) <= 1, widths
+
+
+def test_pack_batch_fixed_spmm_tile():
+    """spmm_tile pins the plan width; infeasible pins yield None (fallback),
+    never a silently different shape."""
+    graphs = synthetic.make_peptides_func(num_graphs=8, seed=3,
+                                          mean_nodes=40)
+    budget = PadBudget.for_dataset(graphs, 8)
+    b = pack_batch(graphs, budget, with_spmm_plan=True, spmm_tile=256)
+    assert b.spmm is not None and b.spmm.snd_rel.shape[1] == 256

@@ -87,6 +87,37 @@ def test_plan_infeasible_for_giant_graph():
     assert plan is None
 
 
+def test_plan_rejects_window_boundary_span():
+    """A real edge whose rel offset lands exactly on WINDOW (after the
+    32-align-down of the window start) must make the plan infeasible, not
+    silently collide with the masked-slot sentinel and drop the edge.
+
+    Repro: one tile whose receivers span [33, 1056] — min receiver 33
+    aligns down to wr=32, so receiver 1056 has rel == 1024 == WINDOW."""
+    from graph_hscn_tpu.ops.pallas.spmm_kernel import WINDOW
+
+    te = 256
+    n = 2048
+    dst = np.linspace(33, 32 + WINDOW, te).astype(np.int32)  # spans 1024+1
+    dst.sort()
+    assert dst[-1] - (dst[0] // 32) * 32 == WINDOW
+    src = np.zeros(te, np.int32)
+    plan = spmm_plan(src, dst, np.ones(te, bool), n, tile_edges=te)
+    assert plan is None
+
+    # One node narrower fits exactly and must produce a correct result.
+    dst_ok = np.clip(dst, None, 32 + WINDOW - 1).astype(np.int32)
+    plan = spmm_plan(src, dst_ok, np.ones(te, bool), n, tile_edges=te)
+    assert plan is not None
+    x = jnp.asarray(np.random.default_rng(7).normal(size=(n, 8))
+                    .astype(np.float32))
+    out = spmm_pallas(x, plan, num_nodes=n, interpret=True)
+    ref = segment_sum(jnp.take(x, jnp.asarray(src), axis=0),
+                      jnp.asarray(dst_ok), n)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_gather_scatter_uses_plan(planned_batch, monkeypatch):
     """gather_scatter(plan=...) dispatches to the kernel when forced."""
     from graph_hscn_tpu.ops import spmm as spmm_mod
