@@ -281,12 +281,16 @@ def pack_batch(
         from graph_hscn_tpu.ops.pallas.spmm_kernel import (spmm_plan,
                                                            spmm_plan_auto)
         if spmm_tile is not None:
-            # Fixed tile width (pinned per dataset/bucket by iter_batches):
-            # keeps the plan array shapes identical across every batch of a
-            # run so the jitted train step never retraces on a tile flip —
-            # the remote compile service makes retraces expensive here.
+            # Fixed (tile, window) pair (pinned per dataset/bucket by
+            # iter_batches): keeps the plan array shapes AND treedef
+            # identical across every batch of a run so the jitted train
+            # step never retraces on a plan-geometry flip — the remote
+            # compile service makes retraces expensive here.
+            te, window = (spmm_tile if isinstance(spmm_tile, tuple)
+                          else (spmm_tile, None))
+            kw = {} if window is None else {"window": window}
             spmm = spmm_plan(senders, receivers, edge_mask, N,
-                             tile_edges=spmm_tile)
+                             tile_edges=te, **kw)
         else:
             spmm = spmm_plan_auto(senders, receivers, edge_mask, N)
 
@@ -324,35 +328,39 @@ def iter_batches(
     buckets = (tuple(budget) if isinstance(budget, (tuple, list))
                else (budget,))
     largest = buckets[-1]
-    # Tile-width pinning: spmm_plan_auto picks the widest feasible edge
-    # tile per batch, and with shuffled compositions that width can flip
-    # 1024/512/256 across batches, changing the plan array shapes inside
-    # GraphBatch and forcing a retrace of the jitted step each time.  Pin
-    # the width per bucket to the first batch's choice; if a later batch
-    # can't satisfy it, narrow the pin (monotone — at most 2 extra shapes
-    # per run instead of unbounded flips).
-    pinned: dict[PadBudget, int] = {}
+    # Plan-geometry pinning: spmm_plan_auto picks the cheapest feasible
+    # (tile, window) pair per batch, and with shuffled compositions that
+    # pair can flip across batches, changing the plan array shapes (and
+    # the treedef, via the static window) inside GraphBatch and forcing a
+    # retrace of the jitted step each time.  Pin the pair per bucket to
+    # the first batch's choice; if a later batch can't satisfy it,
+    # re-probe among strictly more permissive candidates (monotone — a
+    # handful of extra shapes per run instead of unbounded flips).
+    pinned: dict[PadBudget, tuple[int, int]] = {}
 
     def emit(group: list[GraphData], n: int, e: int) -> GraphBatch:
         b = (largest if len(buckets) == 1
              else pick_bucket(buckets, n, e, len(group)))
         if not with_spmm_plan:
             return pack_batch(group, b, slot_nodes=slot_nodes)
-        tile = pinned.get(b)
+        pin = pinned.get(b)
         batch = pack_batch(group, b, with_spmm_plan=True,
-                           slot_nodes=slot_nodes, spmm_tile=tile)
-        if batch.spmm is None and tile is not None:
-            # Pinned width infeasible for this composition: re-probe with
-            # widths at or below the pin so the pin only ever narrows.
-            from graph_hscn_tpu.ops.pallas.spmm_kernel import spmm_plan_auto
-            narrower = tuple(t for t in (1024, 512, 256) if t <= tile)
+                           slot_nodes=slot_nodes, spmm_tile=pin)
+        if batch.spmm is None and pin is not None:
+            # Pinned pair infeasible for this composition: re-probe with
+            # candidates at or after the pin in preference order so the
+            # pin only ever moves toward more permissive geometry.
+            from graph_hscn_tpu.ops.pallas.spmm_kernel import (
+                PLAN_CANDIDATES, spmm_plan_auto)
+            idx = (PLAN_CANDIDATES.index(pin)
+                   if pin in PLAN_CANDIDATES else 0)
             plan = spmm_plan_auto(batch.senders, batch.receivers,
                                   batch.edge_mask, batch.node_feat.shape[0],
-                                  tile_sizes=narrower)
+                                  candidates=PLAN_CANDIDATES[idx + 1:])
             if plan is not None:
                 batch = dataclasses.replace(batch, spmm=plan)
         if batch.spmm is not None:
-            pinned[b] = batch.spmm.snd_rel.shape[1]
+            pinned[b] = (batch.spmm.snd_rel.shape[1], batch.spmm.window)
         return batch
 
     idx = np.arange(len(graphs))

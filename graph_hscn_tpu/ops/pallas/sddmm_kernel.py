@@ -17,18 +17,20 @@ spmm_kernel.spmm_plan / the native batcher.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from graph_hscn_tpu.ops.pallas.spmm_kernel import (WINDOW, SpmmPlanArrays,
+from graph_hscn_tpu.ops.pallas.spmm_kernel import (SpmmPlanArrays,
                                                    _PRECISION,
                                                    resolve_interpret)
 
 
 def _sddmm_kernel(ws_ref, wr_ref, snd_rel_ref, rcv_rel_ref, hs_ref, hd_ref,
-                  out_ref):
+                  out_ref, *, window):
     t = pl.program_id(0)
     # Plan starts are 32-aligned; (//32)*32 makes that structurally
     # provable so Mosaic accepts sub-32-bit dtypes (bf16 sublane=16).
@@ -38,10 +40,10 @@ def _sddmm_kernel(ws_ref, wr_ref, snd_rel_ref, rcv_rel_ref, hs_ref, hd_ref,
     rcv_rel = rcv_rel_ref[0, 0]
     te = snd_rel.shape[0]
 
-    hs_win = hs_ref[pl.ds(ws, WINDOW), :]
-    hd_win = hd_ref[pl.ds(wr, WINDOW), :]
+    hs_win = hs_ref[pl.ds(ws, window), :]
+    hd_win = hd_ref[pl.ds(wr, window), :]
 
-    iota = jax.lax.broadcasted_iota(jnp.int32, (te, WINDOW), 1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (te, window), 1)
     g1 = (snd_rel[:, None] == iota).astype(hs_ref.dtype)
     g2 = (rcv_rel[:, None] == iota).astype(hd_ref.dtype)
     a = jax.lax.dot_general(g1, hs_win, (((1,), (0,)), ((), ())),
@@ -59,7 +61,9 @@ def sddmm_pallas(h_src, h_dst, plan: SpmmPlanArrays,
     Masked (padding) edge slots return 0."""
     interpret = resolve_interpret(interpret)
     T, te = plan.snd_rel.shape
-    n_pad = max(h_src.shape[0], WINDOW)
+    # Unclamped window starts (see spmm_kernel._windows) need
+    # align32(N) + window rows so every window slice is in bounds.
+    n_pad = ((h_src.shape[0] + 31) // 32) * 32 + plan.window
     if h_src.shape[0] < n_pad:
         h_src = jnp.pad(h_src, ((0, n_pad - h_src.shape[0]), (0, 0)))
         h_dst = jnp.pad(h_dst, ((0, n_pad - h_dst.shape[0]), (0, 0)))
@@ -77,7 +81,7 @@ def sddmm_pallas(h_src, h_dst, plan: SpmmPlanArrays,
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
-        _sddmm_kernel,
+        functools.partial(_sddmm_kernel, window=plan.window),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, 1, te), jnp.float32),
         interpret=interpret,
@@ -88,7 +92,8 @@ def sddmm_pallas(h_src, h_dst, plan: SpmmPlanArrays,
 
 
 def _sddmm_hbm_kernel(ws_ref, wr_ref, snd_rel_ref, rcv_rel_ref, hs_hbm,
-                      hd_hbm, out_ref, s_hs, s_hd, sem_hs, sem_hd):
+                      hd_hbm, out_ref, s_hs, s_hd, sem_hs, sem_hd, *,
+                      window):
     """Large-graph SDDMM: BOTH operands stay in HBM; per-tile sender and
     receiver windows are DMA'd into double-buffered VMEM scratch (next
     tile's fetch overlaps the current tile's matmuls) — the dw side of
@@ -98,12 +103,12 @@ def _sddmm_hbm_kernel(ws_ref, wr_ref, snd_rel_ref, rcv_rel_ref, hs_hbm,
 
     def dma_hs(slot, tile):
         return pltpu.make_async_copy(
-            hs_hbm.at[pl.ds(ws_ref[tile], WINDOW), :], s_hs.at[slot],
+            hs_hbm.at[pl.ds(ws_ref[tile], window), :], s_hs.at[slot],
             sem_hs.at[slot])
 
     def dma_hd(slot, tile):
         return pltpu.make_async_copy(
-            hd_hbm.at[pl.ds(wr_ref[tile], WINDOW), :], s_hd.at[slot],
+            hd_hbm.at[pl.ds(wr_ref[tile], window), :], s_hd.at[slot],
             sem_hd.at[slot])
 
     @pl.when(t == 0)
@@ -126,7 +131,7 @@ def _sddmm_hbm_kernel(ws_ref, wr_ref, snd_rel_ref, rcv_rel_ref, hs_hbm,
     snd_rel = snd_rel_ref[0, 0]
     rcv_rel = rcv_rel_ref[0, 0]
     te = snd_rel.shape[0]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (te, WINDOW), 1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (te, window), 1)
     g1 = (snd_rel[:, None] == iota).astype(hs_win.dtype)
     g2 = (rcv_rel[:, None] == iota).astype(hd_win.dtype)
     a = jax.lax.dot_general(g1, hs_win, (((1,), (0,)), ((), ())),
@@ -145,7 +150,7 @@ def sddmm_pallas_hbm(h_src, h_dst, plan: SpmmPlanArrays,
     interpret = resolve_interpret(interpret)
     T, te = plan.snd_rel.shape
     F = h_src.shape[-1]
-    n_pad = max(h_src.shape[0], WINDOW)
+    n_pad = ((h_src.shape[0] + 31) // 32) * 32 + plan.window
     if h_src.shape[0] < n_pad:
         h_src = jnp.pad(h_src, ((0, n_pad - h_src.shape[0]), (0, 0)))
         h_dst = jnp.pad(h_dst, ((0, n_pad - h_dst.shape[0]), (0, 0)))
@@ -162,14 +167,14 @@ def sddmm_pallas_hbm(h_src, h_dst, plan: SpmmPlanArrays,
         out_specs=pl.BlockSpec((1, 1, te), lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, WINDOW, F), jnp.float32),
-            pltpu.VMEM((2, WINDOW, F), jnp.float32),
+            pltpu.VMEM((2, plan.window, F), h_src.dtype),
+            pltpu.VMEM((2, plan.window, F), h_dst.dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
-        _sddmm_hbm_kernel,
+        functools.partial(_sddmm_hbm_kernel, window=plan.window),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, 1, te), jnp.float32),
         interpret=interpret,
@@ -179,7 +184,8 @@ def sddmm_pallas_hbm(h_src, h_dst, plan: SpmmPlanArrays,
     return out.reshape(T * te)
 
 
-def _segment_reduce_kernel(wr_ref, rcv_rel_ref, msgs_ref, out_ref):
+def _segment_reduce_kernel(wr_ref, rcv_rel_ref, msgs_ref, out_ref, *,
+                           window):
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -190,14 +196,14 @@ def _segment_reduce_kernel(wr_ref, rcv_rel_ref, msgs_ref, out_ref):
     rcv_rel = rcv_rel_ref[0, 0]
     te = rcv_rel.shape[0]
     msgs = msgs_ref[0]                                     # [TE, F]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (te, WINDOW), 1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (te, window), 1)
     p_onehot = (rcv_rel[:, None] == iota).astype(msgs_ref.dtype)
     partial = jax.lax.dot_general(
         p_onehot, msgs, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=_PRECISION)                              # [WR, F]
-    cur = out_ref[pl.ds(wr, WINDOW), :]
-    out_ref[pl.ds(wr, WINDOW), :] = cur + partial
+    cur = out_ref[pl.ds(wr, window), :]
+    out_ref[pl.ds(wr, window), :] = cur + partial
 
 
 def segment_reduce_pallas(msgs, plan: SpmmPlanArrays, num_nodes: int,
@@ -208,7 +214,7 @@ def segment_reduce_pallas(msgs, plan: SpmmPlanArrays, num_nodes: int,
     interpret = resolve_interpret(interpret)
     T, te = plan.rcv_rel.shape
     F = msgs.shape[-1]
-    n_pad = max(num_nodes, WINDOW)
+    n_pad = ((num_nodes + 31) // 32) * 32 + plan.window
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(T,),
@@ -221,7 +227,7 @@ def segment_reduce_pallas(msgs, plan: SpmmPlanArrays, num_nodes: int,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
-        _segment_reduce_kernel,
+        functools.partial(_segment_reduce_kernel, window=plan.window),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, F), jnp.float32),
         interpret=interpret,

@@ -35,6 +35,7 @@ v1 constraints (checked by `spmm_plan`, which sets ok=False for fallback):
 from __future__ import annotations
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -82,9 +83,15 @@ class SpmmPlanArrays:
     t_snd_rel: jnp.ndarray
     t_rcv_rel: jnp.ndarray
     t_order: jnp.ndarray   # [E] permutation sorting edges by sender
+    # Static metadata (part of the treedef): the kernels' one-hot width.
+    # Narrower windows cut the one-hot MXU FLOPs linearly (2*window*F
+    # MACs per edge), so the planner picks the narrowest feasible window
+    # for the batch's node spans.
+    window: int = dataclasses.field(metadata=dict(static=True),
+                                    default=WINDOW)
 
 
-def _windows(dst_vals, src_vals, mask, num_nodes, te):
+def _windows(dst_vals, src_vals, mask, num_nodes, te, window=WINDOW):
     E = dst_vals.shape[0]
     T = E // te
     dv = dst_vals.reshape(T, te)
@@ -95,8 +102,12 @@ def _windows(dst_vals, src_vals, mask, num_nodes, te):
     sv_m = np.where(m, sv, big)
     wr = np.where(m.any(1), dv_m.min(1), 0).astype(np.int32)
     ws = np.where(m.any(1), sv_m.min(1), 0).astype(np.int32)
-    wr = np.minimum(wr, max(num_nodes - WINDOW, 0)).astype(np.int32)
-    ws = np.minimum(ws, max(num_nodes - WINDOW, 0)).astype(np.int32)
+    # No clamp to num_nodes - window: clamping widens the rel offsets of
+    # end-of-range tiles past the window and rejects otherwise-feasible
+    # plans (seen on the RCM lattice: spans ~565 but the last tiles'
+    # clamped starts pushed offsets to 1027).  Instead the kernel call
+    # pads the node arrays to align32(num_nodes) + window so every
+    # [start, start + window) slice stays in bounds.
     # Sublane-align the dynamic window starts: Mosaic requires vector
     # loads/stores at indices provably divisible by the tile's sublane
     # count (8 for f32, 16 for bf16); 32 covers every dtype.  Aligning
@@ -110,18 +121,18 @@ def _windows(dst_vals, src_vals, mask, num_nodes, te):
     # planner (native/batcher.cpp spmm_windows) rejects this same case.
     rcv_off = dv - wr[:, None]
     snd_off = sv - ws[:, None]
-    if (m & ((rcv_off < 0) | (rcv_off >= WINDOW))).any():
+    if (m & ((rcv_off < 0) | (rcv_off >= window))).any():
         return None
-    if (m & ((snd_off < 0) | (snd_off >= WINDOW))).any():
+    if (m & ((snd_off < 0) | (snd_off >= window))).any():
         return None
-    rcv_rel = np.where(m, rcv_off, WINDOW).astype(np.int32)
-    snd_rel = np.where(m, snd_off, WINDOW).astype(np.int32)
+    rcv_rel = np.where(m, rcv_off, window).astype(np.int32)
+    snd_rel = np.where(m, snd_off, window).astype(np.int32)
     return ws, wr, snd_rel, rcv_rel
 
 
 def spmm_plan(senders: np.ndarray, receivers: np.ndarray,
               edge_mask: np.ndarray, num_nodes: int,
-              tile_edges: int = TILE_EDGES):
+              tile_edges: int = TILE_EDGES, window: int = WINDOW):
     """Host-side plan construction.  Returns SpmmPlanArrays or None if the
     layout violates the window constraints (caller falls back to XLA)."""
     senders = np.asarray(senders, np.int32)
@@ -137,10 +148,11 @@ def spmm_plan(senders: np.ndarray, receivers: np.ndarray,
         senders = np.concatenate([senders, np.zeros(pad, np.int32)])
         receivers = np.concatenate([receivers, np.zeros(pad, np.int32)])
         edge_mask = np.concatenate([edge_mask, np.zeros(pad, bool)])
-    fwd = _windows(receivers, senders, edge_mask, num_nodes, tile_edges)
+    fwd = _windows(receivers, senders, edge_mask, num_nodes, tile_edges,
+                   window)
     order = np.argsort(senders, kind="stable").astype(np.int32)
     bwd = _windows(senders[order], receivers[order], edge_mask[order],
-                   num_nodes, tile_edges)
+                   num_nodes, tile_edges, window)
     if fwd is None or bwd is None:
         return None
     ws, wr, snd_rel, rcv_rel = fwd
@@ -148,30 +160,47 @@ def spmm_plan(senders: np.ndarray, receivers: np.ndarray,
     return SpmmPlanArrays(
         ws=ws, wr=wr, snd_rel=snd_rel, rcv_rel=rcv_rel,
         t_ws=t_ws, t_wr=t_wr, t_snd_rel=t_snd_rel, t_rcv_rel=t_rcv_rel,
-        t_order=order)
+        t_order=order, window=window)
+
+
+# (tile_edges, window) candidates in measured preference order.  On-chip
+# sweep (v5e, 32x150 molecular batch F=128, fwd+bwd, 400-iteration scan
+# so the relay's fixed per-call cost is amortized out):
+#   (1024,512) 147us  (512,512) 160us  (256,256) 171us  (1024,1024) 180us
+#   (512,1024) 193us  (256,512) 210us  (256,1024) 211us
+# The one-hot MACs scale with window; the per-tile fixed cost with the
+# tile count — wide tiles + the narrowest feasible window win both.
+PLAN_CANDIDATES = (
+    (1024, 512), (512, 512), (256, 256), (1024, 1024),
+    (512, 1024), (256, 512), (256, 1024),
+)
 
 
 def spmm_plan_auto(senders, receivers, edge_mask, num_nodes,
-                   tile_sizes=(1024, 512, 256)):
-    """Plan with the widest feasible edge tile.  Wider tiles amortize
-    per-grid-step overhead (measured on-chip: 932 us vs 1058 us fwd+bwd at
-    TE=1024 vs 256 on a 32x150/F=128 molecular batch); smaller tiles span
-    fewer nodes so they are strictly more often feasible — descend until
-    one fits, None if even the narrowest violates the window constraint."""
+                   tile_sizes=None, candidates=PLAN_CANDIDATES):
+    """Plan with the cheapest feasible (tile_edges, window) pair.
+
+    Candidates are tried in ascending expected-cost order; returns None
+    if even the most permissive pair violates the window constraint
+    (caller falls back to XLA).  ``tile_sizes`` restricts candidates to
+    those tile widths (legacy knob used by the bucket pinning path).
+    """
     E = np.asarray(senders).shape[0]
-    for i, te in enumerate(tile_sizes):
-        last = i == len(tile_sizes) - 1
+    cands = [c for c in candidates
+             if tile_sizes is None or c[0] in tuple(tile_sizes)]
+    for i, (te, window) in enumerate(cands):
+        last = i == len(cands) - 1
         if te > E and not last:
             continue    # don't pad a tiny batch's edges up several-fold
         plan = spmm_plan(senders, receivers, edge_mask, num_nodes,
-                         tile_edges=te)
+                         tile_edges=te, window=window)
         if plan is not None:
             return plan
     return None
 
 
 def _spmm_kernel(ws_ref, wr_ref, snd_rel_ref, rcv_rel_ref, w_ref, x_ref,
-                 out_ref):
+                 out_ref, *, window):
     t = pl.program_id(0)
 
     @pl.when(t == 0)
@@ -182,14 +211,14 @@ def _spmm_kernel(ws_ref, wr_ref, snd_rel_ref, rcv_rel_ref, w_ref, x_ref,
     # structurally so Mosaic accepts sub-32-bit dtypes (bf16 sublane=16).
     ws = (ws_ref[t] // 32) * 32
     wr = (wr_ref[t] // 32) * 32
-    x_win = x_ref[pl.ds(ws, WINDOW), :]                       # [WS, F]
+    x_win = x_ref[pl.ds(ws, window), :]                       # [WS, F]
 
     snd_rel = snd_rel_ref[0, 0]                               # [TE]
     rcv_rel = rcv_rel_ref[0, 0]
     w = w_ref[0, 0]                                           # [TE]
     te = snd_rel.shape[0]
 
-    iota = jax.lax.broadcasted_iota(jnp.int32, (te, WINDOW), 1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (te, window), 1)
     # Weighted one-hot built in f32 (Mosaic only supports minor-dim
     # broadcast insertion for 32-bit types), cast to the MXU input dtype.
     g_onehot = (snd_rel[:, None] == iota).astype(jnp.float32)
@@ -205,15 +234,17 @@ def _spmm_kernel(ws_ref, wr_ref, snd_rel_ref, rcv_rel_ref, w_ref, x_ref,
         preferred_element_type=jnp.float32,
         precision=_PRECISION)                                 # [WR, F]
 
-    cur = out_ref[pl.ds(wr, WINDOW), :]
-    out_ref[pl.ds(wr, WINDOW), :] = cur + partial
+    cur = out_ref[pl.ds(wr, window), :]
+    out_ref[pl.ds(wr, window), :] = cur + partial
 
 
 def _spmm_call(x, w, ws, wr, snd_rel, rcv_rel, num_nodes: int,
-               interpret: bool = False):
+               interpret: bool = False, window: int = WINDOW):
     T, te = snd_rel.shape
     F = x.shape[-1]
-    n_pad = max(num_nodes, WINDOW)
+    # Window starts are unclamped (only 32-aligned), so a start can sit
+    # as high as num_nodes - 1: pad so every window slice is in bounds.
+    n_pad = ((num_nodes + 31) // 32) * 32 + window
     if x.shape[0] < n_pad:
         x = jnp.pad(x, ((0, n_pad - x.shape[0]), (0, 0)))
     # [T, 1, TE] layout: TPU requires the last two block dims to be
@@ -235,7 +266,7 @@ def _spmm_call(x, w, ws, wr, snd_rel, rcv_rel, num_nodes: int,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
-        _spmm_kernel,
+        functools.partial(_spmm_kernel, window=window),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, F), jnp.float32),
         interpret=interpret,
@@ -244,7 +275,7 @@ def _spmm_call(x, w, ws, wr, snd_rel, rcv_rel, num_nodes: int,
 
 
 def _spmm_hbm_kernel(ws_ref, wr_ref, snd_rel_ref, rcv_rel_ref, w_ref,
-                     x_hbm, out_ref, scratch, sems):
+                     x_hbm, out_ref, scratch, sems, *, window):
     """Large-graph variant: x stays in HBM; per-tile sender windows are
     DMA'd into a double-buffered VMEM scratch, overlapping the next tile's
     fetch with the current tile's matmuls."""
@@ -253,7 +284,7 @@ def _spmm_hbm_kernel(ws_ref, wr_ref, snd_rel_ref, rcv_rel_ref, w_ref,
 
     def dma(slot, tile):
         return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(ws_ref[tile], WINDOW), :],
+            x_hbm.at[pl.ds(ws_ref[tile], window), :],
             scratch.at[slot],
             sems.at[slot])
 
@@ -277,7 +308,7 @@ def _spmm_hbm_kernel(ws_ref, wr_ref, snd_rel_ref, rcv_rel_ref, w_ref,
     w = w_ref[0, 0]
     te = snd_rel.shape[0]
 
-    iota = jax.lax.broadcasted_iota(jnp.int32, (te, WINDOW), 1)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (te, window), 1)
     g_onehot = (snd_rel[:, None] == iota).astype(jnp.float32)
     g_onehot = (g_onehot * w[:, None]).astype(x_win.dtype)
     msgs = jax.lax.dot_general(
@@ -288,15 +319,16 @@ def _spmm_hbm_kernel(ws_ref, wr_ref, snd_rel_ref, rcv_rel_ref, w_ref,
         p_onehot, msgs.astype(x_win.dtype), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=_PRECISION)
     wr = (wr_ref[t] // 32) * 32   # 32-aligned in the plan
-    acc = out_ref[pl.ds(wr, WINDOW), :]
-    out_ref[pl.ds(wr, WINDOW), :] = acc + partial
+    acc = out_ref[pl.ds(wr, window), :]
+    out_ref[pl.ds(wr, window), :] = acc + partial
 
 
 def _spmm_hbm_call(x, w, ws, wr, snd_rel, rcv_rel, num_nodes: int,
-                   interpret: bool = False):
+                   interpret: bool = False, window: int = WINDOW):
     T, te = snd_rel.shape
     F = x.shape[-1]
-    n_pad = max(num_nodes, WINDOW)
+    # See _spmm_call: unclamped starts need align32(num_nodes) + window.
+    n_pad = ((num_nodes + 31) // 32) * 32 + window
     if x.shape[0] < n_pad:
         x = jnp.pad(x, ((0, n_pad - x.shape[0]), (0, 0)))
     w = w.reshape(T, 1, te).astype(jnp.float32)
@@ -311,12 +343,12 @@ def _spmm_hbm_call(x, w, ws, wr, snd_rel, rcv_rel, num_nodes: int,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, WINDOW, F), jnp.float32),
+            pltpu.VMEM((2, window, F), x.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     out = pl.pallas_call(
-        _spmm_hbm_kernel,
+        functools.partial(_spmm_hbm_kernel, window=window),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_pad, F), jnp.float32),
         interpret=interpret,
@@ -326,7 +358,8 @@ def _spmm_hbm_call(x, w, ws, wr, snd_rel, rcv_rel, num_nodes: int,
 
 def spmm_pallas_hbm(x, plan: SpmmPlanArrays, edge_weight=None,
                     num_nodes: int | None = None,
-                    interpret: bool | None = None):
+                    interpret: bool | None = None,
+                    weight_grad: bool = True):
     """Large-graph fused SpMM: node features stream from HBM via
     double-buffered window DMA (no x-fits-in-VMEM constraint; the output
     block still lives in VMEM, so the regime is x up to ~2x the VMEM
@@ -348,7 +381,8 @@ def spmm_pallas_hbm(x, plan: SpmmPlanArrays, edge_weight=None,
     @jax.custom_vjp
     def _spmm(x, w):
         return _spmm_hbm_call(x, w, plan.ws, plan.wr, plan.snd_rel,
-                              plan.rcv_rel, n, interpret)
+                              plan.rcv_rel, n, interpret,
+                              window=plan.window)
 
     def fwd(x, w):
         return _spmm(x, w), (x, w)
@@ -357,9 +391,17 @@ def spmm_pallas_hbm(x, plan: SpmmPlanArrays, edge_weight=None,
         x, w = res
         w_t = jnp.take(w, plan.t_order, axis=0)
         dx = _spmm_hbm_call(g, w_t, plan.t_ws, plan.t_wr, plan.t_snd_rel,
-                            plan.t_rcv_rel, n, interpret)
-        from graph_hscn_tpu.ops.pallas.sddmm_kernel import sddmm_pallas_hbm
-        dw = sddmm_pallas_hbm(x, g, plan, interpret=interpret)
+                            plan.t_rcv_rel, n, interpret,
+                            window=plan.window)
+        if weight_grad:
+            from graph_hscn_tpu.ops.pallas.sddmm_kernel import \
+                sddmm_pallas_hbm
+            dw = sddmm_pallas_hbm(x, g, plan, interpret=interpret)
+        else:
+            # Caller guarantees edge weights carry no trainable params
+            # (gcn_norm etc.): skip the SDDMM — a third of the backward's
+            # one-hot MACs.
+            dw = jnp.zeros_like(w)
         # Kernels accumulate f32; cotangents must match primal dtypes.
         return dx.astype(x.dtype), dw.astype(w.dtype)
 
@@ -369,7 +411,8 @@ def spmm_pallas_hbm(x, plan: SpmmPlanArrays, edge_weight=None,
 
 def spmm_pallas(x, plan: SpmmPlanArrays, edge_weight=None,
                 num_nodes: int | None = None,
-                interpret: bool | None = None):
+                interpret: bool | None = None,
+                weight_grad: bool = True):
     """Differentiable fused SpMM using a batch-attached plan.
 
     x: [N, F]; edge_weight: [E] in receiver-sorted edge order or None.
@@ -390,7 +433,7 @@ def spmm_pallas(x, plan: SpmmPlanArrays, edge_weight=None,
     @jax.custom_vjp
     def _spmm(x, w):
         return _spmm_call(x, w, plan.ws, plan.wr, plan.snd_rel,
-                          plan.rcv_rel, n, interpret)
+                          plan.rcv_rel, n, interpret, window=plan.window)
 
     def fwd(x, w):
         return _spmm(x, w), (x, w)
@@ -399,11 +442,18 @@ def spmm_pallas(x, plan: SpmmPlanArrays, edge_weight=None,
         x, w = res
         w_t = jnp.take(w, plan.t_order, axis=0)
         dx = _spmm_call(g, w_t, plan.t_ws, plan.t_wr, plan.t_snd_rel,
-                        plan.t_rcv_rel, n, interpret)
-        # dw[e] = <g[recv e], x[send e]> — exactly the SDDMM kernel with
-        # (h_src = x, h_dst = g); masked slots return 0.
-        from graph_hscn_tpu.ops.pallas.sddmm_kernel import sddmm_pallas
-        dw = sddmm_pallas(x, g, plan, interpret=interpret)
+                        plan.t_rcv_rel, n, interpret, window=plan.window)
+        if weight_grad:
+            # dw[e] = <g[recv e], x[send e]> — exactly the SDDMM kernel
+            # with (h_src = x, h_dst = g); masked slots return 0.
+            from graph_hscn_tpu.ops.pallas.sddmm_kernel import sddmm_pallas
+            dw = sddmm_pallas(x, g, plan, interpret=interpret)
+        else:
+            # Caller guarantees edge weights carry no trainable params
+            # (gcn_norm etc.): skip the SDDMM — a third of the fwd+bwd
+            # one-hot MACs (measured 147 -> ~125 us at (1024, 512) on the
+            # molecular workload).
+            dw = jnp.zeros_like(w)
         # Kernels accumulate f32; cotangents must match primal dtypes.
         return dx.astype(x.dtype), dw.astype(w.dtype)
 

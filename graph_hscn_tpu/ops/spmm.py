@@ -67,8 +67,14 @@ def gather_scatter(
     If a Pallas plan is attached and the backend allows, uses the fused
     windowed one-hot MXU kernel (ops/pallas/spmm_kernel.py), including
     d/d(edge_weight) via the SDDMM kernel; otherwise the XLA gather +
-    sorted-segment-sum path.  ``weight_needs_grad`` is accepted for API
-    stability (both paths now differentiate edge weights).
+    sorted-segment-sum path.
+
+    ``weight_needs_grad=False`` (the default) declares that the edge
+    weights carry no trainable parameters (gcn_norm / mask-derived — true
+    for every in-repo caller), letting the Pallas backward skip the SDDMM
+    dw kernel (a third of its one-hot MACs).  Set it True if you pass an
+    edge_weight that depends on trainable params (the XLA path
+    differentiates either way).
 
     If ``messages_out`` is True also returns the per-edge gathered messages
     (before reduction), which some layers (GatedGCN) reuse.
@@ -81,12 +87,18 @@ def gather_scatter(
         xbytes = x.shape[0] * x.shape[1] * x.dtype.itemsize
         if xbytes <= VMEM_X_BUDGET:
             return spmm_pallas(x, plan, edge_weight=edge_weight,
-                               num_nodes=num_nodes)
-        if xbytes <= 2 * VMEM_X_BUDGET and x.dtype == jnp.float32:
+                               num_nodes=num_nodes,
+                               weight_grad=weight_needs_grad)
+        if xbytes <= 2 * VMEM_X_BUDGET:
             # Oversize-for-VMEM single-chip regime: stream x from HBM
-            # (double-buffered window DMA); fully differentiable.
+            # (double-buffered window DMA); fully differentiable.  The
+            # scratch buffers follow x.dtype, so bf16 compute rides this
+            # band too — exactly the bandwidth-bound regime where halved
+            # payloads pay (bf16 xbytes also halve, widening the VMEM
+            # band; this branch is then bf16 N up to ~4x the f32 VMEM N).
             return spmm_pallas_hbm(x, plan, edge_weight=edge_weight,
-                                   num_nodes=num_nodes)
+                                   num_nodes=num_nodes,
+                                   weight_grad=weight_needs_grad)
         # Beyond ~2x the VMEM budget the output block no longer fits
         # either — XLA fallback (or the sharded edge-partition path).
     msgs = jnp.take(x, senders, axis=0)

@@ -50,7 +50,7 @@ def grid_graph(n_target: int, seed: int = 0):
 
 def build(n_target=20_000, feat=128):
     from graph_hscn_tpu.ops.pallas.spmm_kernel import (VMEM_X_BUDGET,
-                                                       spmm_plan)
+                                                       spmm_plan_auto)
     from graph_hscn_tpu.parallel.edge_partition import (apply_node_reorder,
                                                         locality_reorder)
 
@@ -66,7 +66,11 @@ def build(n_target=20_000, feat=128):
     snd = np.concatenate([snd, np.zeros(pad, np.int32)])
     rcv = np.concatenate([rcv, np.zeros(pad, np.int32)])
     mask = np.concatenate([mask, np.zeros(pad, bool)])
-    plan = spmm_plan(snd, rcv, mask, n)
+    # Auto-select the cheapest feasible (tile, window) pair — the RCM
+    # bandwidth of the lattice decides which windows are feasible, and
+    # the exact-boundary rejection (rel == window) can rule out a pair
+    # that a pre-round-3 plan would have silently mis-executed.
+    plan = spmm_plan_auto(snd, rcv, mask, n)
     xbytes = n * feat * 4
     log(f"giant graph: N={n}, E={e} (+{pad} pad), F={feat}, "
         f"x={xbytes / 2 ** 20:.1f} MiB "
@@ -121,20 +125,12 @@ def main():
         return
 
     def timed(label, fn, x):
-        @jax.jit
-        def run(x):
-            def body(h, _):
-                return fn(h), None
-            h, _ = jax.lax.scan(body, x, None, length=10)
-            return jnp.sum(h)
-
-        float(run(x))  # compile + warm
-        best = float("inf")
-        for _ in range(5):
-            t0 = time.perf_counter()
-            float(run(x))
-            best = min(best, time.perf_counter() - t0)
-        dt = best / 10
+        # Marginal per-iteration time (two trip counts of one compiled
+        # dynamic-trip fori_loop program): the relay's fixed per-call
+        # cost (~25 ms under load) otherwise dominates short chains —
+        # bench.scan_bench documents the measurement.
+        import bench
+        dt = bench.scan_bench(fn, x, (), iters=120)
         log(f"{label}: {dt * 1e6:8.1f} us fwd+bwd -> "
             f"{e / dt / 1e6:7.2f} M edges/s")
         return dt

@@ -256,3 +256,29 @@ def test_weight_gradients_match_xla(planned_batch):
     mask = np.asarray(b.edge_mask)
     np.testing.assert_allclose(dw_pallas[mask], dw_ref[mask], rtol=1e-4,
                                atol=1e-4)
+
+
+def test_weight_grad_skip(planned_batch):
+    """weight_grad=False skips the SDDMM dw (returns zeros) but keeps dx
+    exact — the fast path for structural (gcn_norm) weights."""
+    b = planned_batch
+    n = b.num_nodes_padded
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.normal(size=(n, 64)).astype(np.float32))
+    w0 = jnp.asarray(rng.uniform(0.5, 1.5,
+                                 size=b.senders.shape).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(n, 64)).astype(np.float32))
+
+    def f(x, w):
+        return jnp.vdot(spmm_pallas(x, b.spmm, edge_weight=w, num_nodes=n,
+                                    interpret=True, weight_grad=False), g)
+
+    dx, dw = jax.grad(f, argnums=(0, 1))(x, w0)
+
+    def f_ref(x):
+        return jnp.vdot(xla_ref(x, b, w0), g)
+
+    dx_ref = jax.grad(f_ref)(x)
+    np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref),
+                               rtol=1e-4, atol=1e-4)
+    assert not np.asarray(dw).any()
