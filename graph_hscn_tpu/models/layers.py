@@ -287,22 +287,33 @@ class GATConv(nn.Module):
         a_src = jnp.sum(h_src * att_src, axis=-1)   # [N_src, H]
         a_dst = jnp.sum(h_dst * att_dst, axis=-1)   # [N_dst, H]
 
-        e = a_src[senders] + a_dst[receivers]       # [E, H]
+        use_kernels = plan is not None and not bipartite and pallas_enabled()
+        if use_kernels:
+            # Forward attention logits as ONE blocked-SDDMM launch
+            # (ops/pallas/multihead_kernel.gat_edge_logits) instead of two
+            # XLA [E, H] row-at-a-time gathers; masked slots return 0 and
+            # are re-masked downstream exactly like the gather path.
+            from graph_hscn_tpu.ops.pallas.multihead_kernel import \
+                gat_edge_logits
+            E = senders.shape[0]
+            e = gat_edge_logits(a_src, a_dst, plan)[:E]
+        else:
+            e = a_src[senders] + a_dst[receivers]   # [E, H]
         e = nn.leaky_relu(e, self.negative_slope)
 
         def aggregate(alpha):
             """sum_j alpha_ij h_j per head.  With a batch-attached SpMM
-            plan on the Pallas backend this runs H fused windowed-one-hot
-            MXU SpMMs — no [E, H, C] message materialization — and
-            d(alpha) comes back through the SDDMM kernel in the custom
-            VJP (ops/pallas/spmm_kernel.py)."""
-            if plan is not None and not bipartite and pallas_enabled():
-                from graph_hscn_tpu.ops.pallas.spmm_kernel import spmm_pallas
-                cols = [spmm_pallas(h_src[:, hd, :], plan,
-                                    edge_weight=alpha[:, hd],
-                                    num_nodes=n_dst)
-                        for hd in range(H)]
-                return jnp.stack(cols, axis=1).astype(h_src.dtype)
+            plan on the Pallas backend ALL heads run in one fused
+            windowed-one-hot MXU kernel launch (spmm_mh) — no [E, H, C]
+            message materialization, d(alpha) via the blocked SDDMM in
+            its custom VJP.  H separate launches were measured re-staging
+            the same x windows (VERDICT round-2 item 2)."""
+            if use_kernels:
+                from graph_hscn_tpu.ops.pallas.multihead_kernel import \
+                    spmm_mh
+                out = spmm_mh(h_src.reshape(-1, H * C), alpha, plan,
+                              heads=H, num_nodes=n_dst)
+                return out.reshape(n_dst, H, C).astype(h_src.dtype)
             msgs = h_src[senders] * alpha[..., None]
             return segment_sum(msgs, receivers, n_dst,
                                indices_are_sorted=True)
@@ -318,20 +329,55 @@ class GATConv(nn.Module):
             m = jnp.maximum(jnp.where(jnp.isfinite(seg_max), seg_max, -jnp.inf),
                             self_e)
             m = jnp.where(jnp.isfinite(m), m, 0.0)
+            # stop_gradient on the max-shift is EXACT (the softmax value
+            # is invariant to the shift, so its total gradient is zero —
+            # same trick as jax.nn.softmax; it must cover ALL uses of m,
+            # exp_e AND exp_self, for the cancellation to hold) and it
+            # skips the shift-sddmm's VJP launches on the kernel path.
+            m = jax.lax.stop_gradient(m)
+            if use_kernels:
+                # The max-shift per edge via the blocked SDDMM (one
+                # launch) instead of an [E, H] row-at-a-time gather.
+                m_e = gat_edge_logits(jnp.zeros_like(m), m, plan)[:E]
+            else:
+                m_e = m[receivers]
             exp_e = jnp.where(edge_mask[:, None],
-                              jnp.exp(e - m[receivers]), 0.0)
+                              jnp.exp(e - m_e), 0.0)
             exp_self = jnp.exp(self_e - m)
             denom = segment_sum(exp_e, receivers, n_dst,
                                 indices_are_sorted=True) + exp_self
-            alpha = exp_e / jnp.maximum(denom[receivers], 1e-16)
-            alpha_self = exp_self / jnp.maximum(denom, 1e-16)
-            out = aggregate(alpha)
-            out = out + h_dst * alpha_self[..., None]
+            if use_kernels:
+                # Divide AFTER aggregation: out_i = (1/denom_i) *
+                # sum_e exp_e x_send — a node-level scale instead of the
+                # denom[receivers] [E, H] gather.  Same math, fewer
+                # gathers; the self term shares the scale.
+                inv = 1.0 / jnp.maximum(denom, 1e-16)
+                out = aggregate(exp_e) * inv[..., None]
+                out = out + h_dst * (exp_self * inv)[..., None]
+            else:
+                alpha = exp_e / jnp.maximum(denom[receivers], 1e-16)
+                alpha_self = exp_self / jnp.maximum(denom, 1e-16)
+                out = aggregate(alpha)
+                out = out + h_dst * alpha_self[..., None]
         else:
-            alpha = segment_softmax(e, receivers, n_dst,
-                                    indices_are_sorted=True,
-                                    mask=edge_mask[:, None])
-            out = aggregate(alpha)
+            if use_kernels:
+                e_masked = jnp.where(edge_mask[:, None], e, -jnp.inf)
+                m = jax.ops.segment_max(e_masked, receivers, n_dst,
+                                        indices_are_sorted=True)
+                m = jnp.where(jnp.isfinite(m), m, 0.0)
+                m = jax.lax.stop_gradient(m)   # exact: shift-invariant
+                m_e = gat_edge_logits(jnp.zeros_like(m), m, plan)[:E]
+                exp_e = jnp.where(edge_mask[:, None], jnp.exp(e - m_e),
+                                  0.0)
+                denom = segment_sum(exp_e, receivers, n_dst,
+                                    indices_are_sorted=True)
+                inv = 1.0 / jnp.maximum(denom, 1e-16)
+                out = aggregate(exp_e) * inv[..., None]
+            else:
+                alpha = segment_softmax(e, receivers, n_dst,
+                                        indices_are_sorted=True,
+                                        mask=edge_mask[:, None])
+                out = aggregate(alpha)
 
         out = (out.reshape(n_dst, H * C) if self.concat
                else out.mean(axis=1))

@@ -158,8 +158,13 @@ int spmm_windows(
       smin = std::min(smin, senders[e]);
       rmin = std::min(rmin, receivers[e]);
     }
-    int32_t ws = any ? std::min(smin, std::max(num_nodes - window, 0)) : 0;
-    int32_t wr = any ? std::min(rmin, std::max(num_nodes - window, 0)) : 0;
+    // No clamp to num_nodes - window: the kernels pad node arrays to
+    // align32(num_nodes) + window, so end-of-range starts are legal, and
+    // clamping would widen the last tiles' offsets past the window and
+    // reject otherwise-feasible plans (matches the Python planner,
+    // ops/pallas/spmm_kernel.py:_windows).
+    int32_t ws = any ? smin : 0;
+    int32_t wr = any ? rmin : 0;
     // Sublane-align the window starts (the Pallas kernels assume starts
     // divisible by 32 so Mosaic can prove vector load/store alignment for
     // every dtype; see ops/pallas/spmm_kernel.py:_windows).
