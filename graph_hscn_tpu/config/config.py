@@ -80,6 +80,22 @@ class MPNNConfig:
                    "hidden_channels must be divisible by num_heads")
             _check(self.gps_local_conv.lower() in ("gcn", "gatedgcn"),
                    f"unknown gps_local_conv {self.gps_local_conv}")
+        if (self.conv_type.lower() == "gps"
+                and self.hidden_channels // max(self.num_heads, 1) < 128):
+            # MXU-hostile head dim: every QK^T / PV contraction pads the
+            # head dim to the 128-lane MXU tile, so head_dim=16 wastes
+            # 8x of the attention FLOP ceiling (measured on the v5e ring
+            # path — BASELINE.md ring-attention section).  Warn, don't
+            # refuse: small models may still prefer quality per param.
+            import warnings
+            hd = self.hidden_channels // max(self.num_heads, 1)
+            warnings.warn(
+                f"GPS head_dim = hidden_channels/num_heads = {hd} < 128 "
+                "pads every attention contraction to the 128-wide MXU "
+                f"tile (~{128 // max(hd, 1)}x FLOP-ceiling loss on TPU); "
+                "prefer num_heads <= hidden_channels // 128 when "
+                "hidden_channels >= 128, or accept the padding cost "
+                "knowingly.", stacklevel=2)
 
 
 @dataclasses.dataclass

@@ -46,6 +46,27 @@ _PLAN_KEYS = ("send_idx", "snd_loc", "rcv_loc", "mask_loc",
               "snd_hal", "rcv_hal", "mask_hal")
 
 
+def _device_key(key, shard_axes):
+    """Per-device PRNG key inside shard_map: fold the device's index on
+    every sharded mesh axis into the replicated step key, so dropout
+    masks differ across blocks but stay reproducible per (step, device).
+    The same recipe as the fused GCN kernel's in-kernel dropout seeding
+    (ops/pallas/fused_gcn_kernel.py)."""
+    axes = (shard_axes if isinstance(shard_axes, (tuple, list))
+            else (shard_axes,))
+    for ax in axes:
+        key = jax.random.fold_in(key, jax.lax.axis_index(ax))
+    return key
+
+
+def _dropout(h, key, layer_idx, rate):
+    """Inverted dropout with a per-layer folded key (train only —
+    forwards without a key run deterministically)."""
+    kl = jax.random.fold_in(key, layer_idx)
+    keep = jax.random.bernoulli(kl, 1.0 - rate, h.shape)
+    return jnp.where(keep, h / (1.0 - rate), 0.0).astype(h.dtype)
+
+
 def _make_local_agg(sp, snd_loc, rcv_loc, nb, use_spmm_plan):
     """Local-sender weighted aggregation: the fused Pallas SpMM on this
     device's block when a plan is attached (d(edge_weight) via the SDDMM
@@ -81,7 +102,7 @@ def init_sharded_gcn_params(rng, dims: list[int]) -> list[dict]:
 
 def make_sharded_gcn(mesh: Mesh, num_layers: int, axis: str = "data",
                      use_spmm_plan: bool = False, shard_axes=None,
-                     grad_axes=None, dtype=None):
+                     grad_axes=None, dtype=None, dropout: float = 0.0):
     """Builds (forward_fn, train_step_fn) over the mesh.
 
     forward(params, x_blocks, plan_arrays) -> logits blocks [D, Nb, C]
@@ -112,9 +133,10 @@ def make_sharded_gcn(mesh: Mesh, num_layers: int, axis: str = "data",
     n_extra = 1 if use_spmm_plan else 0
     shard_axes = shard_axes if shard_axes is not None else axis
     grad_axes = grad_axes if grad_axes is not None else axis
+    has_key = dropout > 0.0   # training programs carry a PRNG step key
 
     def per_device_forward(params, x_blk, send_idx, snd_loc, rcv_loc,
-                           m_loc, snd_hal, rcv_hal, m_hal, *sp):
+                           m_loc, snd_hal, rcv_hal, m_hal, *sp, key=None):
         x = x_blk[0]
         send_idx = send_idx[0]
         snd_loc, rcv_loc, m_loc = snd_loc[0], rcv_loc[0], m_loc[0]
@@ -139,7 +161,7 @@ def make_sharded_gcn(mesh: Mesh, num_layers: int, axis: str = "data",
                                   w_hal.astype(dtype), diag.astype(dtype))
 
         h = x
-        for layer in params:
+        for li, layer in enumerate(params):
             kernel, bias = layer["kernel"], layer["bias"]
             if dtype is not None:
                 kernel, bias = kernel.astype(dtype), bias.astype(dtype)
@@ -153,6 +175,10 @@ def make_sharded_gcn(mesh: Mesh, num_layers: int, axis: str = "data",
             h = agg + diag[:, None] * h + bias
             if layer is not params[-1]:
                 h = jax.nn.relu(h)
+                if key is not None:
+                    # Reference MPNN semantics: dropout after the
+                    # activation on non-final layers (mpnn.py:58).
+                    h = _dropout(h, key, li, dropout)
         return h.astype(jnp.float32)[None]
 
     forward = jax.jit(jax.shard_map(
@@ -164,11 +190,17 @@ def make_sharded_gcn(mesh: Mesh, num_layers: int, axis: str = "data",
 
     def per_device_value_grad(params, x_blk, send_idx, snd_loc, rcv_loc,
                               m_loc, snd_hal, rcv_hal, m_hal, y_blk,
-                              node_ok_blk, gcnt, *sp):
+                              node_ok_blk, gcnt, *rest):
+        if has_key:
+            key, *sp = rest
+            key = _device_key(key, shard_axes)
+        else:
+            key, sp = None, rest
+
         def local_loss(params):
             logits = per_device_forward(
                 params, x_blk, send_idx, snd_loc, rcv_loc, m_loc,
-                snd_hal, rcv_hal, m_hal, *sp)[0]
+                snd_hal, rcv_hal, m_hal, *sp, key=key)[0]
             y = y_blk[0]
             ok = node_ok_blk[0].astype(logits.dtype)
             logp = jax.nn.log_softmax(logits, axis=-1)
@@ -184,14 +216,20 @@ def make_sharded_gcn(mesh: Mesh, num_layers: int, axis: str = "data",
     def _extras(plan):
         return (plan["spmm_loc"],) if use_spmm_plan else ()
 
-    def value_and_grad(params, x_blocks, plan, y_blocks, node_ok_blocks):
+    def value_and_grad(params, x_blocks, plan, y_blocks, node_ok_blocks,
+                       key=None):
         gcnt = float(np.maximum(np.asarray(node_ok_blocks).sum(), 1.0))
+        extras = _extras(plan)
+        if has_key:
+            key = key if key is not None else jax.random.PRNGKey(0)
+            extras = (key,) + extras
         return _vg(params, x_blocks, *(plan[k] for k in _PLAN_KEYS),
-                   y_blocks, node_ok_blocks, gcnt, *_extras(plan))
+                   y_blocks, node_ok_blocks, gcnt, *extras)
 
     _vg = jax.jit(jax.shard_map(
         per_device_value_grad, mesh=mesh,
         in_specs=(P(),) + (P(shard_axes),) * 10 + (None,)
+        + ((P(),) if has_key else ())
         + (P(shard_axes),) * n_extra,
         out_specs=(P(), P()),
         check_vma=False,
@@ -240,6 +278,21 @@ def fit_edge_partitioned(dm, mesh: Mesh, mpnn_cfg, optim_cfg, training_cfg,
     D = int(np.prod(mesh.devices.shape))
     metric_fn = METRICS[training_cfg.metric]
     conv = mpnn_cfg.conv_type.lower()
+    # Regularization config must not be silently dropped (VERDICT round-2
+    # item 4; same refusal pattern as the trainable-PE case in runner.py).
+    if (getattr(mpnn_cfg, "use_batch_norm", False)
+            or getattr(mpnn_cfg, "use_layer_norm", False)):
+        raise ValueError(
+            "edge-partitioned paths implement no batch/layer norm (norms "
+            "need cross-device statistics the sharded per-device programs "
+            "don't compute); set use_batch_norm/use_layer_norm: false")
+    drop = float(getattr(mpnn_cfg, "dropout", 0.0) or 0.0)
+    if drop > 0.0 and conv not in ("gcn", "gin", "gat"):
+        raise ValueError(
+            "dropout is implemented on the edge-partitioned gcn/gin/gat "
+            f"paths (per-device PRNG); the sharded {conv} path does not "
+            "apply it — set mp.dropout: 0 rather than have it silently "
+            "ignored")
 
     def packed(split):
         from types import SimpleNamespace
@@ -371,19 +424,20 @@ def fit_edge_partitioned(dm, mesh: Mesh, mpnn_cfg, optim_cfg, training_cfg,
             jax.random.PRNGKey(training_cfg.seed), dims)
         forward, value_and_grad = make_sharded_gcn(
             mesh, num_layers=len(dims) - 1, axis=axis,
-            use_spmm_plan=use_spmm_plan, dtype=dtype)
+            use_spmm_plan=use_spmm_plan, dtype=dtype, dropout=drop)
     elif conv == "gat":
         params = init_sharded_gat_params(
             jax.random.PRNGKey(training_cfg.seed), dims,
             heads=mpnn_cfg.num_heads)
         forward, value_and_grad = make_sharded_gat(
             mesh, num_layers=len(dims) - 1, axis=axis,
-            use_spmm_plan=use_spmm_plan)
+            use_spmm_plan=use_spmm_plan, dropout=drop)
     elif conv == "gin":
         params = init_sharded_gin_params(
             jax.random.PRNGKey(training_cfg.seed), dims)
         forward, value_and_grad = make_sharded_gin(
-            mesh, num_layers=len(dims) - 1, axis=axis, dtype=dtype)
+            mesh, num_layers=len(dims) - 1, axis=axis, dtype=dtype,
+            dropout=drop)
     else:
         raise ValueError("edge-partitioned path supports conv_type gcn, "
                          f"gat, gin, gatedgcn or gps, got "
@@ -446,7 +500,12 @@ def fit_edge_partitioned(dm, mesh: Mesh, mpnn_cfg, optim_cfg, training_cfg,
 
     def train_epoch(epoch):
         nonlocal params, opt_state
-        loss, grads = value_and_grad(params, xb, plan_tr, yb, okb)
+        kw = {}
+        if drop > 0.0 and conv in ("gcn", "gin", "gat"):
+            # One replicated step key; devices fold in their mesh index.
+            kw["key"] = jax.random.fold_in(
+                jax.random.PRNGKey(training_cfg.seed), epoch)
+        loss, grads = value_and_grad(params, xb, plan_tr, yb, okb, **kw)
         params, opt_state = apply_updates(params, opt_state, grads)
         eval_now = is_eval_epoch(epoch, training_cfg.epochs,
                                  training_cfg.eval_period)
@@ -480,16 +539,18 @@ def init_sharded_gin_params(rng, dims: list[int]) -> list[dict]:
 
 
 def make_sharded_gin(mesh: Mesh, num_layers: int, axis: str = "data",
-                     shard_axes=None, grad_axes=None, dtype=None):
+                     shard_axes=None, grad_axes=None, dtype=None,
+                     dropout: float = 0.0):
     """Edge-partitioned GIN:  x' = MLP((1 + eps) x + sum_j x_j) with
     eps = 0 (models/layers.GINConv semantics), unweighted sum aggregation
     over the same receiver-owned halo layout as the sharded GCN, ReLU
     between layers.  Same (forward, value_and_grad) contract."""
     shard_axes = shard_axes if shard_axes is not None else axis
     grad_axes = grad_axes if grad_axes is not None else axis
+    has_key = dropout > 0.0
 
     def per_device_forward(params, x_blk, send_idx, snd_loc, rcv_loc,
-                           m_loc, snd_hal, rcv_hal, m_hal):
+                           m_loc, snd_hal, rcv_hal, m_hal, key=None):
         x = x_blk[0]
         send_idx = send_idx[0]
         snd_loc, rcv_loc, m_loc = snd_loc[0], rcv_loc[0], m_loc[0]
@@ -499,7 +560,7 @@ def make_sharded_gin(mesh: Mesh, num_layers: int, axis: str = "data",
             x = x.astype(dtype)
 
         h = x
-        for layer in params:
+        for li, layer in enumerate(params):
             w1, b1, w2, b2 = (layer[k] for k in ("w1", "b1", "w2", "b2"))
             if dtype is not None:
                 w1, b1, w2, b2 = (a.astype(dtype)
@@ -514,6 +575,8 @@ def make_sharded_gin(mesh: Mesh, num_layers: int, axis: str = "data",
             h = jax.nn.relu(h @ w1 + b1) @ w2 + b2
             if layer is not params[-1]:
                 h = jax.nn.relu(h)
+                if key is not None:
+                    h = _dropout(h, key, li, dropout)
         return h.astype(jnp.float32)[None]
 
     forward = jax.jit(jax.shard_map(
@@ -525,11 +588,13 @@ def make_sharded_gin(mesh: Mesh, num_layers: int, axis: str = "data",
 
     def per_device_value_grad(params, x_blk, send_idx, snd_loc, rcv_loc,
                               m_loc, snd_hal, rcv_hal, m_hal, y_blk,
-                              node_ok_blk, gcnt):
+                              node_ok_blk, gcnt, *rest):
+        key = _device_key(rest[0], shard_axes) if has_key else None
+
         def local_loss(params):
             logits = per_device_forward(
                 params, x_blk, send_idx, snd_loc, rcv_loc, m_loc,
-                snd_hal, rcv_hal, m_hal)[0]
+                snd_hal, rcv_hal, m_hal, key=key)[0]
             y = y_blk[0]
             ok = node_ok_blk[0].astype(logits.dtype)
             logp = jax.nn.log_softmax(logits, axis=-1)
@@ -544,7 +609,8 @@ def make_sharded_gin(mesh: Mesh, num_layers: int, axis: str = "data",
 
     _vg = jax.jit(jax.shard_map(
         per_device_value_grad, mesh=mesh,
-        in_specs=(P(),) + (P(shard_axes),) * 10 + (None,),
+        in_specs=(P(),) + (P(shard_axes),) * 10 + (None,)
+        + ((P(),) if has_key else ()),
         out_specs=(P(), P()),
         check_vma=False,
     ), static_argnums=(11,))
@@ -552,10 +618,13 @@ def make_sharded_gin(mesh: Mesh, num_layers: int, axis: str = "data",
     def forward_wrapper(params, x_blocks, plan):
         return forward(params, x_blocks, *(plan[k] for k in _PLAN_KEYS))
 
-    def value_and_grad(params, x_blocks, plan, y_blocks, node_ok_blocks):
+    def value_and_grad(params, x_blocks, plan, y_blocks, node_ok_blocks,
+                       key=None):
         gcnt = float(np.maximum(np.asarray(node_ok_blocks).sum(), 1.0))
+        extras = ((key if key is not None else jax.random.PRNGKey(0),)
+                  if has_key else ())
         return _vg(params, x_blocks, *(plan[k] for k in _PLAN_KEYS),
-                   y_blocks, node_ok_blocks, gcnt)
+                   y_blocks, node_ok_blocks, gcnt, *extras)
 
     return forward_wrapper, value_and_grad
 
@@ -590,7 +659,7 @@ def init_sharded_gat_params(rng, dims: list[int],
 def make_sharded_gat(mesh: Mesh, num_layers: int, axis: str = "data",
                      negative_slope: float = 0.2,
                      use_spmm_plan: bool = False, shard_axes=None,
-                     grad_axes=None):
+                     grad_axes=None, dropout: float = 0.0):
     """Edge-partitioned single-head GAT (PyG semantics incl. the self edge
     in each node's softmax, matching models.layers.GATConv with
     add_self_loops=True).
@@ -607,9 +676,10 @@ def make_sharded_gat(mesh: Mesh, num_layers: int, axis: str = "data",
     n_extra = 1 if use_spmm_plan else 0
     shard_axes = shard_axes if shard_axes is not None else axis
     grad_axes = grad_axes if grad_axes is not None else axis
+    has_key = dropout > 0.0   # training programs carry a PRNG step key
 
     def per_device_forward(params, x_blk, send_idx, snd_loc, rcv_loc,
-                           m_loc, snd_hal, rcv_hal, m_hal, *sp):
+                           m_loc, snd_hal, rcv_hal, m_hal, *sp, key=None):
         x = x_blk[0]
         send_idx = send_idx[0]
         snd_loc, rcv_loc, m_loc = snd_loc[0], rcv_loc[0], m_loc[0]
@@ -620,7 +690,7 @@ def make_sharded_gat(mesh: Mesh, num_layers: int, axis: str = "data",
         neg_inf = jnp.asarray(-jnp.inf, x.dtype)
 
         h = x
-        for layer in params:
+        for li, layer in enumerate(params):
             H, C = layer["att_src"].shape
             last = layer is params[-1]
             z = h @ layer["kernel"]                    # [Nb, H*C]
@@ -669,6 +739,8 @@ def make_sharded_gat(mesh: Mesh, num_layers: int, axis: str = "data",
             h = out + layer["bias"]
             if not last:
                 h = jax.nn.relu(h)
+                if key is not None:
+                    h = _dropout(h, key, li, dropout)
         return h[None]
 
     forward = jax.jit(jax.shard_map(
@@ -680,11 +752,17 @@ def make_sharded_gat(mesh: Mesh, num_layers: int, axis: str = "data",
 
     def per_device_value_grad(params, x_blk, send_idx, snd_loc, rcv_loc,
                               m_loc, snd_hal, rcv_hal, m_hal, y_blk,
-                              node_ok_blk, gcnt, *sp):
+                              node_ok_blk, gcnt, *rest):
+        if has_key:
+            key, *sp = rest
+            key = _device_key(key, shard_axes)
+        else:
+            key, sp = None, rest
+
         def local_loss(params):
             logits = per_device_forward(
                 params, x_blk, send_idx, snd_loc, rcv_loc, m_loc,
-                snd_hal, rcv_hal, m_hal, *sp)[0]
+                snd_hal, rcv_hal, m_hal, *sp, key=key)[0]
             y = y_blk[0]
             ok = node_ok_blk[0].astype(logits.dtype)
             logp = jax.nn.log_softmax(logits, axis=-1)
@@ -700,6 +778,7 @@ def make_sharded_gat(mesh: Mesh, num_layers: int, axis: str = "data",
     _vg = jax.jit(jax.shard_map(
         per_device_value_grad, mesh=mesh,
         in_specs=(P(),) + (P(shard_axes),) * 10 + (None,)
+        + ((P(),) if has_key else ())
         + (P(shard_axes),) * n_extra,
         out_specs=(P(), P()),
         check_vma=False,
@@ -708,10 +787,15 @@ def make_sharded_gat(mesh: Mesh, num_layers: int, axis: str = "data",
     def _extras(plan):
         return (plan["spmm_loc"],) if use_spmm_plan else ()
 
-    def value_and_grad(params, x_blocks, plan, y_blocks, node_ok_blocks):
+    def value_and_grad(params, x_blocks, plan, y_blocks, node_ok_blocks,
+                       key=None):
         gcnt = float(np.maximum(np.asarray(node_ok_blocks).sum(), 1.0))
+        extras = _extras(plan)
+        if has_key:
+            extras = ((key if key is not None
+                       else jax.random.PRNGKey(0)),) + extras
         return _vg(params, x_blocks, *(plan[k] for k in _PLAN_KEYS),
-                   y_blocks, node_ok_blocks, gcnt, *_extras(plan))
+                   y_blocks, node_ok_blocks, gcnt, *extras)
 
     def forward_wrapper(params, x_blocks, plan):
         return forward(params, x_blocks, *(plan[k] for k in _PLAN_KEYS),
