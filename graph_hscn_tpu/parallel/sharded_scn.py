@@ -311,12 +311,14 @@ def fit_hscn_edge_partitioned(dm, mesh: Mesh, hscn_cfg, optim_cfg,
                              s["plan"])
 
     # ---- Stage 3+4: sharded HSCN supervised training. ----
+    heads = int(getattr(hscn_cfg, "num_heads", 1) or 1)
     params = init_sharded_hscn_params(
         jax.random.PRNGKey(training_cfg.seed), dm.num_features,
-        hscn_cfg.hidden_channels, dm.num_classes, hscn_cfg.num_layers)
+        hscn_cfg.hidden_channels, dm.num_classes, hscn_cfg.num_layers,
+        heads=heads)
     forward, value_and_grad = make_sharded_hscn(mesh, K,
                                                 vv_pattern=vv_pattern,
-                                                axis=axis)
+                                                axis=axis, heads=heads)
     tx = build_optimizer(optim_cfg.optim_type, optim_cfg.lr,
                          optim_cfg.weight_decay,
                          optim_cfg.batch_accumulation,

@@ -42,13 +42,14 @@ def _map_params(sharded_params, num_layers):
     """Sharded param pytree -> flax HSCN variables dict."""
     p = {}
     for i, layer in enumerate(sharded_params["layers"]):
+        H, C = layer["lv"]["att_src"].shape
         p[f"GCNConv_{i}"] = {"kernel": layer["ll"]["kernel"],
                              "bias": layer["ll"]["bias"]}
         p[f"GATConv_{i}"] = {
             "kernel_src": layer["lv"]["kernel_src"],
             "kernel_dst": layer["lv"]["kernel_dst"],
-            "att_src": layer["lv"]["att_src"].reshape(1, 1, -1),
-            "att_dst": layer["lv"]["att_dst"].reshape(1, 1, -1),
+            "att_src": layer["lv"]["att_src"].reshape(1, H, C),
+            "att_dst": layer["lv"]["att_dst"].reshape(1, H, C),
             "bias": layer["lv"]["bias"]}
         p[f"DenseGCN_{i}"] = {"kernel": layer["vv"]["kernel"],
                               "bias": layer["vv"]["bias"]}
@@ -59,15 +60,20 @@ def _map_params(sharded_params, num_layers):
     return {"params": p}
 
 
-@pytest.mark.parametrize("pattern", ["clique", "triangular"])
-def test_sharded_hscn_matches_flax(pattern):
+@pytest.mark.parametrize("pattern,heads", [("clique", 1),
+                                           ("triangular", 1),
+                                           ("triangular", 2),
+                                           ("clique", 4)])
+def test_sharded_hscn_matches_flax(pattern, heads):
     b, plan, n = _setup()
     mesh = make_mesh(("data",), (D,))
     L = 3
     params = init_sharded_hscn_params(jax.random.PRNGKey(2),
                                       num_features=14, hidden=HID,
-                                      num_classes=21, num_layers=L)
-    forward, _ = make_sharded_hscn(mesh, K, vv_pattern=pattern)
+                                      num_classes=21, num_layers=L,
+                                      heads=heads)
+    forward, _ = make_sharded_hscn(mesh, K, vv_pattern=pattern,
+                                   heads=heads)
 
     xb, mb, cb = shard_node_blocks(
         mesh, D, np.asarray(b.node_feat), np.asarray(b.node_mask),
@@ -77,7 +83,8 @@ def test_sharded_hscn_matches_flax(pattern):
     flax_model = HSCN(lv_conv="gat", ll_conv="gcn", vv_conv="gcn",
                       activation="relu", hidden_channels=HID,
                       num_classes=21, num_layers=L, num_clusters=K,
-                      vv_pattern=pattern, readout="none")
+                      vv_pattern=pattern, readout="none",
+                      num_heads=heads)
     ref = np.asarray(flax_model.apply(_map_params(params, L), b,
                                       train=False))
     mask = np.asarray(b.node_mask)
