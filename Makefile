@@ -1,7 +1,7 @@
 # Developer entry points (the reference ships lint/format targets only,
 # Makefile:26-32; here tests and the native build are first-class).
 
-.PHONY: test native bench lint clean
+.PHONY: test native bench lint clean parity parity-dry
 
 test:
 	python -m pytest tests/ -q
@@ -11,6 +11,18 @@ native:
 
 bench:
 	python bench.py
+
+# Real-data AP-parity verdict vs the mounted reference (needs network +
+# RDKit + torch_geometric on the host): convert -> reference train ->
+# framework train -> PARITY_RESULT.json with the 0.005 gate.
+parity:
+	python scripts/parity_run.py --dataset peptides_func \
+	  --out PARITY_RESULT.json
+
+# Orchestration dry run (no network/RDKit; synthetic data + stubbed
+# reference) — what CI and this environment can execute.
+parity-dry:
+	python scripts/parity_run.py --dry-run --out PARITY_RESULT.json
 
 lint:
 	python -m flake8 graph_hscn_tpu tests --max-line-length 79 \
