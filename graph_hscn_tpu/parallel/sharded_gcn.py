@@ -67,16 +67,21 @@ def _dropout(h, key, layer_idx, rate):
     return jnp.where(keep, h / (1.0 - rate), 0.0).astype(h.dtype)
 
 
-def _make_local_agg(sp, snd_loc, rcv_loc, nb, use_spmm_plan):
+def _make_local_agg(sp, snd_loc, rcv_loc, nb, use_spmm_plan,
+                    weight_grad=True):
     """Local-sender weighted aggregation: the fused Pallas SpMM on this
     device's block when a plan is attached (d(edge_weight) via the SDDMM
-    kernel in its VJP), else XLA gather + sorted segment-sum."""
+    kernel in its VJP), else XLA gather + sorted segment-sum.
+
+    ``weight_grad=False`` (structural weights, e.g. the sharded GCN's
+    degree normalization) lets the kernel backward skip its SDDMM."""
     if use_spmm_plan:
         from graph_hscn_tpu.ops.pallas.spmm_kernel import spmm_pallas
         sp_d = jax.tree_util.tree_map(lambda a: a[0], sp[0])
 
         def agg(feats, w):
-            out = spmm_pallas(feats, sp_d, edge_weight=w, num_nodes=nb)
+            out = spmm_pallas(feats, sp_d, edge_weight=w, num_nodes=nb,
+                              weight_grad=weight_grad)
             # Kernel accumulates in f32; rejoin the caller's compute
             # dtype so bf16 mixed precision composes with the plan path.
             return out.astype(feats.dtype)
@@ -84,6 +89,26 @@ def _make_local_agg(sp, snd_loc, rcv_loc, nb, use_spmm_plan):
 
     def agg(feats, w):
         return segment_sum(feats[snd_loc] * w[:, None], rcv_loc, nb)
+    return agg
+
+
+def _make_local_agg_mh(sp, snd_loc, rcv_loc, nb, use_spmm_plan):
+    """Multi-head local aggregation: ALL heads in one kernel launch via
+    spmm_mh when a plan is attached (the sharded GAT previously looped H
+    single-head launches, re-staging the same feature windows), else the
+    XLA gather + segment-sum.  agg(feats [Nb, H, C], w [El, H], heads)."""
+    if use_spmm_plan:
+        from graph_hscn_tpu.ops.pallas.multihead_kernel import spmm_mh
+        sp_d = jax.tree_util.tree_map(lambda a: a[0], sp[0])
+
+        def agg(feats, w, heads):
+            out = spmm_mh(feats.reshape(nb, -1), w, sp_d, heads=heads,
+                          num_nodes=nb)
+            return out.reshape(nb, heads, -1).astype(feats.dtype)
+        return agg
+
+    def agg(feats, w, heads):
+        return segment_sum(feats[snd_loc] * w[..., None], rcv_loc, nb)
     return agg
 
 
@@ -142,8 +167,10 @@ def make_sharded_gcn(mesh: Mesh, num_layers: int, axis: str = "data",
         snd_loc, rcv_loc, m_loc = snd_loc[0], rcv_loc[0], m_loc[0]
         snd_hal, rcv_hal, m_hal = snd_hal[0], rcv_hal[0], m_hal[0]
         nb = x.shape[0]
+        # gcn_norm weights are degree-derived (no trainable params):
+        # the kernel backward skips its SDDMM dw pass.
         local_agg = _make_local_agg(sp, snd_loc, rcv_loc, nb,
-                                    use_spmm_plan)
+                                    use_spmm_plan, weight_grad=False)
 
         # Global in-degree of owned nodes (all owned edges are local).
         deg = (segment_sum(jnp.where(m_loc, 1.0, 0.0), rcv_loc, nb)
@@ -685,8 +712,8 @@ def make_sharded_gat(mesh: Mesh, num_layers: int, axis: str = "data",
         snd_loc, rcv_loc, m_loc = snd_loc[0], rcv_loc[0], m_loc[0]
         snd_hal, rcv_hal, m_hal = snd_hal[0], rcv_hal[0], m_hal[0]
         nb = x.shape[0]
-        local_agg = _make_local_agg(sp, snd_loc, rcv_loc, nb,
-                                    use_spmm_plan)
+        local_agg_mh = _make_local_agg_mh(sp, snd_loc, rcv_loc, nb,
+                                          use_spmm_plan)
         neg_inf = jnp.asarray(-jnp.inf, x.dtype)
 
         h = x
@@ -726,10 +753,10 @@ def make_sharded_gat(mesh: Mesh, num_layers: int, axis: str = "data",
                      + segment_sum(exp_hal, rcv_hal, nb) + exp_self)
             denom = jnp.maximum(denom, 1e-16)               # [Nb, H]
 
-            # Per-head weighted aggregation (the Pallas plan path runs
-            # one fused SpMM per head, like GATConv.aggregate).
-            agg = jnp.stack([local_agg(zh[:, hd, :], exp_loc[:, hd])
-                             for hd in range(H)], axis=1)   # [Nb, H, C]
+            # ALL heads aggregated in one kernel launch (spmm_mh; the
+            # blocked SDDMM supplies d(exp) in its VJP), matching the
+            # single-device GATConv.aggregate rework.
+            agg = local_agg_mh(zh, exp_loc, H)              # [Nb, H, C]
             agg = agg + segment_sum(
                 halo_h[snd_hal] * exp_hal[..., None], rcv_hal, nb)
             out = (agg + zh * exp_self[..., None]) / denom[..., None]
