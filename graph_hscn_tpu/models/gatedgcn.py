@@ -41,7 +41,8 @@ class GatedGCNNet(nn.Module):
             x, e = GatedGCNConv(features=self.hidden_channels,
                                 dtype=self.dtype)(
                 x, e, batch.senders, batch.receivers, batch.edge_mask,
-                num_nodes=batch.num_nodes_padded, train=train)
+                num_nodes=batch.num_nodes_padded, train=train,
+                plan=batch.spmm)
             if self.dropout > 0:
                 x = nn.Dropout(rate=self.dropout,
                                deterministic=not train)(x)

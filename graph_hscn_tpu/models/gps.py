@@ -101,7 +101,8 @@ class GPSLayer(nn.Module):
                 features=self.hidden, residual=False, norm="none",
                 dtype=self.dtype)(
                 h, edge_state, batch.senders, batch.receivers,
-                batch.edge_mask, num_nodes=n, train=train)
+                batch.edge_mask, num_nodes=n, train=train,
+                plan=batch.spmm)
             h_local = x + drop(local)
         else:
             local = GCNConv(features=self.hidden, dtype=self.dtype)(

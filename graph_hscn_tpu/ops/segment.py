@@ -65,3 +65,95 @@ def graph_readout_mean(node_values, node_graph, num_graphs: int):
 def graph_readout_sum(node_values, node_graph, num_graphs: int):
     return segment_sum(node_values, node_graph, num_graphs,
                        indices_are_sorted=True)
+
+
+def segment_sum_planned(msgs, receivers, num_segments: int, plan=None,
+                        interpret=None):
+    """Receiver-sorted segment-sum that rides the windowed one-hot MXU
+    kernel when a batch SpMM plan is attached and the Pallas backend is
+    on (ops/pallas/sddmm_kernel.segment_reduce_pallas: ~3x faster than
+    XLA's sorted scatter-add at molecular scale on v5e — the scatter is
+    GatedGCN's dominant primitive).  Falls back to segment_sum otherwise.
+
+    msgs: [E, F] aligned with the receiver-sorted batch edge order;
+    masked (padding) edge rows MUST already be zero — the caller's mask
+    multiply guarantees the kernel's tile-rounded extra rows are inert
+    too.  Differentiable: d msgs = g[receivers] (an XLA gather; gathers
+    measure cheap here, scatters do not).
+    """
+    from graph_hscn_tpu.ops.spmm import pallas_enabled
+    if plan is None or not pallas_enabled():
+        return segment_sum(msgs, receivers, num_segments,
+                           indices_are_sorted=True)
+
+    from graph_hscn_tpu.ops.pallas.sddmm_kernel import segment_reduce_pallas
+    E_plan = plan.t_order.shape[0]
+
+    @jax.custom_vjp
+    def _f(msgs):
+        m = msgs
+        if m.shape[0] < E_plan:     # plan tile-rounded past batch edges
+            m = jnp.pad(m, ((0, E_plan - m.shape[0]), (0, 0)))
+        out = segment_reduce_pallas(m, plan, num_segments,
+                                    interpret=interpret)
+        return out.astype(msgs.dtype)
+
+    def fwd(msgs):
+        return _f(msgs), None
+
+    def bwd(_, g):
+        return (jnp.take(g, receivers, axis=0).astype(g.dtype),)
+
+    _f.defvjp(fwd, bwd)
+    return _f(msgs)
+
+
+def gather_planned(x, idx, plan=None, side: str = "receiver",
+                   interpret=None):
+    """Edge gather ``x[idx]`` whose BACKWARD (a scatter-add — the
+    expensive direction on TPU: ~130 us vs ~28 us for the forward gather
+    at molecular scale) rides the windowed one-hot segment-reduce kernel
+    when a plan is attached.
+
+    side: "receiver" if ``idx`` is the batch's receiver array (edges
+    already plan-ordered), "sender" if it is the sender array (cotangents
+    are permuted through plan.t_order onto the transpose windows).
+
+    CONTRACT: cotangents on masked (padding) edge rows must be zero —
+    the kernel drops them (sentinel rel), jnp.take's VJP would not.
+    Layers guarantee this by masking their edge outputs.
+    """
+    from graph_hscn_tpu.ops.spmm import pallas_enabled
+    if plan is None or not pallas_enabled():
+        return jnp.take(x, idx, axis=0)
+
+    import dataclasses as _dc
+
+    from graph_hscn_tpu.ops.pallas.sddmm_kernel import segment_reduce_pallas
+    n = x.shape[0]
+    E_plan = plan.t_order.shape[0]
+
+    @jax.custom_vjp
+    def _f(x):
+        return jnp.take(x, idx, axis=0)
+
+    def fwd(x):
+        return _f(x), None
+
+    def bwd(_, g):
+        gp = g
+        if gp.shape[0] < E_plan:
+            gp = jnp.pad(gp, ((0, E_plan - gp.shape[0]), (0, 0)))
+        if side == "receiver":
+            view = plan
+        else:
+            # Destination windows of the transpose plan describe the
+            # SENDERS (edges re-sorted by sender); permute cotangents to
+            # that order first.
+            gp = jnp.take(gp, plan.t_order, axis=0)
+            view = _dc.replace(plan, wr=plan.t_wr, rcv_rel=plan.t_rcv_rel)
+        out = segment_reduce_pallas(gp, view, n, interpret=interpret)
+        return (out[:n].astype(g.dtype),)
+
+    _f.defvjp(fwd, bwd)
+    return _f(x)

@@ -161,3 +161,39 @@ def test_sharded_gcn_bf16_composes_with_plan():
     for g in jax.tree_util.tree_leaves(g16):
         assert np.asarray(g).dtype == np.float32
         assert np.isfinite(np.asarray(g)).all()
+
+
+def test_gatedgcn_planned_scatter_matches_xla(pallas_backend):
+    """GatedGCN's two [E, F] scatters ride segment_reduce_pallas when a
+    plan is attached: values and grads match the XLA path."""
+    from graph_hscn_tpu.models.layers import GatedGCNConv
+
+    b = _gat_batch()
+    assert b.spmm is not None
+    n = b.num_nodes_padded
+    E = b.senders.shape[0]
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.normal(size=(n, 16)).astype(np.float32))
+    e = jnp.asarray(rng.normal(size=(E, 16)).astype(np.float32))
+    layer = GatedGCNConv(features=16)
+    params = layer.init(jax.random.PRNGKey(0), x, e, b.senders,
+                        b.receivers, b.edge_mask, num_nodes=n)
+
+    def run(plan):
+        def loss(p):
+            xo, eo = layer.apply(p, x, e, b.senders, b.receivers,
+                                 b.edge_mask, num_nodes=n, plan=plan)
+            return jnp.sum(xo ** 2) + jnp.sum(eo ** 2), (xo, eo)
+        (val, outs), grads = jax.value_and_grad(loss, has_aux=True)(params)
+        return val, outs, grads
+
+    v_pl, (xo_pl, _), g_pl = run(b.spmm)
+    spmm_mod.set_backend("xla")
+    v_xla, (xo_xla, _), g_xla = run(b.spmm)
+    np.testing.assert_allclose(np.asarray(xo_pl), np.asarray(xo_xla),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(float(v_pl), float(v_xla), rtol=2e-4)
+    for a, c in zip(jax.tree_util.tree_leaves(g_pl),
+                    jax.tree_util.tree_leaves(g_xla)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=5e-4, atol=5e-4)
