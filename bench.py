@@ -295,11 +295,20 @@ def bench_model_step(steps: int = 3):
     state = init_state(model, tx, example, seed=0)
     state, outs = tr_fn(state, ds, jnp.asarray(perm))
     float(jnp.sum(outs[0]))
-    t0 = time.perf_counter()
-    for _ in range(steps):
-        state, outs = tr_fn(state, ds, jnp.asarray(perm))
-    float(jnp.sum(outs[0]))
-    dt = (time.perf_counter() - t0) / steps
+
+    def timed(k):
+        nonlocal state
+        t0 = time.perf_counter()
+        for _ in range(k):
+            state, outs = tr_fn(state, ds, jnp.asarray(perm))
+        float(jnp.sum(outs[0]))
+        return time.perf_counter() - t0
+
+    # Difference two epoch counts: cancels the relay's fixed per-batch
+    # latency (same correction as scan_bench).
+    t_small = min(timed(1) for _ in range(2))
+    t_large = min(timed(1 + 2 * steps) for _ in range(2))
+    dt = max(t_large - t_small, 1e-9) / (2 * steps)
     nb = perm.shape[0]
     e_total = sum(g.num_edges for g in graphs)
     log(f"model train step (GCN-5 h128, device-resident): "

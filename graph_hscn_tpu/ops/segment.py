@@ -68,7 +68,7 @@ def graph_readout_sum(node_values, node_graph, num_graphs: int):
 
 
 def segment_sum_planned(msgs, receivers, num_segments: int, plan=None,
-                        interpret=None):
+                        interpret=None, indices_are_sorted: bool = True):
     """Receiver-sorted segment-sum that rides the windowed one-hot MXU
     kernel when a batch SpMM plan is attached and the Pallas backend is
     on (ops/pallas/sddmm_kernel.segment_reduce_pallas: ~3x faster than
@@ -84,7 +84,7 @@ def segment_sum_planned(msgs, receivers, num_segments: int, plan=None,
     from graph_hscn_tpu.ops.spmm import pallas_enabled
     if plan is None or not pallas_enabled():
         return segment_sum(msgs, receivers, num_segments,
-                           indices_are_sorted=True)
+                           indices_are_sorted=indices_are_sorted)
 
     from graph_hscn_tpu.ops.pallas.sddmm_kernel import segment_reduce_pallas
     E_plan = plan.t_order.shape[0]

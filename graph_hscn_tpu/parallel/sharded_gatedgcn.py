@@ -75,7 +75,8 @@ def _layer_norm(x, p, eps=1e-6):
     return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
 
 
-def make_sharded_gatedgcn(mesh: Mesh, num_layers: int, axis: str = "data"):
+def make_sharded_gatedgcn(mesh: Mesh, num_layers: int, axis: str = "data",
+                          use_spmm_plan: bool = False):
     """Builds (forward, value_and_grad).
 
     forward(params, x_blocks [D,Nb,F], e_loc [D,El,Fe]|None,
@@ -87,7 +88,11 @@ def make_sharded_gatedgcn(mesh: Mesh, num_layers: int, axis: str = "data"):
     def _dense(h, p):
         return h @ p["kernel"] + p["bias"]
 
+    n_extra = 1 if use_spmm_plan else 0
+
     def per_device_forward(params, x_blk, ok_blk, *args):
+        if n_extra:
+            sp, args = args[-1], args[:-1]
         has_e = len(args) == 9   # e_loc + e_hal + the 7 plan arrays
         if has_e:
             e0_loc, e0_hal = args[0][0], args[1][0]
@@ -100,6 +105,35 @@ def make_sharded_gatedgcn(mesh: Mesh, num_layers: int, axis: str = "data"):
         x0 = x_blk[0]
         ok = ok_blk[0]
         nb = x0.shape[0]
+        if n_extra:
+            # Local-group scatters and gather-backwards ride the windowed
+            # one-hot segment-reduce kernel on this device's plan (the
+            # same 2.1x lever as the single-device GatedGCN layer; halo
+            # groups are small and stay XLA).
+            from graph_hscn_tpu.ops.segment import (gather_planned,
+                                                    segment_sum_planned)
+            sp_d = jax.tree_util.tree_map(lambda a: a[0], sp)
+
+            def seg_loc(m):
+                return segment_sum_planned(m, rcv_loc, nb, plan=sp_d,
+                                           indices_are_sorted=False
+                                           ).astype(m.dtype)
+
+            def take_rcv(h):
+                return gather_planned(h, rcv_loc, plan=sp_d,
+                                      side="receiver")
+
+            def take_snd(h):
+                return gather_planned(h, snd_loc, plan=sp_d, side="sender")
+        else:
+            def seg_loc(m):
+                return segment_sum(m, rcv_loc, nb)
+
+            def take_rcv(h):
+                return h[rcv_loc]
+
+            def take_snd(h):
+                return h[snd_loc]
 
         def _halo(h):
             outbound = jnp.take(h, send_idx, axis=0)
@@ -126,17 +160,17 @@ def make_sharded_gatedgcn(mesh: Mesh, num_layers: int, axis: str = "data"):
             e_hal_src = _dense(halo, layer["E"])
             b_hal_src = _dense(halo, layer["B"])
 
-            e_new_loc = _dense(e_loc, layer["C"]) + dx[rcv_loc] \
-                + ex[snd_loc]
+            e_new_loc = _dense(e_loc, layer["C"]) + take_rcv(dx) \
+                + take_snd(ex)
             e_new_hal = _dense(e_hal, layer["C"]) + dx[rcv_hal] \
                 + e_hal_src[snd_hal]
             sig_loc = jnp.where(m_loc[:, None],
                                 jax.nn.sigmoid(e_new_loc), 0.0)
             sig_hal = jnp.where(m_hal[:, None],
                                 jax.nn.sigmoid(e_new_hal), 0.0)
-            denom = (segment_sum(sig_loc, rcv_loc, nb)
+            denom = (seg_loc(sig_loc)
                      + segment_sum(sig_hal, rcv_hal, nb))
-            agg = (segment_sum(sig_loc * bx[snd_loc], rcv_loc, nb)
+            agg = (seg_loc(sig_loc * take_snd(bx))
                    + segment_sum(sig_hal * b_hal_src[snd_hal], rcv_hal,
                                  nb))
             x_new = _dense(x, layer["A"]) + agg / (denom + _EPS)
@@ -156,10 +190,12 @@ def make_sharded_gatedgcn(mesh: Mesh, num_layers: int, axis: str = "data"):
         return (P(),) + (P(axis),) * n_in
 
     fwd_e = jax.jit(jax.shard_map(per_device_forward, mesh=mesh,
-                                  in_specs=_specs(11), out_specs=P(axis),
+                                  in_specs=_specs(11 + n_extra),
+                                  out_specs=P(axis),
                                   check_vma=False))
     fwd_noe = jax.jit(jax.shard_map(per_device_forward, mesh=mesh,
-                                    in_specs=_specs(9), out_specs=P(axis),
+                                    in_specs=_specs(9 + n_extra),
+                                    out_specs=P(axis),
                                     check_vma=False))
 
     def per_device_value_grad(params, x_blk, ok_blk, y_blk, gcnt, *args):
@@ -181,16 +217,18 @@ def make_sharded_gatedgcn(mesh: Mesh, num_layers: int, axis: str = "data"):
         return (P(),) + (P(axis),) * 3 + (None,) + (P(axis),) * n_in
 
     vg_e = jax.jit(jax.shard_map(per_device_value_grad, mesh=mesh,
-                                 in_specs=_vg_specs(9),
+                                 in_specs=_vg_specs(9 + n_extra),
                                  out_specs=(P(), P()), check_vma=False),
                    static_argnums=(4,))
     vg_noe = jax.jit(jax.shard_map(per_device_value_grad, mesh=mesh,
-                                   in_specs=_vg_specs(7),
+                                   in_specs=_vg_specs(7 + n_extra),
                                    out_specs=(P(), P()), check_vma=False),
                      static_argnums=(4,))
 
     def _eargs(e_loc, e_hal, plan):
         base = tuple(plan[k] for k in _PLAN_KEYS)
+        if use_spmm_plan:
+            base = base + (plan["spmm_loc"],)
         if e_loc is None:
             return base
         return (e_loc, e_hal) + base

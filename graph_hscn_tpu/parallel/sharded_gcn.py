@@ -351,7 +351,7 @@ def fit_edge_partitioned(dm, mesh: Mesh, mpnn_cfg, optim_cfg, training_cfg,
         plan = {k: jnp.asarray(v) for k, v in plan_np.items()
                 if k not in ("block_size", "halo_width",
                              "eidx_loc", "eidx_hal")}
-        if conv in ("gcn", "gat") and pallas_enabled():
+        if conv in ("gcn", "gat", "gatedgcn") and pallas_enabled():
             from graph_hscn_tpu.parallel.edge_partition import \
                 local_spmm_plans
             sp = local_spmm_plans(plan_np, plan_np["block_size"])
@@ -388,7 +388,7 @@ def fit_edge_partitioned(dm, mesh: Mesh, mpnn_cfg, optim_cfg, training_cfg,
                     "halo payloads, f32 params/logits.")
     # bf16 composes with the plan path (kernel takes bf16 operands with
     # f32 MXU accumulation) — no dtype restriction.
-    use_spmm_plan = conv in ("gcn", "gat") and all(
+    use_spmm_plan = conv in ("gcn", "gat", "gatedgcn") and all(
         "spmm_loc" in s[1] for s in splits.values())
     if not use_spmm_plan:
         for s in splits.values():
@@ -437,7 +437,8 @@ def fit_edge_partitioned(dm, mesh: Mesh, mpnn_cfg, optim_cfg, training_cfg,
             edge_dim, mpnn_cfg.hidden_channels, dm.num_classes,
             mpnn_cfg.num_layers)
         _fw_g, _vg_g = make_sharded_gatedgcn(mesh, mpnn_cfg.num_layers,
-                                             axis=axis)
+                                             axis=axis,
+                                             use_spmm_plan=use_spmm_plan)
 
         def forward(p, xb, plan):
             return _fw_g(p, xb, plan.get("e_loc"), plan.get("e_hal"),
