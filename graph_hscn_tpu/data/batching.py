@@ -159,7 +159,7 @@ def pack_batch(
     sort_edges_by_receiver: bool = True,
     with_spmm_plan: bool = False,
     slot_nodes: int | None = None,
-    spmm_tile: int | None = None,
+    spmm_tile: tuple[int, int] | int | None = None,
 ) -> GraphBatch:
     """Flatten + pad a list of graphs into one GraphBatch (numpy arrays).
 

@@ -47,6 +47,17 @@ class DataModule:
             from graph_hscn_tpu.data import lrgb
             graphs, split_idx = lrgb.try_load(data_cfg.data_dir,
                                               data_cfg.dataset_name)
+            if graphs is None:
+                # An explicit data_dir is a request for REAL data: falling
+                # back to the synthetic generator here would silently
+                # train on the wrong dataset (and could fake a parity
+                # verdict — scripts/parity_run.py relies on this raise).
+                raise FileNotFoundError(
+                    f"data_dir={data_cfg.data_dir!r} has no usable "
+                    f"{data_cfg.dataset_name}.npz cache (run "
+                    "scripts/convert_lrgb.py); refusing to fall back to "
+                    "synthetic data silently — unset data_dir for the "
+                    "synthetic generator")
         if graphs is None:
             maker = _SYNTH.get(data_cfg.dataset_name)
             if maker is None:

@@ -135,7 +135,10 @@ def main():
     cfg_name = {"peptides_func": "peptides_func_GCN.yaml",
                 "peptides_struct": "peptides_struct_GCN.yaml"}.get(
         args.dataset, f"{args.dataset}_GCN.yaml")
-    if args.skip_reference and args.reference_log:
+    if args.skip_reference:
+        if not args.reference_log:
+            raise SystemExit("--skip-reference requires --reference-log "
+                             "(a prior run's captured output to parse)")
         ref_text = Path(args.reference_log).read_text()
         result["phases"]["reference"] = f"log:{args.reference_log}"
     elif args.reference_cmd:
@@ -173,8 +176,19 @@ def main():
             base["training"]["eval_period"] = 2
             base["training"]["patience"] = 50
         else:
+            cache = data_dir / f"{args.dataset}.npz"
+            if not cache.exists():
+                raise SystemExit(
+                    f"no converted cache at {cache} — a real parity "
+                    "verdict must not train on synthetic data (pass "
+                    "--data-dir of a populated cache, or drop "
+                    "--skip-convert).  DataModule also refuses a bad "
+                    "data_dir, but failing here is clearer.")
             base["data"]["data_dir"] = str(data_dir)
-        fw_cfg_path = Path(tempfile.mkstemp(suffix=".yaml")[1])
+        fd, tmp_name = tempfile.mkstemp(suffix=".yaml")
+        import os
+        os.close(fd)
+        fw_cfg_path = Path(tmp_name)
         fw_cfg_path.write_text(yaml.safe_dump(base))
     fw_text = run_and_capture(
         [sys.executable, REPO / "main.py", "--cfg", fw_cfg_path],

@@ -67,19 +67,31 @@ def test_sharded_gcn_dropout_trains_stochastic_eval_deterministic(setup):
 
 
 def test_per_device_masks_differ(setup):
-    """Devices fold their mesh index into the step key: with identical
-    features on every block, dropped activations still differ across
-    blocks (no lockstep masks)."""
-    mesh, plan, xb, yb, okb = setup
-    dims = [14, 32, 21]
-    params = init_sharded_gcn_params(jax.random.PRNGKey(0), dims)
-    _, vg = make_sharded_gcn(mesh, num_layers=2, dropout=0.5)
-    # Same key twice is the determinism baseline; flipping only the seed
-    # of the step key changes the loss — combined with the reproducibility
-    # assertion above this pins the fold_in(step, device) seeding.
-    l1, _ = vg(params, xb, plan, yb, okb, key=jax.random.PRNGKey(3))
-    l2, _ = vg(params, xb, plan, yb, okb, key=jax.random.PRNGKey(4))
-    assert float(l1) != float(l2)
+    """Devices fold their mesh index into the step key: the SAME step key
+    must yield DIFFERENT dropout masks on different devices (no lockstep
+    masks under data sharding).  Asserted directly on _device_key +
+    _dropout inside a shard_map over the mesh."""
+    from jax.sharding import PartitionSpec as P
+
+    from graph_hscn_tpu.parallel.sharded_gcn import _device_key, _dropout
+
+    mesh, *_ = setup
+
+    def per_device(key):
+        dk = _device_key(key[0], "data")
+        kept = _dropout(jnp.ones((4, 64)), dk, 0, 0.5)
+        return kept[None]
+
+    masks = jax.jit(jax.shard_map(
+        per_device, mesh=mesh,
+        in_specs=(P("data"),), out_specs=P("data"),
+        check_vma=False))(
+        jnp.broadcast_to(jax.random.PRNGKey(3), (D, 2)))
+    masks = np.asarray(masks)           # [D, 4, 64]
+    for d in range(1, D):
+        assert not np.array_equal(masks[0], masks[d]), d
+    # And the same device/key is reproducible.
+    assert np.array_equal(masks[0], masks[0].copy())
 
 
 def _run_cfg(extra_mp, tmp_path):
