@@ -49,6 +49,7 @@ class DeviceDataset:
     cluster: Any = None   # [NG, slot]
     eigvecs: Any = None   # [NG, slot, K]
     eigvals: Any = None   # [NG, slot, K]
+    adj: Any = None       # [NG, slot, slot] uint8 per-graph dense adjacency
     slot: int = dataclasses.field(default=0, metadata=dict(static=True))
     e_slot: int = dataclasses.field(default=0, metadata=dict(static=True))
 
@@ -116,7 +117,37 @@ class DeviceDataset:
                            eigvals=eigvals, slot=slot, e_slot=e_slot)
         if device_put:
             ds = jax.tree_util.tree_map(jax.device_put, ds)
+        # Per-graph dense adjacency CACHE: rebuilding the [G, slot, slot]
+        # adjacency by scatter every step measured 278 us vs 35 us for a
+        # uint8 cached gather (30% of the molecular train step).  Built
+        # ONCE on device (no host->device upload of the big array; the
+        # relay charges ~3 s per 18 MB) and only when it fits the budget
+        # and the graphs carry no per-edge weights (the cache stores
+        # unweighted counts — weighted paths rebuild per step).
+        has_w = any(g.edge_weight is not None for g in graphs)
+        if (device_put and not has_w
+                and NG * slot * slot <= ADJ_CACHE_BUDGET_BYTES):
+            ds = ds.replace(adj=_build_adj_cache(ds))
         return ds
+
+
+ADJ_CACHE_BUDGET_BYTES = 512 * 1024 * 1024   # uint8 entries == bytes
+
+
+@jax.jit
+def _build_adj_cache(ds: "DeviceDataset"):
+    """One-time vmapped scatter: [NG, slot, slot] uint8 adjacency counts
+    (adj[g, dst_local, src_local]) from the local per-graph edge lists."""
+    slot = ds.slot
+
+    def one(src_row, dst_row, ok_row):
+        flat = dst_row * slot + src_row
+        flat = jnp.where(ok_row, flat, slot * slot)
+        a = jnp.zeros((slot * slot + 1,), jnp.uint8)
+        a = a.at[flat].add(ok_row.astype(jnp.uint8))
+        return a[:-1].reshape(slot, slot)
+
+    return jax.vmap(one)(ds.edges_src, ds.edges_dst, ds.edge_ok)
 
 
 def assemble(ds: DeviceDataset, idx: jnp.ndarray) -> GraphBatch:
@@ -173,6 +204,12 @@ def assemble(ds: DeviceDataset, idx: jnp.ndarray) -> GraphBatch:
                if ds.eigvecs is not None else None)
     eigvals = (jnp.take(ds.eigvals, safe, axis=0).reshape(B * slot, -1)
                if ds.eigvals is not None else None)
+    # Cached per-graph adjacency: one block gather + cast instead of the
+    # per-step scatter build (ops/dense.build_dense_adj); dummy slots
+    # zeroed so resolve_dense_adj consumers see no phantom edges.
+    dense_adj = (jnp.take(ds.adj, safe, axis=0).astype(jnp.float32)
+                 * real[:, None, None].astype(jnp.float32)
+                 if ds.adj is not None else None)
 
     return GraphBatch(
         node_feat=node_feat, senders=senders, receivers=receivers,
@@ -182,7 +219,7 @@ def assemble(ds: DeviceDataset, idx: jnp.ndarray) -> GraphBatch:
         graph_mask=pad_g(real),
         y=y, node_y=node_y, cluster=cluster,
         eigvecs=eigvecs, eigvals=eigvals, edge_feat=edge_feat,
-        slot=slot,
+        slot=slot, dense_adj=dense_adj,
     )
 
 

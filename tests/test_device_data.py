@@ -9,6 +9,7 @@ from graph_hscn_tpu.config.config import (DataConfig, MPNNConfig,
                                           OptimConfig, TrainingConfig)
 from graph_hscn_tpu.data.batching import PadBudget, pack_batch
 from graph_hscn_tpu.data.pipeline import DataModule
+from graph_hscn_tpu.data import synthetic
 from graph_hscn_tpu.data.synthetic import make_peptides_func
 from graph_hscn_tpu.models.mpnn import MPNN
 from graph_hscn_tpu.train.device_data import (DeviceDataset, assemble,
@@ -91,3 +92,40 @@ def test_fit_device_trains():
                         logger=Logger(metric_name="ap"))
     assert result.history[-1]["train_loss"] < result.history[0]["train_loss"]
     assert result.history[-1]["validation_perf"] > 0.5
+
+
+def test_cached_adjacency_matches_scatter_build():
+    """DeviceDataset's one-time uint8 adjacency cache, gathered at
+    assemble time, equals ops/dense.build_dense_adj's per-step scatter
+    (incl. zeroed dummy slots and partial batches)."""
+    import dataclasses
+
+    from graph_hscn_tpu.ops.dense import build_dense_adj
+
+    graphs = synthetic.make_peptides_func(num_graphs=12, seed=9,
+                                          mean_nodes=40)
+    ds = DeviceDataset.build(graphs)
+    assert ds.adj is not None
+    idx = jnp.asarray([3, 7, -1, 0], jnp.int32)     # incl. a dummy slot
+    b = jax.jit(assemble)(ds, idx)
+    assert b.dense_adj is not None
+    rebuilt = build_dense_adj(dataclasses.replace(b, dense_adj=None))
+    np.testing.assert_array_equal(np.asarray(b.dense_adj),
+                                  np.asarray(rebuilt))
+
+
+def test_adj_cache_skipped_for_weighted_or_oversize():
+    from graph_hscn_tpu.train import device_data as dd
+
+    graphs = synthetic.make_peptides_func(num_graphs=4, seed=2,
+                                          mean_nodes=30)
+    weighted = [g.replace(edge_weight=np.ones(g.num_edges, np.float32))
+                for g in graphs]
+    assert DeviceDataset.build(weighted).adj is None
+
+    old = dd.ADJ_CACHE_BUDGET_BYTES
+    try:
+        dd.ADJ_CACHE_BUDGET_BYTES = 1
+        assert DeviceDataset.build(graphs).adj is None
+    finally:
+        dd.ADJ_CACHE_BUDGET_BYTES = old
