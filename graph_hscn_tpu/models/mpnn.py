@@ -66,6 +66,14 @@ class MPNN(nn.Module):
         elif ct == "gat":
             extra = {"dense_adj": resolve_dense_adj(batch),
                      "plan": batch.spmm}
+        if ct == "gcn" and extra.get("dense_adj") is not None:
+            # Normalize the adjacency ONCE for the whole stack: it is
+            # layer-independent, and per-layer re-normalization
+            # materializes a fresh [G, S, S] array each layer.
+            from graph_hscn_tpu.models.layers import GCNConv
+            adj_n, diag_n = GCNConv.normalize_dense(extra["dense_adj"])
+            extra = {"dense_adj": adj_n, "dense_diag": diag_n,
+                     "dense_pre_normalized": True, "plan": batch.spmm}
         for i, dim in enumerate(dims):
             if ct == "gat" and self.num_heads > 1:
                 # Multi-head GAT, PyG convention: hidden layers split the
