@@ -302,8 +302,12 @@ def bench_model_step(steps: int = 3):
     # fixed per-dispatch cost cancels in the two-count difference — k
     # separate tr_fn dispatches would each pay it and the subtraction
     # would not remove it.
+    # ds/perm are ARGUMENTS, not closures: closed-over arrays become
+    # embedded constants that re-upload per dispatch on the relay
+    # (CLAUDE.md), which would re-add the very noise this measurement
+    # removes.
     @jax.jit
-    def run_epochs(state, k):
+    def run_epochs(state, ds, perm_d, k):
         def body(_, carry):
             st, acc = carry
             st, outs = tr_fn(st, ds, perm_d)
@@ -315,11 +319,11 @@ def bench_model_step(steps: int = 3):
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            float(run_epochs(state, jnp.int32(k)))
+            float(run_epochs(state, ds, perm_d, jnp.int32(k)))
             best = min(best, time.perf_counter() - t0)
         return best
 
-    float(run_epochs(state, jnp.int32(1)))      # compile once
+    float(run_epochs(state, ds, perm_d, jnp.int32(1)))   # compile once
     t_small = timed(1)
     t_large = timed(1 + 4 * steps)
     dt = max(t_large - t_small, 1e-9) / (4 * steps)

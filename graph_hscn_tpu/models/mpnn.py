@@ -70,7 +70,6 @@ class MPNN(nn.Module):
             # Normalize the adjacency ONCE for the whole stack: it is
             # layer-independent, and per-layer re-normalization
             # materializes a fresh [G, S, S] array each layer.
-            from graph_hscn_tpu.models.layers import GCNConv
             adj_n, diag_n = GCNConv.normalize_dense(extra["dense_adj"])
             extra = {"dense_adj": adj_n, "dense_diag": diag_n,
                      "dense_pre_normalized": True, "plan": batch.spmm}

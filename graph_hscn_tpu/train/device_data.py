@@ -49,7 +49,7 @@ class DeviceDataset:
     cluster: Any = None   # [NG, slot]
     eigvecs: Any = None   # [NG, slot, K]
     eigvals: Any = None   # [NG, slot, K]
-    adj: Any = None       # [NG, slot, slot] uint8 per-graph dense adjacency
+    adj: Any = None       # [NG, slot, slot] uint16 per-graph adjacency
     slot: int = dataclasses.field(default=0, metadata=dict(static=True))
     e_slot: int = dataclasses.field(default=0, metadata=dict(static=True))
 
@@ -65,6 +65,15 @@ class DeviceDataset:
               device_put: bool = True,
               with_cluster: bool = False) -> "DeviceDataset":
         NG = len(graphs)
+        if any(g.edge_weight is not None for g in graphs):
+            # The device-resident layout carries no per-edge weights at
+            # all (assemble emits edge_weight=None), so weighted graphs
+            # would have their weights SILENTLY dropped on this path —
+            # refuse instead (the host batched path preserves them).
+            raise ValueError(
+                "DeviceDataset does not carry edge_weight; use the host "
+                "batched path (runtime.device_dataset: off) for "
+                "weighted graphs")
         F = graphs[0].x.shape[1]
         slot = slot or ((max(g.num_nodes for g in graphs) + 7) // 8) * 8
         e_slot = e_slot or ((max(g.num_edges for g in graphs) + 127)
@@ -119,32 +128,32 @@ class DeviceDataset:
             ds = jax.tree_util.tree_map(jax.device_put, ds)
         # Per-graph dense adjacency CACHE: rebuilding the [G, slot, slot]
         # adjacency by scatter every step measured 278 us vs 35 us for a
-        # uint8 cached gather (30% of the molecular train step).  Built
-        # ONCE on device (no host->device upload of the big array; the
-        # relay charges ~3 s per 18 MB) and only when it fits the budget
-        # and the graphs carry no per-edge weights (the cache stores
-        # unweighted counts — weighted paths rebuild per step).
-        has_w = any(g.edge_weight is not None for g in graphs)
-        if (device_put and not has_w
-                and NG * slot * slot <= ADJ_CACHE_BUDGET_BYTES):
+        # cached gather (30% of the molecular train step).  Built ONCE on
+        # device (no host->device upload of the big array; the relay
+        # charges ~3 s per 18 MB), uint16 counts (wrap would need 65k
+        # parallel edges between one node pair), budget-guarded.
+        if (device_put
+                and NG * slot * slot * 2 <= ADJ_CACHE_BUDGET_BYTES):
             ds = ds.replace(adj=_build_adj_cache(ds))
         return ds
 
 
-ADJ_CACHE_BUDGET_BYTES = 512 * 1024 * 1024   # uint8 entries == bytes
+ADJ_CACHE_BUDGET_BYTES = 512 * 1024 * 1024
 
 
 @jax.jit
 def _build_adj_cache(ds: "DeviceDataset"):
-    """One-time vmapped scatter: [NG, slot, slot] uint8 adjacency counts
-    (adj[g, dst_local, src_local]) from the local per-graph edge lists."""
+    """One-time vmapped scatter: [NG, slot, slot] uint16 adjacency counts
+    (adj[g, dst_local, src_local]) from the local per-graph edge lists.
+    uint16 so duplicate-edge multigraphs cannot wrap (uint8 would wrap at
+    256 parallel edges and silently diverge from build_dense_adj)."""
     slot = ds.slot
 
     def one(src_row, dst_row, ok_row):
         flat = dst_row * slot + src_row
         flat = jnp.where(ok_row, flat, slot * slot)
-        a = jnp.zeros((slot * slot + 1,), jnp.uint8)
-        a = a.at[flat].add(ok_row.astype(jnp.uint8))
+        a = jnp.zeros((slot * slot + 1,), jnp.uint16)
+        a = a.at[flat].add(ok_row.astype(jnp.uint16))
         return a[:-1].reshape(slot, slot)
 
     return jax.vmap(one)(ds.edges_src, ds.edges_dst, ds.edge_ok)

@@ -114,14 +114,19 @@ def test_cached_adjacency_matches_scatter_build():
                                   np.asarray(rebuilt))
 
 
-def test_adj_cache_skipped_for_weighted_or_oversize():
+def test_weighted_graphs_refused_and_oversize_cache_skipped():
+    import pytest
+
     from graph_hscn_tpu.train import device_data as dd
 
     graphs = synthetic.make_peptides_func(num_graphs=4, seed=2,
                                           mean_nodes=30)
+    # The device-resident layout cannot carry per-edge weights; building
+    # one from weighted graphs must refuse loudly, not drop them.
     weighted = [g.replace(edge_weight=np.ones(g.num_edges, np.float32))
                 for g in graphs]
-    assert DeviceDataset.build(weighted).adj is None
+    with pytest.raises(ValueError, match="edge_weight"):
+        DeviceDataset.build(weighted)
 
     old = dd.ADJ_CACHE_BUDGET_BYTES
     try:
