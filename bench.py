@@ -459,15 +459,26 @@ def main():
             f"-> {real_edges / dt_sparse / 1e6:.1f} M edges/s")
 
     if dt_dense is None:
-        # The dense path is the usual headline winner; if its first
-        # compile hit the service wedge, try once more now that other
-        # programs have gotten through (the wedge is intermittent).
-        log("retrying dense path once...")
-        dt_dense = with_deadline(lambda: bench_dense(batch, n_max, feat),
-                                 300, "dense path retry")
-        if dt_dense:
-            log(f"dense-block fwd+bwd (retry): {dt_dense * 1e6:.1f} us "
-                f"-> {real_edges / dt_dense / 1e6:.1f} M edges/s")
+        # The dense path is the usual headline winner; the wedge is
+        # intermittent (observed full 15-minute outages where even
+        # cache-served programs hang in the relay), so retry with backoff
+        # rather than record NaN on the first bad window.
+        for attempt in range(3):
+            log(f"retrying dense path (attempt {attempt + 1}/3, "
+                "60s backoff)...")
+            time.sleep(60)
+            dt_dense = with_deadline(
+                lambda: bench_dense(batch, n_max, feat), 300,
+                f"dense path retry {attempt + 1}")
+            if dt_dense:
+                log(f"dense-block fwd+bwd (retry): {dt_dense * 1e6:.1f} us"
+                    f" -> {real_edges / dt_dense / 1e6:.1f} M edges/s")
+                break
+    if dt_dense is None and dt_sparse is None:
+        log("retrying sparse path after backoff...")
+        time.sleep(60)
+        dt_sparse = with_deadline(lambda: bench_sparse(batch, feat),
+                                  300, "sparse path retry")
 
     candidates = [d for d in (dt_sparse, dt_dense) if d]
     if not candidates:
