@@ -282,3 +282,49 @@ def test_weight_grad_skip(planned_batch):
     np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref),
                                rtol=1e-4, atol=1e-4)
     assert not np.asarray(dw).any()
+
+
+def test_hbm_streamed_bf16_grads_match_xla():
+    """bf16 operands through the HBM-streamed kernel (VERDICT r2 item 5:
+    the guard lift needs a grad-allclose check in interpret mode) —
+    scratch follows x.dtype, accumulation stays f32, dx/dw cotangents
+    rejoin bf16 and track the XLA reference at bf16 tolerances."""
+    from graph_hscn_tpu.ops.pallas.spmm_kernel import spmm_pallas_hbm
+
+    graphs = make_peptides_func(num_graphs=8, seed=15, mean_nodes=60)
+    budget = PadBudget.for_dataset(graphs, batch_size=8, edge_multiple=256)
+    b = pack_batch(graphs, budget, with_spmm_plan=True)
+    assert b.spmm is not None
+    n = b.num_nodes_padded
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(n, 64)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    w = jnp.asarray(rng.uniform(0.5, 1.5, size=b.senders.shape)
+                    .astype(np.float32)).astype(jnp.bfloat16)
+    g = jnp.asarray(rng.normal(size=(n, 64)).astype(np.float32))
+
+    out = spmm_pallas_hbm(x, b.spmm, edge_weight=w, num_nodes=n,
+                          interpret=True)
+    ref = xla_ref(x.astype(jnp.float32), b, w.astype(jnp.float32))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+    def f_k(x, w):
+        y = spmm_pallas_hbm(x, b.spmm, edge_weight=w, num_nodes=n,
+                            interpret=True)
+        return jnp.vdot(y.astype(jnp.float32), g)
+
+    def f_r(x, w):
+        y = xla_ref(x.astype(jnp.float32), b, w.astype(jnp.float32))
+        return jnp.vdot(y, g)
+
+    dxk, dwk = jax.grad(f_k, argnums=(0, 1))(x, w)
+    dxr, dwr = jax.grad(f_r, argnums=(0, 1))(x, w)
+    assert dxk.dtype == jnp.bfloat16 and dwk.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(dxk, np.float32),
+                               np.asarray(dxr, np.float32),
+                               rtol=5e-2, atol=5e-2)
+    mask = np.asarray(b.edge_mask)
+    np.testing.assert_allclose(np.asarray(dwk, np.float32)[mask],
+                               np.asarray(dwr, np.float32)[mask],
+                               rtol=5e-2, atol=2e-1)
