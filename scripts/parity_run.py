@@ -1,37 +1,46 @@
-"""Turnkey real-data parity run: convert -> reference train -> framework
-train -> AP-delta verdict (VERDICT round-2 item 6 / BASELINE.json gate).
+"""Turnkey parity run: reference train -> framework train -> metric-delta
+verdict (BASELINE.json 0.005-AP gate).
 
-On a networked machine with RDKit + torch_geometric installed:
+Modes for the reference phase (--mode):
 
-    python scripts/parity_run.py \
-        --dataset peptides_func \
-        --reference-dir /root/reference \
-        --data-dir /tmp/lrgb_cache \
-        --out PARITY_RESULT.json
+  shim   (default) EXECUTE the mounted reference code in-image: copy
+         /root/reference to a writable temp dir, pre-seed its dataset
+         cache with the shared synthetic graphs, and run its main.py
+         unmodified on pure-torch re-implementations of its PyG/OGB/wandb
+         dependencies (scripts/ref_shim/).  No network or RDKit needed;
+         both sides train on byte-identical data (one .npz, exported by
+         scripts/export_synthetic_npz.py, consumed natively by the
+         framework and converted to the reference's processed-dataset
+         layout by scripts/ref_shim/seed_reference_data.py).
+  cli    run the reference CLI as-is (requires a machine with real
+         torch_geometric + RDKit + network for the LRGB download).
+  stub   (--dry-run) fixed eval lines; validates orchestration only.
 
-Phases (each skippable / overridable):
-  1. convert    scripts/convert_lrgb.py --dataset <ds> --out <data-dir>
-                (downloads the LRGB CSV, RDKit smiles2graph, caches .npz —
-                reference peptides_functional.py:63-106 semantics).
-  2. reference  runs the MOUNTED reference CLI (`python main.py --cfg
-                configs/GCN/peptides_func_GCN.yaml` in --reference-dir),
-                parses its CustomLogger eval lines (logger.py:38-42
-                "Validation -- Loss: x, AP: y" / "Test -- ...").
-  3. framework  runs this repo's CLI with the matching config, pointing
-                data.data_dir at the converted cache.
-  4. verdict    test-AP at each side's best-val-loss eval, |delta| vs the
-                0.005 gate -> PARITY_RESULT.json (machine-readable).
+On this image a full verdict is one command:
 
---dry-run exercises the full orchestration without network/RDKit: the
-framework trains on the synthetic generator and the reference phase is a
-stub emitting fixed eval lines; the emitted JSON carries "dry_run": true.
+    python scripts/parity_run.py --dataset peptides_func --model gcn \
+        --num-graphs 512 --out PARITY_RESULT.json
+
+Both sides read their hyperparameters from the SAME framework YAML (the
+reference config is synthesized from it key-for-key), train with the
+reference's early-stop semantics, and the verdict compares each side's
+test metric at its best-val-loss eval epoch.
+
+Provenance is recorded in the JSON: ``reference_code: executed`` for shim
+mode (it is the reference's own Python, byte-unmodified, modulo the two
+documented environment shims: pe disabled because the PE path crashes as
+committed — SURVEY.md quirk #5 / main.py:41-44 passes pe_cfg=None — and
+the HSCNConfig.mp_units field its own main.py:102 reads but never
+declares, added by scripts/ref_shim/run_reference.py).
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import re
+import shutil
 import subprocess
 import sys
 import tempfile
@@ -39,11 +48,33 @@ import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
+SHIM_DIR = REPO / "scripts" / "ref_shim"
 GATE = 0.005
 
 EVAL_RE = re.compile(
     r"(Validation|Test)\s*--\s*Loss:\s*([-\d.na]+),\s*(?:AP|MAE|F1):\s*"
     r"([-\d.na]+)")
+
+# (dataset, model) -> framework config whose hyperparameters BOTH sides use.
+FRAMEWORK_CFGS = {
+    ("peptides_func", "gcn"): "configs/GCN/peptides_func_GCN.yaml",
+    ("peptides_func", "gat"): "configs/GAT/peptides_func_GAT.yaml",
+    ("peptides_func", "hscn"): "configs/HSCN/peptides_func_HSCN.yaml",
+    ("peptides_struct", "gcn"): "configs/GCN/peptides_struct_GCN.yaml",
+}
+
+# Keys each reference pydantic model accepts (config.py:32-152); anything
+# else in the framework YAML is TPU-runtime config the reference has no
+# analog for.
+REF_MP_KEYS = ("conv_type", "activation", "hidden_channels", "num_layers",
+               "dropout", "use_batch_norm", "use_layer_norm")
+REF_HSCN_KEYS = ("activation", "lv_conv_type", "ll_conv_type",
+                 "vv_conv_type", "hidden_channels", "num_layers",
+                 "num_clusters", "cluster_epochs", "mp_units")
+REF_OPTIM_KEYS = ("optim_type", "batch_accumulation", "clip_grad_norm",
+                  "lr", "weight_decay")
+REF_TRAIN_KEYS = ("model_type", "loss_fn", "metric", "eval_period",
+                  "min_delta", "patience")
 
 
 def log(msg: str) -> None:
@@ -83,17 +114,92 @@ def best_val_test_metric(text: str):
     return best
 
 
+def synthesize_reference_cfg(fw_cfg: dict, model: str,
+                             ref_epochs: int | None) -> dict:
+    """Translate the framework YAML into the reference's config schema so
+    both sides train with identical hyperparameters.
+
+    The reference always trains TrainingConfig.epochs (default 500) — its
+    shipped YAML's ``max_epochs`` key is silently dropped by pydantic
+    (SURVEY.md quirk #4).  We pin ``epochs`` to the framework's
+    ``max_epochs`` explicitly, which for the shipped configs (500) equals
+    the reference's effective behavior.
+    """
+    ref: dict = {"data": {
+        "dataset_name": fw_cfg["data"]["dataset_name"],
+        "batch_size": fw_cfg["data"].get("batch_size", 32),
+        "num_workers": 0,
+        # The reference's PE path crashes as committed (quirk #5 +
+        # pe_cfg=None when pe.use is false, main.py:41-44 vs loader.py:75).
+        "pe": False,
+    }}
+    if model == "hscn":
+        src = fw_cfg["hscn"]
+        ref["hscn"] = {k: src[k] for k in REF_HSCN_KEYS if k in src}
+    else:
+        src = fw_cfg["mp"]
+        ref["mp"] = {k: src[k] for k in REF_MP_KEYS if k in src}
+    src = fw_cfg["optim"]
+    ref["optim"] = {k: src[k] for k in REF_OPTIM_KEYS if k in src}
+    ref["pe"] = {"use": False}
+    src = fw_cfg["training"]
+    ref["training"] = {k: src[k] for k in REF_TRAIN_KEYS if k in src}
+    ref["training"]["use_wandb"] = True  # mandatory (quirk #3); shim no-ops
+    ref["training"]["epochs"] = int(
+        ref_epochs or fw_cfg["training"].get("max_epochs", 500))
+    return ref
+
+
+def run_reference_shim(dataset: str, npz_path: Path, ref_cfg: dict,
+                       reference_dir: str, workdir: Path, seed: int | None,
+                       timeout: int) -> str:
+    """Execute the mounted reference against the shared synthetic data."""
+    import yaml
+    ref_root = workdir / "reference_run"
+    if not ref_root.exists():
+        log(f"copying {reference_dir} -> {ref_root} (writable run dir)")
+        shutil.copytree(reference_dir, ref_root)
+        for p in ref_root.rglob("*"):
+            os.chmod(p, os.stat(p).st_mode | 0o200)
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "PYTHONPATH")}
+    env["PYTHONPATH"] = f"{SHIM_DIR}:{ref_root}"
+    if seed is not None:
+        env["PARITY_TORCH_SEED"] = str(seed)
+    run_and_capture(
+        [sys.executable, SHIM_DIR / "seed_reference_data.py",
+         "--npz", npz_path, "--dataset", dataset, "--ref-root", ref_root],
+        env=env, timeout=600)
+    cfg_path = ref_root / "configs" / "parity.yaml"
+    cfg_path.write_text(yaml.safe_dump(ref_cfg))
+    return run_and_capture(
+        [sys.executable, SHIM_DIR / "run_reference.py", "--cfg", cfg_path],
+        cwd=ref_root, env=env, timeout=timeout)
+
+
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=["shim", "cli"], default="shim")
     ap.add_argument("--dataset", default="peptides_func")
+    ap.add_argument("--model", default="gcn",
+                    choices=["gcn", "gat", "hscn"])
+    ap.add_argument("--num-graphs", type=int, default=512,
+                    help="synthetic dataset size (shim mode)")
+    ap.add_argument("--data-seed", type=int, default=0)
+    ap.add_argument("--ref-seed", type=int, default=None,
+                    help="torch.manual_seed for the reference process "
+                         "(default: unseeded, faithful to the reference)")
+    ap.add_argument("--ref-epochs", type=int, default=None,
+                    help="override the reference epoch count (quick runs); "
+                         "default follows the framework config's max_epochs")
+    ap.add_argument("--fw-epochs", type=int, default=None,
+                    help="override the framework max_epochs (quick runs)")
     ap.add_argument("--reference-dir", default="/root/reference")
     ap.add_argument("--reference-python", default=sys.executable)
     ap.add_argument("--reference-cfg", default=None,
-                    help="default: configs/GCN/<dataset>_GCN.yaml in the "
-                         "reference tree")
+                    help="cli mode: reference YAML path")
     ap.add_argument("--framework-cfg", default=None,
-                    help="default: configs/GCN/<dataset>_GCN.yaml here, "
-                         "with data.data_dir injected")
+                    help="default: FRAMEWORK_CFGS[(dataset, model)]")
     ap.add_argument("--data-dir", default=None)
     ap.add_argument("--out", default="PARITY_RESULT.json")
     ap.add_argument("--gate", type=float, default=GATE)
@@ -102,39 +208,59 @@ def main():
                     help="reuse --reference-log instead of running it")
     ap.add_argument("--reference-log", default=None)
     ap.add_argument("--reference-cmd", default=None,
-                    help="override the reference invocation (used by the "
-                         "dry-run test to stub it)")
+                    help="override the reference invocation entirely")
     ap.add_argument("--timeout", type=int, default=6 * 3600)
     ap.add_argument("--dry-run", action="store_true",
-                    help="no network/RDKit: synthetic data + stubbed "
-                         "reference; validates the orchestration")
+                    help="stubbed reference + tiny framework run; "
+                         "validates the orchestration only")
     args = ap.parse_args()
 
-    data_dir = Path(args.data_dir or tempfile.mkdtemp(prefix="lrgb_"))
+    import yaml
+
+    workdir = Path(tempfile.mkdtemp(prefix="parity_"))
+    data_dir = Path(args.data_dir) if args.data_dir else workdir / "data"
+    fw_cfg_default = FRAMEWORK_CFGS.get((args.dataset, args.model))
+    fw_cfg_path = Path(args.framework_cfg) if args.framework_cfg else (
+        REPO / fw_cfg_default if fw_cfg_default else None)
+    if fw_cfg_path is None or not fw_cfg_path.exists():
+        raise SystemExit(f"no framework config for "
+                         f"({args.dataset}, {args.model}); pass "
+                         "--framework-cfg")
+    fw_cfg = yaml.safe_load(fw_cfg_path.read_text())
+
     result = {
         "dataset": args.dataset,
+        "model": args.model,
         "gate": args.gate,
         "dry_run": bool(args.dry_run),
         "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
         "phases": {},
     }
 
-    # ---- Phase 1: convert. ----
-    if args.dry_run or args.skip_convert:
-        log("convert: skipped"
-            + (" (dry run: synthetic generator)" if args.dry_run else ""))
-        result["phases"]["convert"] = "skipped"
-    else:
+    # ---- Phase 1: shared data. ----
+    npz_path = data_dir / f"{args.dataset}.npz"
+    if args.dry_run:
+        log("data: skipped (dry run: synthetic generator in-process)")
+        result["phases"]["data"] = "skipped"
+    elif npz_path.exists():
+        log(f"data: reusing {npz_path}")
+        result["phases"]["data"] = f"reused:{npz_path}"
+    elif args.mode == "cli" and not args.skip_convert:
         run_and_capture(
             [sys.executable, REPO / "scripts" / "convert_lrgb.py",
              "--dataset", args.dataset, "--out", data_dir],
             timeout=args.timeout)
-        result["phases"]["convert"] = str(data_dir)
+        result["phases"]["data"] = f"converted:{data_dir}"
+    else:
+        run_and_capture(
+            [sys.executable, REPO / "scripts" / "export_synthetic_npz.py",
+             "--dataset", args.dataset, "--num-graphs", args.num_graphs,
+             "--seed", args.data_seed, "--out", data_dir],
+            timeout=1200)
+        result["phases"]["data"] = (
+            f"synthetic:{npz_path}:n={args.num_graphs}:seed={args.data_seed}")
 
     # ---- Phase 2: reference train. ----
-    cfg_name = {"peptides_func": "peptides_func_GCN.yaml",
-                "peptides_struct": "peptides_struct_GCN.yaml"}.get(
-        args.dataset, f"{args.dataset}_GCN.yaml")
     if args.skip_reference:
         if not args.reference_log:
             raise SystemExit("--skip-reference requires --reference-log "
@@ -152,46 +278,60 @@ def main():
                     "Validation -- Loss: 0.4000, AP: 0.5500\n"
                     "Test -- Loss: 0.4100, AP: 0.5400\n")
         result["phases"]["reference"] = "stub"
+    elif args.mode == "shim":
+        ref_cfg = synthesize_reference_cfg(fw_cfg, args.model,
+                                           args.ref_epochs)
+        ref_text = run_reference_shim(
+            args.dataset, npz_path, ref_cfg, args.reference_dir, workdir,
+            args.ref_seed, args.timeout)
+        result["phases"]["reference"] = "executed-shim"
+        result["provenance"] = {
+            "reference_code": "executed (mounted tree, byte-unmodified, "
+                              "on pure-torch shims of its PyG/OGB/wandb "
+                              "deps: scripts/ref_shim/)",
+            "data": result["phases"]["data"],
+            "amendments": [
+                "data.pe=False on both sides (reference PE path crashes "
+                "as committed: SURVEY.md quirk #5, main.py:41-44)",
+                "HSCNConfig.mp_units declared by the run wrapper (the "
+                "reference's main.py:102 reads it but its schema omits "
+                "it)",
+            ],
+            "ref_seed": args.ref_seed,
+            "ref_epochs": args.ref_epochs,
+        }
     else:
-        ref_cfg = args.reference_cfg or str(
-            Path(args.reference_dir) / "configs" / "GCN" / cfg_name)
+        ref_cfg_path = args.reference_cfg or str(
+            Path(args.reference_dir) / "configs" / "GCN" /
+            f"{args.dataset}_GCN.yaml")
         ref_text = run_and_capture(
-            [args.reference_python, "main.py", "--cfg", ref_cfg],
+            [args.reference_python, "main.py", "--cfg", ref_cfg_path],
             cwd=args.reference_dir, timeout=args.timeout)
-        result["phases"]["reference"] = ref_cfg
+        result["phases"]["reference"] = ref_cfg_path
     ref_val, ref_metric = best_val_test_metric(ref_text)
     if ref_metric is None:
         raise SystemExit("could not parse reference eval lines")
 
     # ---- Phase 3: framework train. ----
-    if args.framework_cfg:
-        fw_cfg_path = Path(args.framework_cfg)
+    base = dict(fw_cfg)
+    if args.dry_run:
+        base.setdefault("data", {})
+        base["data"]["num_graphs"] = 64
+        base["training"]["max_epochs"] = 4
+        base["training"]["eval_period"] = 2
+        base["training"]["patience"] = 50
     else:
-        import yaml
-        base = yaml.safe_load(
-            (REPO / "configs" / "GCN" / cfg_name).read_text())
-        if args.dry_run:
-            base["data"]["num_graphs"] = 64
-            base["training"]["max_epochs"] = 4
-            base["training"]["eval_period"] = 2
-            base["training"]["patience"] = 50
-        else:
-            cache = data_dir / f"{args.dataset}.npz"
-            if not cache.exists():
-                raise SystemExit(
-                    f"no converted cache at {cache} — a real parity "
-                    "verdict must not train on synthetic data (pass "
-                    "--data-dir of a populated cache, or drop "
-                    "--skip-convert).  DataModule also refuses a bad "
-                    "data_dir, but failing here is clearer.")
-            base["data"]["data_dir"] = str(data_dir)
-        fd, tmp_name = tempfile.mkstemp(suffix=".yaml")
-        import os
-        os.close(fd)
-        fw_cfg_path = Path(tmp_name)
-        fw_cfg_path.write_text(yaml.safe_dump(base))
+        if not npz_path.exists():
+            raise SystemExit(
+                f"no data cache at {npz_path} — a parity verdict needs "
+                "both sides on identical data")
+        base["data"]["data_dir"] = str(data_dir)
+        if args.fw_epochs:
+            base["training"]["max_epochs"] = args.fw_epochs
+    run_cfg_path = workdir / "framework_cfg.yaml"
+    run_cfg_path.write_text(yaml.safe_dump(base))
     fw_text = run_and_capture(
-        [sys.executable, REPO / "main.py", "--cfg", fw_cfg_path],
+        [sys.executable, REPO / "main.py", "--cfg", run_cfg_path],
         cwd=REPO, timeout=args.timeout)
     result["phases"]["framework"] = str(fw_cfg_path)
     fw_val, fw_metric = best_val_test_metric(fw_text)
@@ -204,8 +344,8 @@ def main():
         "reference": {"best_val_loss": ref_val, "test_metric": ref_metric},
         "framework": {"best_val_loss": fw_val, "test_metric": fw_metric},
         "delta": delta,
-        # The gate is only meaningful on REAL data with both sides
-        # trained to completion; a dry run validates plumbing, not parity.
+        # The gate is meaningful when the reference actually executed and
+        # both sides trained to completion on shared data.
         "pass": (None if args.dry_run else bool(delta <= args.gate)),
     })
     Path(args.out).write_text(json.dumps(result, indent=2))
