@@ -385,18 +385,23 @@ def spmm_pallas_hbm(x, plan: SpmmPlanArrays, edge_weight=None,
                               window=plan.window)
 
     def fwd(x, w):
-        return _spmm(x, w), (x, w)
+        # The plan rides through the RESIDUALS, not the bwd closure: a
+        # closure-captured plan leaks fwd-trace tracers when the VJP is
+        # applied in a different trace (grad THROUGH a shard_map whose
+        # body calls this kernel — the sharded SCN/HSCN convention,
+        # parallel/sharded_scn.py module docstring).
+        return _spmm(x, w), (x, w, plan)
 
     def bwd(res, g):
-        x, w = res
-        w_t = jnp.take(w, plan.t_order, axis=0)
-        dx = _spmm_hbm_call(g, w_t, plan.t_ws, plan.t_wr, plan.t_snd_rel,
-                            plan.t_rcv_rel, n, interpret,
-                            window=plan.window)
+        x, w, pl_ = res
+        w_t = jnp.take(w, pl_.t_order, axis=0)
+        dx = _spmm_hbm_call(g, w_t, pl_.t_ws, pl_.t_wr, pl_.t_snd_rel,
+                            pl_.t_rcv_rel, n, interpret,
+                            window=pl_.window)
         if weight_grad:
             from graph_hscn_tpu.ops.pallas.sddmm_kernel import \
                 sddmm_pallas_hbm
-            dw = sddmm_pallas_hbm(x, g, plan, interpret=interpret)
+            dw = sddmm_pallas_hbm(x, g, pl_, interpret=interpret)
         else:
             # Caller guarantees edge weights carry no trainable params
             # (gcn_norm etc.): skip the SDDMM — a third of the backward's
@@ -436,18 +441,20 @@ def spmm_pallas(x, plan: SpmmPlanArrays, edge_weight=None,
                           plan.rcv_rel, n, interpret, window=plan.window)
 
     def fwd(x, w):
-        return _spmm(x, w), (x, w)
+        # Plan rides through residuals (see spmm_pallas_hbm.fwd: closure
+        # capture leaks tracers under grad-through-shard_map).
+        return _spmm(x, w), (x, w, plan)
 
     def bwd(res, g):
-        x, w = res
-        w_t = jnp.take(w, plan.t_order, axis=0)
-        dx = _spmm_call(g, w_t, plan.t_ws, plan.t_wr, plan.t_snd_rel,
-                        plan.t_rcv_rel, n, interpret, window=plan.window)
+        x, w, pl_ = res
+        w_t = jnp.take(w, pl_.t_order, axis=0)
+        dx = _spmm_call(g, w_t, pl_.t_ws, pl_.t_wr, pl_.t_snd_rel,
+                        pl_.t_rcv_rel, n, interpret, window=pl_.window)
         if weight_grad:
             # dw[e] = <g[recv e], x[send e]> — exactly the SDDMM kernel
             # with (h_src = x, h_dst = g); masked slots return 0.
             from graph_hscn_tpu.ops.pallas.sddmm_kernel import sddmm_pallas
-            dw = sddmm_pallas(x, g, plan, interpret=interpret)
+            dw = sddmm_pallas(x, g, pl_, interpret=interpret)
         else:
             # Caller guarantees edge weights carry no trainable params
             # (gcn_norm etc.): skip the SDDMM — a third of the fwd+bwd

@@ -45,6 +45,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from graph_hscn_tpu.models.layers import ACTIVATIONS
 from graph_hscn_tpu.ops.segment import segment_sum
+from graph_hscn_tpu.ops.spmm import pallas_enabled
 
 _PLAN_KEYS = ("send_idx", "snd_loc", "rcv_loc", "mask_loc",
               "snd_hal", "rcv_hal", "mask_hal")
@@ -74,7 +75,7 @@ def init_sharded_scn_params(rng, num_features: int, mp_units, num_clusters):
 
 
 def make_sharded_scn(mesh: Mesh, num_clusters: int, mp_act: str = "relu",
-                     axis: str = "data"):
+                     axis: str = "data", use_spmm_plan: bool = False):
     """Builds (losses, value_and_grad, assign) over the mesh.
 
     losses(params, x_blocks, mask_blocks, outdeg_blocks, plan)
@@ -87,9 +88,17 @@ def make_sharded_scn(mesh: Mesh, num_clusters: int, mp_act: str = "relu",
     on GCN-normalized weights incl. the folded self-loop diagonal
     (gcn_norm_weights, reference train_clustering.py:37-47), MinCUT on the
     RAW unweighted adjacency (quirk #7 parity, reference hscn.py:61-63).
+
+    ``use_spmm_plan``: the plan dict carries ``spmm_loc``
+    (edge_partition.local_spmm_plans); the GraphConv local-sender
+    aggregation AND the A·S contraction of the MinCUT numerator then ride
+    the fused Pallas SpMM on each device's block (VERDICT round-3 item 2),
+    same plan the stage-4 sharded HSCN reuses.
     """
+    from graph_hscn_tpu.parallel.sharded_gcn import _make_local_agg
     K = num_clusters
     act = ACTIVATIONS[mp_act.lower()]
+    n_extra = 1 if use_spmm_plan else 0
 
     def _halo(x_blk, send_idx):
         outbound = jnp.take(x_blk, send_idx, axis=0)        # [D, H, F]
@@ -98,8 +107,12 @@ def make_sharded_scn(mesh: Mesh, num_clusters: int, mp_act: str = "relu",
         return inbound.reshape(-1, x_blk.shape[-1])
 
     def core(params, x, mask, outdeg, send_idx, snd_loc, rcv_loc, m_loc,
-             snd_hal, rcv_hal, m_hal):
+             snd_hal, rcv_hal, m_hal, sp=()):
         nb = x.shape[0]
+        # Structural weights (degree norm / raw adjacency): kernel VJP
+        # skips its dw SDDMM on both uses.
+        local_agg = _make_local_agg(sp, snd_loc, rcv_loc, nb,
+                                    use_spmm_plan, weight_grad=False)
         # gcn_norm: in-degree over real edges + 1 self loop (receiver-owned
         # edges make the in-degree fully local); sender-side dinv may be
         # remote — exchanged once (layer-independent).
@@ -115,9 +128,10 @@ def make_sharded_scn(mesh: Mesh, num_clusters: int, mp_act: str = "relu",
         h = x
         for layer in params["layers"]:
             # Issue the exchange first; local-sender aggregation runs while
-            # the all_to_all is in flight (same overlap as sharded_gcn).
+            # the all_to_all is in flight (same overlap as sharded_gcn;
+            # Pallas SpMM on this block when a plan is attached).
             halo_h = _halo(h, send_idx)
-            agg = segment_sum(h[snd_loc] * w_loc[:, None], rcv_loc, nb)
+            agg = local_agg(h, w_loc)
             agg = agg + segment_sum(halo_h[snd_hal] * w_hal[:, None],
                                     rcv_hal, nb)
             agg = agg + diag[:, None] * h
@@ -133,8 +147,7 @@ def make_sharded_scn(mesh: Mesh, num_clusters: int, mp_act: str = "relu",
         s = jax.nn.softmax(s_logits, axis=-1)
         s = s * jnp.where(mask, 1.0, 0.0)[:, None]
         s_halo = _halo(s, send_idx)
-        a_s = segment_sum(jnp.where(m_loc[:, None], s[snd_loc], 0.0),
-                          rcv_loc, nb)
+        a_s = local_agg(s, jnp.where(m_loc, 1.0, 0.0))
         a_s = a_s + segment_sum(
             jnp.where(m_hal[:, None], s_halo[snd_hal], 0.0), rcv_hal, nb)
         stas_part = s.T @ a_s                                 # [K, K]
@@ -145,31 +158,44 @@ def make_sharded_scn(mesh: Mesh, num_clusters: int, mp_act: str = "relu",
     def _unblk(args):
         return tuple(a[0] for a in args)
 
-    def per_device_parts(params, *args):
-        _, stas, den, ss = core(params, *_unblk(args))
-        return stas[None], den[None], ss[None]
+    n_base = 10  # x, mask, outdeg + 7 plan arrays
+
+    n_in = n_base + n_extra
+
+    def _mk_parts():
+        # One shard_map instance per enclosing jit: reusing a single
+        # instance under two different outer traces retains trace-local
+        # constants on the Pallas interpret path (UnexpectedTracerError
+        # with use_spmm_plan; losses vs value_and_grad jits).
+        def per_device_parts(params, *args):
+            base, sp = args[:n_base], args[n_base:]
+            _, stas, den, ss = core(params, *_unblk(base), sp)
+            return stas[None], den[None], ss[None]
+
+        return jax.shard_map(
+            per_device_parts, mesh=mesh,
+            in_specs=(P(),) + (P(axis),) * n_in,
+            out_specs=(P(axis), P(axis), P(axis)), check_vma=False)
 
     def per_device_assign(params, *args):
-        s_logits, _, _, _ = core(params, *_unblk(args))
+        base, sp = args[:n_base], args[n_base:]
+        s_logits, _, _, _ = core(params, *_unblk(base), sp)
         return jnp.argmax(s_logits, -1).astype(jnp.int32)[None]
 
-    n_in = 10  # x, mask, outdeg + 7 plan arrays
-
-    _parts = jax.shard_map(
-        per_device_parts, mesh=mesh,
-        in_specs=(P(),) + (P(axis),) * n_in,
-        out_specs=(P(axis), P(axis), P(axis)), check_vma=False)
+    _parts = _mk_parts()
+    _parts_vg = _mk_parts()
     _assign = jax.jit(jax.shard_map(
         per_device_assign, mesh=mesh,
         in_specs=(P(),) + (P(axis),) * n_in,
         out_specs=P(axis), check_vma=False))
 
     def _args(x_blocks, mask_blocks, outdeg_blocks, plan):
+        extras = (plan["spmm_loc"],) if use_spmm_plan else ()
         return (x_blocks, mask_blocks, outdeg_blocks,
-                *(plan[k] for k in _PLAN_KEYS))
+                *(plan[k] for k in _PLAN_KEYS), *extras)
 
-    def _losses_of(params, *args):
-        stas_p, den_p, ss_p = _parts(params, *args)
+    def _losses_of(params, *args, parts=None):
+        stas_p, den_p, ss_p = (parts or _parts)(params, *args)
         stas = jnp.sum(stas_p, axis=0)
         den = jnp.sum(den_p)
         ss = jnp.sum(ss_p, axis=0)
@@ -187,7 +213,7 @@ def make_sharded_scn(mesh: Mesh, num_clusters: int, mp_act: str = "relu",
     @jax.jit
     def _vg_jit(params, *args):
         def loss_fn(p):
-            mc, o = _losses_of(p, *args)
+            mc, o = _losses_of(p, *args, parts=_parts_vg)
             return mc + o
 
         return jax.value_and_grad(loss_fn)(params)
@@ -269,16 +295,35 @@ def fit_hscn_edge_partitioned(dm, mesh: Mesh, hscn_cfg, optim_cfg,
         plan = {k: jnp.asarray(v) for k, v in plan_np.items()
                 if k not in ("block_size", "halo_width",
                              "eidx_loc", "eidx_hal")}
+        if pallas_enabled():
+            # One plan serves stage 1 (SCN) and stage 4 (HSCN ll): both
+            # aggregate the same local-sender edge groups.
+            from graph_hscn_tpu.parallel.edge_partition import \
+                local_spmm_plans
+            sp = local_spmm_plans(plan_np, plan_np["block_size"])
+            if sp is not None:
+                plan["spmm_loc"] = sp
         xb, yb, okb, db = shard_node_blocks(mesh, D, x, y, node_ok, outdeg)
         return dict(n=n, plan=plan, xb=xb, yb=yb, okb=okb, db=db,
                     node_mask=node_ok, node_y=y,
                     edges=int(em.sum()))
 
     splits = {name: packed(name) for name in ("train", "val", "test")}
+    # Pallas local aggregation only if EVERY split's blocks admit plans
+    # (one shard_map program per stage serves all splits).
+    use_spmm_plan = all("spmm_loc" in s["plan"] for s in splits.values())
+    if not use_spmm_plan:
+        for s in splits.values():
+            s["plan"].pop("spmm_loc", None)
+    else:
+        logger.info("[hscn-partition] local aggregation: fused Pallas "
+                    "SpMM on per-device blocks (SCN stack, MinCUT A*S, "
+                    "HSCN ll relation)")
 
     # ---- Stage 1: sharded SCN clustering pre-train (full dataset). ----
     scn_losses, scn_vg, scn_assign = make_sharded_scn(
-        mesh, K, mp_act=hscn_cfg.activation, axis=axis)
+        mesh, K, mp_act=hscn_cfg.activation, axis=axis,
+        use_spmm_plan=use_spmm_plan)
     scn_params = init_sharded_scn_params(
         jax.random.PRNGKey(training_cfg.seed), dm.num_features,
         list(hscn_cfg.mp_units), K)
@@ -316,9 +361,9 @@ def fit_hscn_edge_partitioned(dm, mesh: Mesh, hscn_cfg, optim_cfg,
         jax.random.PRNGKey(training_cfg.seed), dm.num_features,
         hscn_cfg.hidden_channels, dm.num_classes, hscn_cfg.num_layers,
         heads=heads)
-    forward, value_and_grad = make_sharded_hscn(mesh, K,
-                                                vv_pattern=vv_pattern,
-                                                axis=axis, heads=heads)
+    forward, value_and_grad = make_sharded_hscn(
+        mesh, K, vv_pattern=vv_pattern, axis=axis, heads=heads,
+        use_spmm_plan=use_spmm_plan)
     tx = build_optimizer(optim_cfg.optim_type, optim_cfg.lr,
                          optim_cfg.weight_decay,
                          optim_cfg.batch_accumulation,

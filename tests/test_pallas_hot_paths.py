@@ -228,3 +228,84 @@ def test_sharded_gatedgcn_planned_matches_unplanned(pallas_backend):
                     jax.tree_util.tree_leaves(g_x)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c),
                                    rtol=5e-4, atol=5e-4)
+
+
+def test_sharded_scn_plan_path_matches_xla(pallas_backend):
+    """SCN MinCUT on the Pallas local aggregation (GraphConv stack + the
+    A*S contraction) vs the XLA segment-sum path: losses, grads, argmax
+    assignments (VERDICT round-3 item 2)."""
+    from graph_hscn_tpu.parallel.sharded_scn import (init_sharded_scn_params,
+                                                     make_sharded_scn)
+    D, K = 8, 4
+    b, plan, plan_sp, n = _sharded_setup(D)
+    mesh = make_mesh(("data",), (D,))
+    params = init_sharded_scn_params(jax.random.PRNGKey(7), 14, [16, 16], K)
+    snd = np.asarray(b.senders)
+    em = np.asarray(b.edge_mask)
+    outdeg = np.bincount(snd[em], minlength=n).astype(np.float32)
+    xb, okb, db = shard_node_blocks(mesh, D, np.asarray(b.node_feat),
+                                    np.asarray(b.node_mask), outdeg)
+
+    losses_p, vg_p, assign_p = make_sharded_scn(mesh, K,
+                                                use_spmm_plan=True)
+    losses_x, vg_x, assign_x = make_sharded_scn(mesh, K,
+                                                use_spmm_plan=False)
+    mc_p, o_p = losses_p(params, xb, okb, db, plan_sp)
+    l_p, g_p = vg_p(params, xb, okb, db, plan_sp)
+    a_p = np.asarray(assign_p(params, xb, okb, db, plan_sp))
+    spmm_mod.set_backend("xla")
+    mc_x, o_x = losses_x(params, xb, okb, db, plan)
+    l_x, g_x = vg_x(params, xb, okb, db, plan)
+    a_x = np.asarray(assign_x(params, xb, okb, db, plan))
+
+    np.testing.assert_allclose(float(mc_p), float(mc_x), rtol=2e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(float(o_p), float(o_x), rtol=2e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(float(l_p), float(l_x), rtol=2e-4,
+                               atol=1e-5)
+    for a, c in zip(jax.tree_util.tree_leaves(g_p),
+                    jax.tree_util.tree_leaves(g_x)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=5e-4, atol=5e-4)
+    mask = np.asarray(b.node_mask).reshape(D, -1)
+    assert (a_p == a_x)[mask].mean() > 0.999
+
+
+@pytest.mark.parametrize("heads", [1, 2])
+def test_sharded_hscn_plan_path_matches_xla(pallas_backend, heads):
+    """HSCN ll relation on the Pallas local aggregation vs XLA — the
+    flagship giant-graph hetero conv (VERDICT round-3 item 2), at 1 and
+    2 lv-attention heads."""
+    from graph_hscn_tpu.parallel.sharded_hscn import (
+        init_sharded_hscn_params, make_sharded_hscn)
+    D, K = 8, 4
+    b, plan, plan_sp, n = _sharded_setup(D)
+    mesh = make_mesh(("data",), (D,))
+    params = init_sharded_hscn_params(jax.random.PRNGKey(3), 14, 16, 21, 2,
+                                      heads=heads)
+    rng = np.random.default_rng(0)
+    clust = rng.integers(0, K, size=n).astype(np.int32)
+    node_ok = np.asarray(b.node_mask)
+    xb, yb, okb, cb = shard_node_blocks(
+        mesh, D, np.asarray(b.node_feat), np.asarray(b.node_y), node_ok,
+        clust)
+
+    fw_p, vg_p = make_sharded_hscn(mesh, K, heads=heads,
+                                   use_spmm_plan=True)
+    fw_x, vg_x = make_sharded_hscn(mesh, K, heads=heads,
+                                   use_spmm_plan=False)
+    out_p = np.asarray(fw_p(params, xb, okb, cb, plan_sp)).reshape(n, -1)
+    l_p, g_p = vg_p(params, xb, okb, cb, plan_sp, yb, okb)
+    spmm_mod.set_backend("xla")
+    out_x = np.asarray(fw_x(params, xb, okb, cb, plan)).reshape(n, -1)
+    l_x, g_x = vg_x(params, xb, okb, cb, plan, yb, okb)
+
+    mask = np.asarray(b.node_mask)
+    np.testing.assert_allclose(out_p[mask], out_x[mask], rtol=2e-4,
+                               atol=2e-4)
+    np.testing.assert_allclose(float(l_p), float(l_x), rtol=2e-4)
+    for a, c in zip(jax.tree_util.tree_leaves(g_p),
+                    jax.tree_util.tree_leaves(g_x)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=5e-4, atol=5e-4)
