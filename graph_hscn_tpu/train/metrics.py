@@ -14,16 +14,26 @@ import numpy as np
 
 def average_precision(y_true: np.ndarray, y_score: np.ndarray) -> float:
     """Binary AP, identical to sklearn.average_precision_score:
-    AP = sum_n (R_n - R_{n-1}) * P_n over descending-score thresholds."""
+    AP = sum_n (R_n - R_{n-1}) * P_n over descending DISTINCT-score
+    thresholds.  Tied scores form ONE threshold (sklearn's
+    precision_recall_curve groups them); evaluating per-sample instead
+    diverges under ties — measured +0.05 AP on a rounded-score column —
+    so parity with the reference's sklearn call requires the grouping."""
     order = np.argsort(-y_score, kind="stable")
-    y_true = y_true[order].astype(np.float64)
-    tp = np.cumsum(y_true)
-    fp = np.cumsum(1 - y_true)
-    n_pos = tp[-1] if len(tp) else 0
+    ys = y_score[order]
+    yt = y_true[order].astype(np.float64)
+    if len(yt) == 0:
+        return 0.0
+    tp = np.cumsum(yt)
+    fp = np.cumsum(1 - yt)
+    n_pos = tp[-1]
     if n_pos == 0:
         return 0.0
-    precision = tp / np.maximum(tp + fp, 1)
-    recall = tp / n_pos
+    # Last index of each run of equal scores = the distinct thresholds.
+    boundary = np.r_[np.nonzero(np.diff(ys))[0], len(ys) - 1]
+    tp_g, fp_g = tp[boundary], fp[boundary]
+    precision = tp_g / np.maximum(tp_g + fp_g, 1)
+    recall = tp_g / n_pos
     prev_recall = np.concatenate([[0.0], recall[:-1]])
     return float(np.sum((recall - prev_recall) * precision))
 

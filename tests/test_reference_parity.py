@@ -84,3 +84,28 @@ def test_is_eval_epoch_matches_reference():
                 assert (is_eval_epoch(epoch, max_epochs, period)
                         == ref_is_eval(epoch, max_epochs, period)), (
                     epoch, max_epochs, period)
+
+
+def test_eval_ap_matches_reference_under_ties_and_degenerate_columns():
+    """Tied scores must form ONE precision-recall threshold (sklearn
+    semantics — the reference's eval_ap delegates to sklearn) and
+    single-class columns must be skipped; both regimes occur in real
+    eval outputs (rounded/saturated sigmoids, always-positive labels).
+    Round-4 fix: the per-sample cumsum AP diverged by up to +0.05 under
+    ties."""
+    import numpy as np
+    import torch
+    rng = np.random.default_rng(123)
+    for trial in range(20):
+        n = int(rng.integers(20, 200))
+        y = (rng.random((n, 10)) < rng.random(10)).astype(np.float32)
+        y[:, 0] = 1.0                       # all-positive column: skipped
+        s = 1 / (1 + np.exp(-rng.normal(0, 1, (n, 10))))
+        if trial % 2:
+            s = np.round(s, int(rng.integers(0, 3)))   # heavy ties
+        try:
+            ap_ref = ref_metrics.eval_ap(torch.as_tensor(y),
+                                         torch.as_tensor(s))
+        except RuntimeError:
+            continue
+        assert abs(float(ap_ref) - float(eval_ap(y, s))) < 1e-10
