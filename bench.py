@@ -126,14 +126,35 @@ def scan_bench(step_fn, x0, args, iters=240, reps=3, base=16):
     nb = jnp.int32(base)
     nl = jnp.int32(base + iters)
     float(run(x0, nb, *args))  # compile + warm (shared by both lengths)
-    best_small = best_large = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        float(run(x0, nb, *args))
-        best_small = min(best_small, time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        float(run(x0, nl, *args))
-        best_large = min(best_large, time.perf_counter() - t0)
+
+    def measure(n_reps):
+        best_small = best_large = float("inf")
+        for _ in range(n_reps):
+            t0 = time.perf_counter()
+            float(run(x0, nb, *args))
+            best_small = min(best_small, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            float(run(x0, nl, *args))
+            best_large = min(best_large, time.perf_counter() - t0)
+        return best_small, best_large
+
+    best_small, best_large = measure(reps)
+    # Sanity: under the documented several-fold relay load variance, a
+    # difference of two min-aggregated wall-times can collapse toward 0
+    # and silently report absurd throughput (round-3 advisor finding).
+    # Retry once with more reps; if still collapsed, flag it loudly.
+    if best_large - best_small < 0.02 * best_small:
+        log(f"scan_bench: marginal time collapsed "
+            f"(small={best_small:.4f}s large={best_large:.4f}s); "
+            f"retrying with {2 * reps} reps")
+        s2, l2 = measure(2 * reps)
+        best_small = min(best_small, s2)
+        best_large = min(best_large, l2)
+        if best_large - best_small < 0.02 * best_small:
+            log("scan_bench: UNRELIABLE marginal estimate (difference "
+                "below 2% of the fixed per-call cost after retry) — "
+                "treat this phase's throughput as a floor, not a "
+                "measurement")
     return max(best_large - best_small, 1e-9) / iters
 
 

@@ -81,7 +81,11 @@ class MPNNConfig:
             _check(self.gps_local_conv.lower() in ("gcn", "gatedgcn"),
                    f"unknown gps_local_conv {self.gps_local_conv}")
         if (self.conv_type.lower() == "gps"
-                and self.hidden_channels // max(self.num_heads, 1) < 128):
+                and self.hidden_channels // max(self.num_heads, 1) < 128
+                and (self.num_heads > 1 or self.hidden_channels >= 128)):
+            # Gate matches the advice text: at num_heads == 1 with a
+            # small hidden, "use fewer heads" is unactionable noise
+            # (round-3 advisor finding).
             # MXU-hostile head dim: every QK^T / PV contraction pads the
             # head dim to the 128-lane MXU tile, so head_dim=16 wastes
             # 8x of the attention FLOP ceiling (measured on the v5e ring

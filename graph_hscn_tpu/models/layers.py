@@ -276,6 +276,15 @@ class GATConv(nn.Module):
 
         if dense_adj is not None and not bipartite:
             # Slotted dense path: masked dense attention per graph block.
+            if edge_weight is not None:
+                # The dense branch derives connectivity from dense_adj and
+                # never consults per-edge weights; refuse rather than
+                # silently drop them (no in-repo caller passes weighted
+                # GAT — route via the sparse path if one ever does).
+                raise ValueError(
+                    "GATConv dense-slotted path does not support "
+                    "edge_weight; pass dense_adj=None to use the sparse "
+                    "path")
             G, S, _ = dense_adj.shape
             hb = h_src.reshape(G, S, H, C)
             a_s = jnp.sum(hb * att_src[None], axis=-1)     # [G, S, H]

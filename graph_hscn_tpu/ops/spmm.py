@@ -73,13 +73,18 @@ def gather_scatter(
     weights carry no trainable parameters (gcn_norm / mask-derived — true
     for every in-repo caller), letting the Pallas backward skip the SDDMM
     dw kernel (a third of its one-hot MACs).  Set it True if you pass an
-    edge_weight that depends on trainable params (the XLA path
-    differentiates either way).
+    edge_weight that depends on trainable params.  The declaration is
+    enforced backend-independently: with False, edge_weight is
+    stop_gradient'ed on EVERY path, so d(edge_weight) is zero on the XLA
+    path too rather than silently backend-dependent (round-3 advisor
+    finding).
 
     If ``messages_out`` is True also returns the per-edge gathered messages
     (before reduction), which some layers (GatedGCN) reuse.
     """
     num_nodes = num_nodes if num_nodes is not None else x.shape[0]
+    if edge_weight is not None and not weight_needs_grad:
+        edge_weight = jax.lax.stop_gradient(edge_weight)
     if plan is not None and _use_pallas() and not messages_out:
         from graph_hscn_tpu.ops.pallas.spmm_kernel import (VMEM_X_BUDGET,
                                                            spmm_pallas,

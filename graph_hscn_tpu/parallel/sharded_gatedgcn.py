@@ -76,21 +76,41 @@ def _layer_norm(x, p, eps=1e-6):
 
 
 def make_sharded_gatedgcn(mesh: Mesh, num_layers: int, axis: str = "data",
-                          use_spmm_plan: bool = False):
+                          use_spmm_plan: bool = False, dtype=None,
+                          dropout: float = 0.0):
     """Builds (forward, value_and_grad).
 
     forward(params, x_blocks [D,Nb,F], e_loc [D,El,Fe]|None,
             e_hal [D,Eh,Fe]|None, ok_blocks [D,Nb], plan) -> [D, Nb, C]
     value_and_grad adds y_blocks -> (psum'd node-level CE loss, psum'd
     grads) — same contract as make_sharded_gcn.
+
+    ``dtype`` (e.g. jnp.bfloat16): mixed precision — params stay f32
+    masters, node/edge streams and the per-layer halo payload run in
+    ``dtype``; LayerNorm statistics compute in f32 (upcast, normalize,
+    rejoin dtype); logits return f32.  Composes with ``use_spmm_plan``
+    (the segment-reduce kernel takes bf16 operands, f32 accumulation).
+
+    ``dropout``: per-layer node-stream dropout after the residual add
+    (models/gatedgcn.py:46-48 placement), per-device folded PRNG keys
+    like make_sharded_gcn.
     """
+    has_key = dropout > 0.0
 
     def _dense(h, p):
-        return h @ p["kernel"] + p["bias"]
+        k, b = p["kernel"], p["bias"]
+        if dtype is not None:
+            k, b = k.astype(dtype), b.astype(dtype)
+        return h @ k + b
+
+    def _ln(h, p):
+        # Stats in f32 under mixed precision, rejoin the stream dtype.
+        out = _layer_norm(h.astype(jnp.float32), p)
+        return out.astype(h.dtype)
 
     n_extra = 1 if use_spmm_plan else 0
 
-    def per_device_forward(params, x_blk, ok_blk, *args):
+    def per_device_forward(params, x_blk, ok_blk, *args, key=None):
         if n_extra:
             sp, args = args[-1], args[:-1]
         has_e = len(args) == 9   # e_loc + e_hal + the 7 plan arrays
@@ -141,6 +161,11 @@ def make_sharded_gatedgcn(mesh: Mesh, num_layers: int, axis: str = "data",
                                          concat_axis=0, tiled=False)
             return inbound.reshape(-1, h.shape[-1])
 
+        if dtype is not None:
+            x0 = x0.astype(dtype)
+            if e0_loc is not None:
+                e0_loc = e0_loc.astype(dtype)
+                e0_hal = e0_hal.astype(dtype)
         x = _dense(x0, params["enc_x"])
         hidden = x.shape[-1]
         if has_e:
@@ -150,7 +175,7 @@ def make_sharded_gatedgcn(mesh: Mesh, num_layers: int, axis: str = "data",
             e_loc = jnp.zeros((snd_loc.shape[0], hidden), x.dtype)
             e_hal = jnp.zeros((snd_hal.shape[0], hidden), x.dtype)
 
-        for layer in params["layers"]:
+        for li, layer in enumerate(params["layers"]):
             # Issue the feature exchange first; all local-sender work
             # (the bulk) runs while the all_to_all is in flight.
             halo = _halo(x)
@@ -164,27 +189,37 @@ def make_sharded_gatedgcn(mesh: Mesh, num_layers: int, axis: str = "data",
                 + take_snd(ex)
             e_new_hal = _dense(e_hal, layer["C"]) + dx[rcv_hal] \
                 + e_hal_src[snd_hal]
+            zero = jnp.zeros((), e_new_loc.dtype)
             sig_loc = jnp.where(m_loc[:, None],
-                                jax.nn.sigmoid(e_new_loc), 0.0)
+                                jax.nn.sigmoid(e_new_loc), zero)
             sig_hal = jnp.where(m_hal[:, None],
-                                jax.nn.sigmoid(e_new_hal), 0.0)
-            denom = (seg_loc(sig_loc)
-                     + segment_sum(sig_hal, rcv_hal, nb))
+                                jax.nn.sigmoid(e_new_hal), zero)
+            # Gate normalization in f32: the denominator accumulates many
+            # sigmoids and divides against eps.
+            denom = (seg_loc(sig_loc).astype(jnp.float32)
+                     + segment_sum(sig_hal.astype(jnp.float32), rcv_hal,
+                                   nb))
             agg = (seg_loc(sig_loc * take_snd(bx))
                    + segment_sum(sig_hal * b_hal_src[snd_hal], rcv_hal,
                                  nb))
-            x_new = _dense(x, layer["A"]) + agg / (denom + _EPS)
+            ratio = agg.astype(jnp.float32) / (denom + _EPS)
+            x_new = _dense(x, layer["A"]) + ratio.astype(x.dtype)
 
-            x_new = jax.nn.relu(_layer_norm(x_new, layer["ln_x"]))
-            e_new_loc = jax.nn.relu(_layer_norm(e_new_loc, layer["ln_e"]))
-            e_new_hal = jax.nn.relu(_layer_norm(e_new_hal, layer["ln_e"]))
+            x_new = jax.nn.relu(_ln(x_new, layer["ln_x"]))
+            e_new_loc = jax.nn.relu(_ln(e_new_loc, layer["ln_e"]))
+            e_new_hal = jax.nn.relu(_ln(e_new_hal, layer["ln_e"]))
             x = x + x_new
             e_loc = e_loc + e_new_loc
             e_hal = e_hal + e_new_hal
+            if key is not None:
+                # Node-stream dropout after the residual add
+                # (models/gatedgcn.py:46-48).
+                from graph_hscn_tpu.parallel.sharded_gcn import _dropout
+                x = _dropout(x, key, li, dropout)
 
-        x = jnp.where(ok[:, None], x, 0.0)
+        x = jnp.where(ok[:, None], x, jnp.zeros((), x.dtype))
         out = _dense(x, params["head"])
-        return out[None]
+        return out.astype(jnp.float32)[None]
 
     def _specs(n_in):
         return (P(),) + (P(axis),) * n_in
@@ -199,8 +234,15 @@ def make_sharded_gatedgcn(mesh: Mesh, num_layers: int, axis: str = "data",
                                     check_vma=False))
 
     def per_device_value_grad(params, x_blk, ok_blk, y_blk, gcnt, *args):
+        if has_key:
+            from graph_hscn_tpu.parallel.sharded_gcn import _device_key
+            key, args = _device_key(args[0], axis), args[1:]
+        else:
+            key = None
+
         def local_loss(params):
-            logits = per_device_forward(params, x_blk, ok_blk, *args)[0]
+            logits = per_device_forward(params, x_blk, ok_blk, *args,
+                                        key=key)[0]
             y = y_blk[0]
             w = ok_blk[0].astype(logits.dtype)
             logp = jax.nn.log_softmax(logits, axis=-1)
@@ -214,7 +256,8 @@ def make_sharded_gatedgcn(mesh: Mesh, num_layers: int, axis: str = "data",
         return loss, grads
 
     def _vg_specs(n_in):
-        return (P(),) + (P(axis),) * 3 + (None,) + (P(axis),) * n_in
+        return ((P(),) + (P(axis),) * 3 + (None,)
+                + ((P(),) if has_key else ()) + (P(axis),) * n_in)
 
     vg_e = jax.jit(jax.shard_map(per_device_value_grad, mesh=mesh,
                                  in_specs=_vg_specs(9 + n_extra),
@@ -239,11 +282,18 @@ def make_sharded_gatedgcn(mesh: Mesh, num_layers: int, axis: str = "data",
         return f(params, x_blocks, ok_blocks, *_eargs(e_loc, e_hal, plan))
 
     def value_and_grad(params, x_blocks, e_loc, e_hal, ok_blocks, plan,
-                       y_blocks):
+                       y_blocks, key=None):
         assert len(params["layers"]) == num_layers
         gcnt = float(np.maximum(np.asarray(ok_blocks).sum(), 1.0))
         f = vg_noe if e_loc is None else vg_e
-        return f(params, x_blocks, ok_blocks, y_blocks, gcnt,
+        extras = ()
+        if has_key:
+            if key is None:
+                raise ValueError(
+                    "dropout > 0 training steps need a fresh per-step "
+                    "PRNG key (see make_sharded_gcn.value_and_grad)")
+            extras = (key,)
+        return f(params, x_blocks, ok_blocks, y_blocks, gcnt, *extras,
                  *_eargs(e_loc, e_hal, plan))
 
     return forward, value_and_grad

@@ -248,7 +248,12 @@ def make_sharded_gcn(mesh: Mesh, num_layers: int, axis: str = "data",
         gcnt = float(np.maximum(np.asarray(node_ok_blocks).sum(), 1.0))
         extras = _extras(plan)
         if has_key:
-            key = key if key is not None else jax.random.PRNGKey(0)
+            if key is None:
+                raise ValueError(
+                    "dropout > 0 training steps need a fresh per-step "
+                    "PRNG key (a fixed default would reuse identical "
+                    "masks every step; fit_edge_partitioned folds the "
+                    "epoch into training.seed)")
             extras = (key,) + extras
         return _vg(params, x_blocks, *(plan[k] for k in _PLAN_KEYS),
                    y_blocks, node_ok_blocks, gcnt, *extras)
@@ -314,12 +319,6 @@ def fit_edge_partitioned(dm, mesh: Mesh, mpnn_cfg, optim_cfg, training_cfg,
             "need cross-device statistics the sharded per-device programs "
             "don't compute); set use_batch_norm/use_layer_norm: false")
     drop = float(getattr(mpnn_cfg, "dropout", 0.0) or 0.0)
-    if drop > 0.0 and conv not in ("gcn", "gin", "gat"):
-        raise ValueError(
-            "dropout is implemented on the edge-partitioned gcn/gin/gat "
-            f"paths (per-device PRNG); the sharded {conv} path does not "
-            "apply it — set mp.dropout: 0 rather than have it silently "
-            "ignored")
 
     def packed(split):
         from types import SimpleNamespace
@@ -379,10 +378,6 @@ def fit_edge_partitioned(dm, mesh: Mesh, mpnn_cfg, optim_cfg, training_cfg,
     splits = {name: packed(name) for name in ("train", "val", "test")}
     # Pallas local aggregation only if EVERY split's blocks admit plans
     # (one shard_map program serves all splits).
-    if dtype is not None and conv in ("gat", "gatedgcn"):
-        logger.info(f"[edge-partition] compute_dtype ignored for {conv} "
-                    "(f32 path)")
-        dtype = None
     if dtype is not None:
         logger.info("[edge-partition] mixed precision: bf16 compute + "
                     "halo payloads, f32 params/logits.")
@@ -416,14 +411,14 @@ def fit_edge_partitioned(dm, mesh: Mesh, mpnn_cfg, optim_cfg, training_cfg,
             mpnn_cfg.num_layers, mpnn_cfg.num_heads)
         _fw, _vg_gps = make_sharded_gps(mesh, mpnn_cfg.num_layers,
                                         mpnn_cfg.num_heads, axis=axis,
-                                        dtype=dtype)
+                                        dtype=dtype, dropout=drop)
 
         def forward(p, xb, plan):
             return _fw(p, xb, plan["gid_blocks"], plan["ok_blocks"], plan)
 
-        def value_and_grad(p, xb, plan, yb, okb):
+        def value_and_grad(p, xb, plan, yb, okb, key=None):
             return _vg_gps(p, xb, plan["gid_blocks"], plan["ok_blocks"],
-                           plan, yb)
+                           plan, yb, key=key)
     elif conv == "gatedgcn":
         # Edge-featured gated message passing; edge state is resident on
         # the receiver's device for the whole run (parallel/
@@ -438,15 +433,16 @@ def fit_edge_partitioned(dm, mesh: Mesh, mpnn_cfg, optim_cfg, training_cfg,
             mpnn_cfg.num_layers)
         _fw_g, _vg_g = make_sharded_gatedgcn(mesh, mpnn_cfg.num_layers,
                                              axis=axis,
-                                             use_spmm_plan=use_spmm_plan)
+                                             use_spmm_plan=use_spmm_plan,
+                                             dtype=dtype, dropout=drop)
 
         def forward(p, xb, plan):
             return _fw_g(p, xb, plan.get("e_loc"), plan.get("e_hal"),
                          plan["ok_blocks"], plan)
 
-        def value_and_grad(p, xb, plan, yb, okb):
+        def value_and_grad(p, xb, plan, yb, okb, key=None):
             return _vg_g(p, xb, plan.get("e_loc"), plan.get("e_hal"),
-                         plan["ok_blocks"], plan, yb)
+                         plan["ok_blocks"], plan, yb, key=key)
     elif conv == "gcn":
         params = init_sharded_gcn_params(
             jax.random.PRNGKey(training_cfg.seed), dims)
@@ -459,7 +455,7 @@ def fit_edge_partitioned(dm, mesh: Mesh, mpnn_cfg, optim_cfg, training_cfg,
             heads=mpnn_cfg.num_heads)
         forward, value_and_grad = make_sharded_gat(
             mesh, num_layers=len(dims) - 1, axis=axis,
-            use_spmm_plan=use_spmm_plan, dropout=drop)
+            use_spmm_plan=use_spmm_plan, dropout=drop, dtype=dtype)
     elif conv == "gin":
         params = init_sharded_gin_params(
             jax.random.PRNGKey(training_cfg.seed), dims)
@@ -529,7 +525,7 @@ def fit_edge_partitioned(dm, mesh: Mesh, mpnn_cfg, optim_cfg, training_cfg,
     def train_epoch(epoch):
         nonlocal params, opt_state
         kw = {}
-        if drop > 0.0 and conv in ("gcn", "gin", "gat"):
+        if drop > 0.0:
             # One replicated step key; devices fold in their mesh index.
             kw["key"] = jax.random.fold_in(
                 jax.random.PRNGKey(training_cfg.seed), epoch)
@@ -649,8 +645,11 @@ def make_sharded_gin(mesh: Mesh, num_layers: int, axis: str = "data",
     def value_and_grad(params, x_blocks, plan, y_blocks, node_ok_blocks,
                        key=None):
         gcnt = float(np.maximum(np.asarray(node_ok_blocks).sum(), 1.0))
-        extras = ((key if key is not None else jax.random.PRNGKey(0),)
-                  if has_key else ())
+        if has_key and key is None:
+            raise ValueError(
+                "dropout > 0 training steps need a fresh per-step PRNG "
+                "key (see make_sharded_gcn.value_and_grad)")
+        extras = ((key,) if has_key else ())
         return _vg(params, x_blocks, *(plan[k] for k in _PLAN_KEYS),
                    y_blocks, node_ok_blocks, gcnt, *extras)
 
@@ -687,8 +686,8 @@ def init_sharded_gat_params(rng, dims: list[int],
 def make_sharded_gat(mesh: Mesh, num_layers: int, axis: str = "data",
                      negative_slope: float = 0.2,
                      use_spmm_plan: bool = False, shard_axes=None,
-                     grad_axes=None, dropout: float = 0.0):
-    """Edge-partitioned single-head GAT (PyG semantics incl. the self edge
+                     grad_axes=None, dropout: float = 0.0, dtype=None):
+    """Edge-partitioned multi-head GAT (PyG semantics incl. the self edge
     in each node's softmax, matching models.layers.GATConv with
     add_self_loops=True).
 
@@ -700,6 +699,13 @@ def make_sharded_gat(mesh: Mesh, num_layers: int, axis: str = "data",
     (no extra exchange).  ReLU between layers mirrors the MPNN stack.
 
     ``shard_axes``/``grad_axes``: see make_sharded_gcn (hybrid 2-D meshes).
+
+    ``dtype`` (e.g. jnp.bfloat16): mixed precision — params stay f32
+    masters, transformed features and the per-layer halo payload run in
+    ``dtype`` (halved all_to_all bytes); attention logits / exp / softmax
+    denominators stay f32 for stability; logits return f32.  Composes
+    with ``use_spmm_plan`` (spmm_mh takes bf16 operands, f32 MXU
+    accumulation).
     """
     n_extra = 1 if use_spmm_plan else 0
     shard_axes = shard_axes if shard_axes is not None else axis
@@ -715,21 +721,29 @@ def make_sharded_gat(mesh: Mesh, num_layers: int, axis: str = "data",
         nb = x.shape[0]
         local_agg_mh = _make_local_agg_mh(sp, snd_loc, rcv_loc, nb,
                                           use_spmm_plan)
-        neg_inf = jnp.asarray(-jnp.inf, x.dtype)
+        if dtype is not None:
+            x = x.astype(dtype)
+        neg_inf = jnp.asarray(-jnp.inf, jnp.float32)
 
         h = x
         for li, layer in enumerate(params):
             H, C = layer["att_src"].shape
             last = layer is params[-1]
-            z = h @ layer["kernel"]                    # [Nb, H*C]
+            kernel = layer["kernel"]
+            if dtype is not None:
+                kernel = kernel.astype(dtype)
+            z = h @ kernel                             # [Nb, H*C]
             # Exchange transformed sender features; local attention math
             # overlaps with the in-flight all_to_all.
             halo = _halo(z, send_idx, axis)
             zh = z.reshape(nb, H, C)
             halo_h = halo.reshape(-1, H, C)
-            a_src = jnp.sum(zh * layer["att_src"][None], -1)   # [Nb, H]
-            a_dst = jnp.sum(zh * layer["att_dst"][None], -1)
-            a_src_halo = jnp.sum(halo_h * layer["att_src"][None], -1)
+            # Attention logits + softmax in f32 regardless of dtype.
+            zh32 = zh.astype(jnp.float32)
+            halo32 = halo_h.astype(jnp.float32)
+            a_src = jnp.sum(zh32 * layer["att_src"][None], -1)  # [Nb, H]
+            a_dst = jnp.sum(zh32 * layer["att_dst"][None], -1)
+            a_src_halo = jnp.sum(halo32 * layer["att_src"][None], -1)
 
             e_loc = jax.nn.leaky_relu(a_src[snd_loc] + a_dst[rcv_loc],
                                       negative_slope)          # [El, H]
@@ -756,20 +770,32 @@ def make_sharded_gat(mesh: Mesh, num_layers: int, axis: str = "data",
 
             # ALL heads aggregated in one kernel launch (spmm_mh; the
             # blocked SDDMM supplies d(exp) in its VJP), matching the
-            # single-device GATConv.aggregate rework.
-            agg = local_agg_mh(zh, exp_loc, H)              # [Nb, H, C]
+            # single-device GATConv.aggregate rework.  Under mixed
+            # precision the message weights rejoin dtype (softmax math
+            # above stayed f32); denominators divide in f32.
+            wl, wh, wself = exp_loc, exp_hal, exp_self
+            bias = layer["bias"]
+            if dtype is not None:
+                wl, wh, wself = (exp_loc.astype(dtype),
+                                 exp_hal.astype(dtype),
+                                 exp_self.astype(dtype))
+                bias = bias.astype(dtype)
+            agg = local_agg_mh(zh, wl, H)                   # [Nb, H, C]
             agg = agg + segment_sum(
-                halo_h[snd_hal] * exp_hal[..., None], rcv_hal, nb)
-            out = (agg + zh * exp_self[..., None]) / denom[..., None]
+                halo_h[snd_hal] * wh[..., None], rcv_hal, nb)
+            out = ((agg + zh * wself[..., None]).astype(jnp.float32)
+                   / denom[..., None])
+            if dtype is not None:
+                out = out.astype(dtype)
             # Hidden layers concatenate heads; the output layer averages
             # (models/mpnn.py head layout).  Identical for H = 1.
             out = out.mean(axis=1) if last else out.reshape(nb, H * C)
-            h = out + layer["bias"]
+            h = out + bias
             if not last:
                 h = jax.nn.relu(h)
                 if key is not None:
                     h = _dropout(h, key, li, dropout)
-        return h[None]
+        return h.astype(jnp.float32)[None]
 
     forward = jax.jit(jax.shard_map(
         per_device_forward, mesh=mesh,
@@ -820,8 +846,11 @@ def make_sharded_gat(mesh: Mesh, num_layers: int, axis: str = "data",
         gcnt = float(np.maximum(np.asarray(node_ok_blocks).sum(), 1.0))
         extras = _extras(plan)
         if has_key:
-            extras = ((key if key is not None
-                       else jax.random.PRNGKey(0)),) + extras
+            if key is None:
+                raise ValueError(
+                    "dropout > 0 training steps need a fresh per-step "
+                    "PRNG key (see make_sharded_gcn.value_and_grad)")
+            extras = (key,) + extras
         return _vg(params, x_blocks, *(plan[k] for k in _PLAN_KEYS),
                    y_blocks, node_ok_blocks, gcnt, *extras)
 

@@ -24,8 +24,8 @@ cannot express (SURVEY §2.4 listed CP/ring attention as "no graph analog"
 — this is the analog: the node dimension IS the sequence dimension).
 
 Layer semantics mirror models/gps.py (pre-norm, GCN local + MHA global +
-GELU FFN, residuals); dropout is omitted (full-batch regime, like the
-other edge-partitioned paths).
+GELU FFN, residuals, the three per-layer dropout sites with per-device
+folded PRNG keys).
 """
 
 from __future__ import annotations
@@ -181,7 +181,8 @@ def _ring_attention(g, ap, gid, ok, axis: str, num_devices: int,
 
 def make_sharded_gps(mesh: Mesh, num_layers: int, num_heads: int,
                      axis: str = "data", tile: int | None = None,
-                     dtype=None, shard_axes=None, grad_axes=None):
+                     dtype=None, shard_axes=None, grad_axes=None,
+                     dropout: float = 0.0):
     """Builds (forward, value_and_grad) for the ring-attention GPS.
 
     forward(params, x_blocks [D,Nb,F], gid_blocks [D,Nb], ok_blocks [D,Nb],
@@ -203,13 +204,14 @@ def make_sharded_gps(mesh: Mesh, num_layers: int, num_heads: int,
     D = int(dict(zip(mesh.axis_names, mesh.devices.shape))[axis])
     shard_axes = shard_axes if shard_axes is not None else axis
     grad_axes = grad_axes if grad_axes is not None else axis
+    has_key = dropout > 0.0   # training programs carry a PRNG step key
 
     def _c(a):
         return a.astype(dtype) if dtype is not None else a
 
     def per_device_forward(params, x_blk, gid_blk, ok_blk, send_idx,
                            snd_loc, rcv_loc, m_loc, snd_hal, rcv_hal,
-                           m_hal):
+                           m_hal, key=None):
         x0 = x_blk[0]
         gid, ok = gid_blk[0], ok_blk[0]
         send_idx = send_idx[0]
@@ -238,7 +240,14 @@ def make_sharded_gps(mesh: Mesh, num_layers: int, num_heads: int,
 
         x = (_c(x0) @ _c(params["in"]["kernel"])
              + params["in"]["bias"]).astype(jnp.float32)
-        for layer in params["layers"]:
+        for li, layer in enumerate(params["layers"]):
+            # Three dropout sites per layer (models/gps.py GPSLayer:
+            # local, attention, FFN) — distinct folded sub-keys.
+            def drop(h, branch, li=li):
+                if key is None:
+                    return h
+                from graph_hscn_tpu.parallel.sharded_gcn import _dropout
+                return _dropout(h, key, 3 * li + branch, dropout)
             # Local: GCNConv over the real edges (halo overlapped).
             h = _c(_layer_norm(x, layer["ln1"]))
             hh = h @ _c(layer["local"]["kernel"])
@@ -248,15 +257,16 @@ def make_sharded_gps(mesh: Mesh, num_layers: int, num_heads: int,
                                     rcv_hal, nb)
             local = (agg + diag[:, None] * hh).astype(jnp.float32) \
                 + layer["local"]["bias"]
-            h_local = x + jax.nn.relu(local)
+            h_local = x + drop(jax.nn.relu(local), 0)
 
             # Global: ring attention, per-graph masked (K/V rotate in
             # the compute dtype; accumulation stays f32 inside).
             g = _c(_layer_norm(x, layer["ln2"]))
             attn_p = (jax.tree_util.tree_map(_c, layer["attn"])
                       if dtype is not None else layer["attn"])
-            h_global = x + _ring_attention(g, attn_p, gid, ok,
-                                           axis, D, t).astype(jnp.float32)
+            h_global = x + drop(_ring_attention(g, attn_p, gid, ok, axis,
+                                                D, t).astype(jnp.float32),
+                                1)
 
             h2 = h_local + h_global
             f = _c(_layer_norm(h2, layer["ln3"]))
@@ -264,7 +274,7 @@ def make_sharded_gps(mesh: Mesh, num_layers: int, num_heads: int,
                             + _c(layer["ffn1"]["bias"]))
             f = (f @ _c(layer["ffn2"]["kernel"])).astype(jnp.float32) \
                 + layer["ffn2"]["bias"]
-            x = h2 + f
+            x = h2 + drop(f, 2)
 
         x = _layer_norm(x, params["ln_f"])
         out = x @ params["head"]["kernel"] + params["head"]["bias"]
@@ -280,11 +290,17 @@ def make_sharded_gps(mesh: Mesh, num_layers: int, num_heads: int,
 
     def per_device_value_grad(params, x_blk, gid_blk, ok_blk, send_idx,
                               snd_loc, rcv_loc, m_loc, snd_hal, rcv_hal,
-                              m_hal, y_blk, gcnt):
+                              m_hal, y_blk, gcnt, *rest):
+        if has_key:
+            from graph_hscn_tpu.parallel.sharded_gcn import _device_key
+            key = _device_key(rest[0], shard_axes)
+        else:
+            key = None
+
         def local_loss(params):
             logits = per_device_forward(
                 params, x_blk, gid_blk, ok_blk, send_idx, snd_loc,
-                rcv_loc, m_loc, snd_hal, rcv_hal, m_hal)[0]
+                rcv_loc, m_loc, snd_hal, rcv_hal, m_hal, key=key)[0]
             y = y_blk[0]
             w = ok_blk[0].astype(logits.dtype)
             logp = jax.nn.log_softmax(logits, axis=-1)
@@ -299,7 +315,8 @@ def make_sharded_gps(mesh: Mesh, num_layers: int, num_heads: int,
 
     _vg = jax.jit(jax.shard_map(
         per_device_value_grad, mesh=mesh,
-        in_specs=(P(),) + (P(shard_axes),) * 11 + (None,),
+        in_specs=(P(),) + (P(shard_axes),) * 11 + (None,)
+        + ((P(),) if has_key else ()),
         out_specs=(P(), P()),
         check_vma=False,
     ), static_argnums=(12,))
@@ -309,10 +326,18 @@ def make_sharded_gps(mesh: Mesh, num_layers: int, num_heads: int,
                        *(plan[k] for k in _PLAN_KEYS))
 
     def value_and_grad(params, x_blocks, gid_blocks, ok_blocks, plan,
-                       y_blocks):
+                       y_blocks, key=None):
         gcnt = float(np.maximum(np.asarray(ok_blocks).sum(), 1.0))
+        extras = ()
+        if has_key:
+            if key is None:
+                raise ValueError(
+                    "dropout > 0 training steps need a fresh per-step "
+                    "PRNG key (see make_sharded_gcn.value_and_grad)")
+            extras = (key,)
         return _vg(params, x_blocks, gid_blocks, ok_blocks,
-                   *(plan[k] for k in _PLAN_KEYS), y_blocks, gcnt)
+                   *(plan[k] for k in _PLAN_KEYS), y_blocks, gcnt,
+                   *extras)
 
     return forward_wrapper, value_and_grad
 

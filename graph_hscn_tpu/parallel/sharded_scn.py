@@ -238,7 +238,8 @@ def fit_hscn_edge_partitioned(dm, mesh: Mesh, hscn_cfg, optim_cfg,
                               axis: str = "data", reorder: bool = True,
                               vv_pattern: str = "clique",
                               eval_only: str | None = None,
-                              predictions_sink: dict | None = None):
+                              predictions_sink: dict | None = None,
+                              dtype=None):
     """CLI-reachable giant-graph HSCN pipeline (``hscn:`` +
     ``mesh.edge_partition: true``): each split packed as ONE padded batch
     whose node blocks shard across the mesh, then
@@ -267,6 +268,17 @@ def fit_hscn_edge_partitioned(dm, mesh: Mesh, hscn_cfg, optim_cfg,
         raise ValueError(
             "edge-partitioned HSCN computes node-level softmax cross "
             "entropy; set loss_fn: softmax_cross_entropy")
+    if dtype is not None:
+        # Refuse rather than silently run f32 (the repo's refuse-loudly
+        # doctrine; VERDICT round-3 item 3).  bf16 for the MinCUT losses
+        # needs f32-contraction carve-outs the SCN grad-through-shard_map
+        # convention hasn't been validated with.
+        raise ValueError(
+            "edge-partitioned HSCN runs f32 (MinCUT loss contractions + "
+            "global lv segment-softmax are numerically f32-sensitive); "
+            "set runtime.compute_dtype: float32.  bf16 mixed precision "
+            "is implemented on the sharded gcn/gin/gat/gatedgcn/gps "
+            "paths.")
     D = int(np.prod(mesh.devices.shape))
     K = hscn_cfg.num_clusters
     metric_fn = METRICS[training_cfg.metric]

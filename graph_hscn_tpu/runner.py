@@ -108,7 +108,8 @@ def run_experiment(cfg: ExperimentConfig, log_file=None) -> FitResult:
                 reorder=cfg.mesh.locality_reorder,
                 vv_pattern=("triangular"
                             if cfg.compat.vv_triangular_pattern
-                            else "clique"))
+                            else "clique"),
+                dtype=compute_dtype)
             logger.finish()
             return result
         from graph_hscn_tpu.hscn_pipeline import run_hscn_pipeline

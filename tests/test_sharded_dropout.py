@@ -125,7 +125,24 @@ def test_norm_flags_refused(tmp_path):
         _run_cfg({"use_layer_norm": True}, tmp_path)
 
 
-def test_unsupported_family_dropout_refused(tmp_path):
-    with pytest.raises(ValueError, match="dropout"):
-        _run_cfg({"conv_type": "gps", "dropout": 0.2, "num_heads": 2,
+def test_cli_gps_dropout_trains(tmp_path):
+    """Sharded GPS dropout (VERDICT round-3 item 5): the three GPSLayer
+    dropout sites run with per-device folded keys."""
+    r = _run_cfg({"conv_type": "gps", "dropout": 0.2, "num_heads": 2,
                   "hidden_channels": 8}, tmp_path)
+    assert np.isfinite(r.history[-1]["train_loss"])
+
+
+def test_cli_gatedgcn_dropout_trains(tmp_path):
+    r = _run_cfg({"conv_type": "gatedgcn", "dropout": 0.3}, tmp_path)
+    assert np.isfinite(r.history[-1]["train_loss"])
+
+
+def test_dropout_without_key_raises(setup):
+    """dropout > 0 with no per-step key must raise, not silently reuse a
+    fixed mask every step (round-3 advisor finding)."""
+    mesh, plan, xb, yb, okb = setup
+    params = init_sharded_gcn_params(jax.random.PRNGKey(0), [14, 32, 21])
+    _, vg = make_sharded_gcn(mesh, num_layers=2, dropout=0.5)
+    with pytest.raises(ValueError, match="PRNG"):
+        vg(params, xb, plan, yb, okb)
