@@ -248,13 +248,37 @@ def apply_node_reorder(perm: np.ndarray, senders: np.ndarray,
     """Apply a ``perm[new] = old`` node permutation: edge endpoints are
     remapped through the inverse, node-indexed arrays gathered into the
     new order.  Masked (padding) edge endpoints map like any other id —
-    they stay in range and are gated by edge_mask downstream."""
+    they stay in range and are gated by edge_mask downstream.
+
+    NOTE: edge ORDER is unchanged — after remapping it is no longer
+    sorted by (new) receiver, which the Pallas SpMM plans require; call
+    :func:`sort_edges_by_receiver` afterwards (round-4 fix: every
+    ``reorder=True`` run had silently lost plan eligibility and fallen
+    back to XLA aggregation)."""
     perm = np.asarray(perm)
     inv = np.empty_like(perm)
     inv[perm] = np.arange(perm.size)
     new_s = inv[np.asarray(senders)].astype(np.int32)
     new_r = inv[np.asarray(receivers)].astype(np.int32)
     return (new_s, new_r) + tuple(np.asarray(a)[perm] for a in node_arrays)
+
+
+def sort_edges_by_receiver(senders: np.ndarray, receivers: np.ndarray,
+                           edge_mask: np.ndarray, num_nodes: int):
+    """Stable receiver sort with masked edges last — restores the
+    batcher's edge-order invariant after :func:`apply_node_reorder`
+    (receiver-sorted per-device edge groups are what keep tile spans
+    inside the SpMM kernel windows, spmm_kernel.py _windows).
+
+    Returns (senders, receivers, edge_mask, edge_perm) with
+    ``edge_perm[new_pos] = old_pos``; any per-edge side arrays (edge
+    features, stored edge indices) must be composed through it.
+    """
+    em = np.asarray(edge_mask, bool)
+    key = np.where(em, np.asarray(receivers), num_nodes)
+    eo = np.argsort(key, kind="stable").astype(np.int32)
+    return (np.asarray(senders)[eo], np.asarray(receivers)[eo], em[eo],
+            eo)
 
 
 def _split_local_halo(snd_remap, rcv_local, mask, nb, eidx):

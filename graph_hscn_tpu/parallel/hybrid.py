@@ -105,6 +105,10 @@ def build_hybrid_split(graphs, d_dp: int, d_ep: int, reorder: bool = True):
             perm = locality_reorder(snd, rcv, em, n, node_mask=ok)
             snd, rcv, x, y, ok, gid = apply_node_reorder(
                 perm, snd, rcv, x, y, ok, gid)
+            # Receiver-sort invariant for the SpMM plans (round-4 fix).
+            from graph_hscn_tpu.parallel.edge_partition import \
+                sort_edges_by_receiver
+            snd, rcv, em, _ = sort_edges_by_receiver(snd, rcv, em, n)
         plan = plan_halo_exchange(snd, rcv, em, n, d_ep)
         per_group.append((plan, x, y, ok, (snd, rcv, em), gid))
 

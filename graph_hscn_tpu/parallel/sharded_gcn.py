@@ -76,12 +76,26 @@ def _make_local_agg(sp, snd_loc, rcv_loc, nb, use_spmm_plan,
     ``weight_grad=False`` (structural weights, e.g. the sharded GCN's
     degree normalization) lets the kernel backward skip its SDDMM."""
     if use_spmm_plan:
-        from graph_hscn_tpu.ops.pallas.spmm_kernel import spmm_pallas
+        from graph_hscn_tpu.ops.pallas.spmm_kernel import (VMEM_X_BUDGET,
+                                                           spmm_pallas,
+                                                           spmm_pallas_hbm)
         sp_d = jax.tree_util.tree_map(lambda a: a[0], sp[0])
 
         def agg(feats, w):
-            out = spmm_pallas(feats, sp_d, edge_weight=w, num_nodes=nb,
-                              weight_grad=weight_grad)
+            # Same regime routing as ops/spmm.gather_scatter: VMEM-resident
+            # kernel, HBM-streamed kernel up to ~2x the budget (a 1-device
+            # mesh sees the whole packed batch as one block), else XLA.
+            xbytes = nb * feats.shape[-1] * feats.dtype.itemsize
+            if xbytes <= VMEM_X_BUDGET:
+                out = spmm_pallas(feats, sp_d, edge_weight=w,
+                                  num_nodes=nb, weight_grad=weight_grad)
+            elif xbytes <= 2 * VMEM_X_BUDGET:
+                out = spmm_pallas_hbm(feats, sp_d, edge_weight=w,
+                                      num_nodes=nb,
+                                      weight_grad=weight_grad)
+            else:
+                return segment_sum(feats[snd_loc] * w[:, None], rcv_loc,
+                                   nb)
             # Kernel accumulates in f32; rejoin the caller's compute
             # dtype so bf16 mixed precision composes with the plan path.
             return out.astype(feats.dtype)
@@ -342,7 +356,18 @@ def fit_edge_partitioned(dm, mesh: Mesh, mpnn_cfg, optim_cfg, training_cfg,
             perm = locality_reorder(snd, rcv, em, n, node_mask=node_ok)
             snd, rcv, x, y, node_ok, gid = apply_node_reorder(
                 perm, snd, rcv, x, y, node_ok, gid)
+            # Restore the receiver-sort invariant the SpMM plans need
+            # (round-4 fix: reorder silently broke plan eligibility).
+            from graph_hscn_tpu.parallel.edge_partition import \
+                sort_edges_by_receiver
+            snd, rcv, em, eo = sort_edges_by_receiver(snd, rcv, em, n)
         plan_np = plan_halo_exchange(snd, rcv, em, n, D)
+        if reorder:
+            # Stored per-edge indices now address the sorted order;
+            # compose back to the batch's original edge positions so
+            # edge-feature gathers stay correct.
+            plan_np["eidx_loc"] = eo[plan_np["eidx_loc"]]
+            plan_np["eidx_hal"] = eo[plan_np["eidx_hal"]]
         logger.info(f"[edge-partition] {split}: {n} node rows over {D} "
                     f"devices, halo width H={plan_np['halo_width']}"
                     f"{' (locality-reordered)' if reorder else ''}")

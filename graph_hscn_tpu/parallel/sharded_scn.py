@@ -297,6 +297,10 @@ def fit_hscn_edge_partitioned(dm, mesh: Mesh, hscn_cfg, optim_cfg,
             perm = locality_reorder(snd, rcv, em, n, node_mask=node_ok)
             snd, rcv, x, y, node_ok = apply_node_reorder(
                 perm, snd, rcv, x, y, node_ok)
+            # Receiver-sort invariant for the SpMM plans (round-4 fix).
+            from graph_hscn_tpu.parallel.edge_partition import \
+                sort_edges_by_receiver
+            snd, rcv, em, _ = sort_edges_by_receiver(snd, rcv, em, n)
         # Out-degree (row-sum of the raw adjacency — mincut_pool's
         # denominator degree) is static graph structure: host-side.
         outdeg = np.bincount(snd[em], minlength=n).astype(np.float32)

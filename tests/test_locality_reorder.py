@@ -105,3 +105,116 @@ def test_sharded_gcn_forward_invariant_under_reorder():
     reordered = run(new_s, new_r, x_p)
     # un-permute and compare node-for-node
     np.testing.assert_allclose(reordered, base[perm], rtol=1e-5, atol=1e-5)
+
+
+def test_reorder_restores_plan_eligibility():
+    """Round-4 fix: after apply_node_reorder the edge list is no longer
+    receiver-sorted, which silently broke Pallas SpMM plan construction
+    on every reorder=True run (plans need narrow per-tile node spans).
+    sort_edges_by_receiver must restore the invariant and plans must
+    attach for 1- and 8-way partitions of a giant packed batch."""
+    import numpy as np
+
+    from graph_hscn_tpu.data.batching import PadBudget, pack_batch
+    from graph_hscn_tpu.data.synthetic import make_voc_superpixels
+    from graph_hscn_tpu.parallel.edge_partition import (
+        apply_node_reorder, local_spmm_plans, locality_reorder,
+        plan_halo_exchange, sort_edges_by_receiver)
+
+    graphs = make_voc_superpixels(num_graphs=16, seed=5)
+    for D in (1, 8):
+        budget = PadBudget.for_dataset(graphs, batch_size=len(graphs),
+                                       node_multiple=D * 8)
+        b = pack_batch(graphs, budget)
+        n = b.num_nodes_padded
+        snd, rcv = np.asarray(b.senders), np.asarray(b.receivers)
+        em, nok = np.asarray(b.edge_mask), np.asarray(b.node_mask)
+        perm = locality_reorder(snd, rcv, em, n, node_mask=nok)
+        snd, rcv, nok = apply_node_reorder(perm, snd, rcv, nok)
+        # Broken without the re-sort:
+        assert not np.all(np.diff(rcv[em]) >= 0)
+        snd2, rcv2, em2, eo = sort_edges_by_receiver(snd, rcv, em, n)
+        assert np.all(np.diff(rcv2[em2]) >= 0)
+        # edge_perm maps back to pre-sort positions.
+        assert np.array_equal(rcv2, rcv[eo])
+        plan_np = plan_halo_exchange(snd2, rcv2, em2, n, D)
+        sp = local_spmm_plans(plan_np, plan_np["block_size"])
+        assert sp is not None, f"plans must attach after re-sort (D={D})"
+
+
+def test_gatedgcn_edge_features_survive_reorder(tmp_path):
+    """CLI-level: edge-featured sharded GatedGCN with locality reorder on
+    must train finitely (the stored per-edge feature indices are composed
+    through the re-sort permutation)."""
+    import numpy as np
+
+    from graph_hscn_tpu.config.config import parse_config
+    from graph_hscn_tpu.runner import run_experiment
+
+    raw = {
+        "data": {"dataset_name": "voc_superpixels", "batch_size": 4,
+                 "num_graphs": 8},
+        "mp": {"conv_type": "gatedgcn", "activation": "relu",
+               "hidden_channels": 8, "num_layers": 2, "dropout": 0.0},
+        "optim": {"optim_type": "adamW", "lr": 0.01,
+                  "weight_decay": 5e-4},
+        "training": {"model_type": "gatedgcn", "use_wandb": False,
+                     "loss_fn": "softmax_cross_entropy", "metric": "f1",
+                     "max_epochs": 2, "eval_period": 1, "min_delta": 0.0,
+                     "patience": 50},
+        "mesh": {"axes": ["data"], "shape": [8], "edge_partition": True,
+                 "locality_reorder": True},
+    }
+    r = run_experiment(parse_config(raw))
+    assert np.isfinite(r.history[-1]["train_loss"])
+
+
+def test_edge_feature_indices_compose_through_resort():
+    """Direct check of the eidx composition: after reorder + receiver
+    re-sort, gather_edge_groups must still pair every (src, dst) edge
+    with ITS original feature row."""
+    import numpy as np
+
+    from graph_hscn_tpu.data.batching import PadBudget, pack_batch
+    from graph_hscn_tpu.data.synthetic import make_peptides_func
+    from graph_hscn_tpu.parallel.edge_partition import (
+        apply_node_reorder, locality_reorder, plan_halo_exchange,
+        sort_edges_by_receiver)
+    from graph_hscn_tpu.parallel.sharded_gatedgcn import gather_edge_groups
+
+    D = 4
+    graphs = make_peptides_func(num_graphs=6, seed=11, mean_nodes=60)
+    budget = PadBudget.for_dataset(graphs, batch_size=6,
+                                   node_multiple=D * 8)
+    b = pack_batch(graphs, budget)
+    n = b.num_nodes_padded
+    snd0 = np.asarray(b.senders)
+    rcv0 = np.asarray(b.receivers)
+    em = np.asarray(b.edge_mask)
+    ef = np.asarray(b.edge_feat)
+    nok = np.asarray(b.node_mask)
+    # Ground truth: original (src, dst) -> feature row (edges unique
+    # after dedup in the generator).
+    truth = {(int(s), int(r)): ef[i] for i, (s, r) in
+             enumerate(zip(snd0, rcv0)) if em[i]}
+
+    perm = locality_reorder(snd0, rcv0, em, n, node_mask=nok)
+    snd, rcv, nok2 = apply_node_reorder(perm, snd0, rcv0, nok)
+    snd, rcv, em2, eo = sort_edges_by_receiver(snd, rcv, em, n)
+    plan_np = plan_halo_exchange(snd, rcv, em2, n, D)
+    plan_np["eidx_loc"] = eo[plan_np["eidx_loc"]]
+    plan_np["eidx_hal"] = eo[plan_np["eidx_hal"]]
+    e_loc, e_hal = gather_edge_groups(ef, plan_np)
+    nb = plan_np["block_size"]
+    checked = 0
+    for d in range(D):
+        for k in range(plan_np["snd_loc"].shape[1]):
+            if not plan_np["mask_loc"][d, k]:
+                continue
+            # Local-group endpoints are device-local row ids.
+            s_new = int(plan_np["snd_loc"][d, k]) + d * nb
+            r_new = int(plan_np["rcv_loc"][d, k]) + d * nb
+            key = (int(perm[s_new]), int(perm[r_new]))  # back to old ids
+            np.testing.assert_array_equal(e_loc[d, k], truth[key])
+            checked += 1
+    assert checked > 100
