@@ -89,7 +89,11 @@ def gather_scatter(
         from graph_hscn_tpu.ops.pallas.spmm_kernel import (VMEM_X_BUDGET,
                                                            spmm_pallas,
                                                            spmm_pallas_hbm)
-        xbytes = x.shape[0] * x.shape[1] * x.dtype.itemsize
+        # Mosaic lane-pads the minor dim to 128 in VMEM: a narrow
+        # feature matrix (e.g. K=8 cluster columns) occupies full-lane
+        # tiles, so budget against the PADDED footprint (seen: a
+        # [52k, 8] f32 out-buffer demanding 26 MB of scoped vmem).
+        xbytes = x.shape[0] * max(x.shape[1], 128) * x.dtype.itemsize
         if xbytes <= VMEM_X_BUDGET:
             return spmm_pallas(x, plan, edge_weight=edge_weight,
                                num_nodes=num_nodes,

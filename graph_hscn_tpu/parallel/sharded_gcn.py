@@ -85,7 +85,8 @@ def _make_local_agg(sp, snd_loc, rcv_loc, nb, use_spmm_plan,
             # Same regime routing as ops/spmm.gather_scatter: VMEM-resident
             # kernel, HBM-streamed kernel up to ~2x the budget (a 1-device
             # mesh sees the whole packed batch as one block), else XLA.
-            xbytes = nb * feats.shape[-1] * feats.dtype.itemsize
+            # Lane-padded footprint (minor dim pads to 128 in VMEM).
+            xbytes = nb * max(feats.shape[-1], 128) * feats.dtype.itemsize
             if xbytes <= VMEM_X_BUDGET:
                 out = spmm_pallas(feats, sp_d, edge_weight=w,
                                   num_nodes=nb, weight_grad=weight_grad)
