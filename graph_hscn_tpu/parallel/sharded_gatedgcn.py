@@ -34,6 +34,10 @@ _PLAN_KEYS = ("send_idx", "snd_loc", "rcv_loc", "mask_loc",
 _EPS = 1e-6
 
 
+def hidden_of(params) -> int:
+    return int(params["enc_x"]["kernel"].shape[1])
+
+
 def _glorot(key, shape):
     scale = jnp.sqrt(6.0 / (shape[0] + shape[1]))
     return jax.random.uniform(key, shape, minval=-scale, maxval=scale)
@@ -125,11 +129,14 @@ def make_sharded_gatedgcn(mesh: Mesh, num_layers: int, axis: str = "data",
         x0 = x_blk[0]
         ok = ok_blk[0]
         nb = x0.shape[0]
-        if n_extra:
+        if n_extra and hidden_of(params) >= 64:
             # Local-group scatters and gather-backwards ride the windowed
             # one-hot segment-reduce kernel on this device's plan (the
             # same 2.1x lever as the single-device GatedGCN layer; halo
-            # groups are small and stay XLA).
+            # groups are small and stay XLA).  Width gate: below ~F=64
+            # the kernel's lane-padded one-hot MACs lose to the XLA
+            # scatter (same crossover as _make_local_agg, BASELINE
+            # round-4).
             from graph_hscn_tpu.ops.segment import (gather_planned,
                                                     segment_sum_planned)
             sp_d = jax.tree_util.tree_map(lambda a: a[0], sp)

@@ -82,6 +82,15 @@ def _make_local_agg(sp, snd_loc, rcv_loc, nb, use_spmm_plan,
         sp_d = jax.tree_util.tree_map(lambda a: a[0], sp[0])
 
         def agg(feats, w):
+            # Width gate: the one-hot kernel's MACs are lane-padded to
+            # 128 columns, so below ~F=64 the padding wastes its MXU work
+            # while the XLA scatter stays cheap — measured on the v5e
+            # giant-graph HSCN: kernel 9% faster at hidden 128, 15%
+            # SLOWER at hidden 32 (BASELINE round-4).  Narrow calls (the
+            # MinCUT K-column A*S, thin stacks) stay XLA per call.
+            if feats.shape[-1] < 64:
+                return segment_sum(feats[snd_loc] * w[:, None], rcv_loc,
+                                   nb)
             # Same regime routing as ops/spmm.gather_scatter: VMEM-resident
             # kernel, HBM-streamed kernel up to ~2x the budget (a 1-device
             # mesh sees the whole packed batch as one block), else XLA.
@@ -117,6 +126,10 @@ def _make_local_agg_mh(sp, snd_loc, rcv_loc, nb, use_spmm_plan):
         sp_d = jax.tree_util.tree_map(lambda a: a[0], sp[0])
 
         def agg(feats, w, heads):
+            # Same width gate as _make_local_agg (total H*C columns).
+            if feats.shape[-2] * feats.shape[-1] < 64:
+                return segment_sum(feats[snd_loc] * w[..., None],
+                                   rcv_loc, nb)
             out = spmm_mh(feats.reshape(nb, -1), w, sp_d, heads=heads,
                           num_nodes=nb)
             return out.reshape(nb, heads, -1).astype(feats.dtype)

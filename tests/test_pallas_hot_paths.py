@@ -99,7 +99,9 @@ def test_sharded_local_agg_pallas_matches_segment_sum(family):
     D = 8
     b, plan, plan_sp, n = _sharded_setup(D)
     mesh = make_mesh(("data",), (D,))
-    dims = [14, 16, 21]
+    # hidden >= 64: below that the width gate routes the plan path
+    # to XLA per call and the comparison would be vacuous.
+    dims = [14, 64, 21]
     if family == "gcn":
         params = init_sharded_gcn_params(jax.random.PRNGKey(0), dims)
         fwd_ref, vg_ref = make_sharded_gcn(mesh, num_layers=2)
@@ -137,7 +139,7 @@ def test_sharded_gcn_bf16_composes_with_plan():
     D = 8
     b, plan, plan_sp, n = _sharded_setup(D)
     mesh = make_mesh(("data",), (D,))
-    dims = [14, 16, 21]
+    dims = [14, 64, 21]
     params = init_sharded_gcn_params(jax.random.PRNGKey(0), dims)
     fwd_f32, vg_f32 = make_sharded_gcn(mesh, num_layers=2,
                                        use_spmm_plan=True)
@@ -209,7 +211,7 @@ def test_sharded_gatedgcn_planned_matches_unplanned(pallas_backend):
     D = 8
     mesh = make_mesh(("data",), (D,))
     params = init_sharded_gatedgcn_params(jax.random.PRNGKey(4), 14, None,
-                                          16, 21, 2)
+                                          64, 21, 2)
     xb, yb, okb = shard_node_blocks(mesh, D, np.asarray(b.node_feat),
                                     np.asarray(b.node_y),
                                     np.asarray(b.node_mask))
@@ -239,7 +241,8 @@ def test_sharded_scn_plan_path_matches_xla(pallas_backend):
     D, K = 8, 4
     b, plan, plan_sp, n = _sharded_setup(D)
     mesh = make_mesh(("data",), (D,))
-    params = init_sharded_scn_params(jax.random.PRNGKey(7), 14, [16, 16], K)
+    params = init_sharded_scn_params(jax.random.PRNGKey(7), 14, [64, 64],
+                                     K)
     snd = np.asarray(b.senders)
     em = np.asarray(b.edge_mask)
     outdeg = np.bincount(snd[em], minlength=n).astype(np.float32)
@@ -282,7 +285,7 @@ def test_sharded_hscn_plan_path_matches_xla(pallas_backend, heads):
     D, K = 8, 4
     b, plan, plan_sp, n = _sharded_setup(D)
     mesh = make_mesh(("data",), (D,))
-    params = init_sharded_hscn_params(jax.random.PRNGKey(3), 14, 16, 21, 2,
+    params = init_sharded_hscn_params(jax.random.PRNGKey(3), 14, 64, 21, 2,
                                       heads=heads)
     rng = np.random.default_rng(0)
     clust = rng.integers(0, K, size=n).astype(np.int32)
