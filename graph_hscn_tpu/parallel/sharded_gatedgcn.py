@@ -129,14 +129,19 @@ def make_sharded_gatedgcn(mesh: Mesh, num_layers: int, axis: str = "data",
         x0 = x_blk[0]
         ok = ok_blk[0]
         nb = x0.shape[0]
-        if n_extra and hidden_of(params) >= 64:
+        from graph_hscn_tpu.ops.pallas.spmm_kernel import VMEM_X_BUDGET
+        hid = hidden_of(params)
+        if (n_extra and hid >= 64
+                and nb * max(hid, 128) * 4 <= VMEM_X_BUDGET):
             # Local-group scatters and gather-backwards ride the windowed
             # one-hot segment-reduce kernel on this device's plan (the
             # same 2.1x lever as the single-device GatedGCN layer; halo
             # groups are small and stay XLA).  Width gate: below ~F=64
             # the kernel's lane-padded one-hot MACs lose to the XLA
             # scatter (same crossover as _make_local_agg, BASELINE
-            # round-4).
+            # round-4).  VMEM gate: the segment-reduce keeps its f32
+            # [Nb, max(F,128)] out-buffer resident — oversized blocks
+            # (1-device giant batches) stay XLA.
             from graph_hscn_tpu.ops.segment import (gather_planned,
                                                     segment_sum_planned)
             sp_d = jax.tree_util.tree_map(lambda a: a[0], sp)
