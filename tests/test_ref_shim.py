@@ -209,3 +209,61 @@ def test_reference_executes_under_shim(tmp_path):
     finally:
         sys.path.remove(str(REPO / "scripts"))
     assert metric is not None and 0.0 <= metric <= 1.0
+
+
+@pytest.mark.slow
+def test_reference_hscn_pipeline_executes_under_shim(tmp_path):
+    """The reference's 4-stage HSCN pipeline (clustering pre-train ->
+    hetero rewrite -> HeteroConv training) runs end-to-end in-image via
+    run_reference.py (which supplies the mp_units field the reference's
+    own schema omits)."""
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "PYTHONPATH")}
+    subprocess.run(
+        [sys.executable, str(REPO / "scripts" / "export_synthetic_npz.py"),
+         "--dataset", "peptides_func", "--num-graphs", "24",
+         "--out", str(tmp_path)],
+        check=True, timeout=600)
+    ref_root = tmp_path / "ref"
+    import shutil
+    shutil.copytree("/root/reference", ref_root)
+    for p in ref_root.rglob("*"):
+        os.chmod(p, os.stat(p).st_mode | 0o200)
+    env["PYTHONPATH"] = f"{SHIM}:{ref_root}"
+    subprocess.run(
+        [sys.executable, str(SHIM / "seed_reference_data.py"),
+         "--npz", str(tmp_path / "peptides_func.npz"),
+         "--dataset", "peptides_func", "--ref-root", str(ref_root)],
+        check=True, env=env, timeout=600)
+    import yaml
+    cfg = {
+        "data": {"dataset_name": "peptides_func", "batch_size": 8,
+                 "num_workers": 0, "pe": False},
+        "hscn": {"activation": "relu", "hidden_channels": 8,
+                 "num_layers": 2, "num_clusters": 3, "cluster_epochs": 1,
+                 "mp_units": [8]},
+        "optim": {"optim_type": "adamW", "batch_accumulation": 1,
+                  "clip_grad_norm": False, "lr": 0.01,
+                  "weight_decay": 5e-4},
+        "pe": {"use": False},
+        "training": {"model_type": "hscn", "use_wandb": True,
+                     "loss_fn": "cross_entropy", "metric": "ap",
+                     "epochs": 2, "eval_period": 1, "min_delta": 0.01,
+                     "patience": 50},
+    }
+    (ref_root / "configs" / "hscn_micro.yaml").write_text(
+        yaml.safe_dump(cfg))
+    proc = subprocess.run(
+        [sys.executable, str(SHIM / "run_reference.py"),
+         "--cfg", "configs/hscn_micro.yaml"],
+        cwd=ref_root, env=env, capture_output=True, text=True,
+        timeout=900)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    sys.path.insert(0, str(REPO / "scripts"))
+    try:
+        import parity_run
+        _, metric = parity_run.best_val_test_metric(
+            proc.stdout + proc.stderr)
+    finally:
+        sys.path.remove(str(REPO / "scripts"))
+    assert metric is not None and 0.0 <= metric <= 1.0
