@@ -243,12 +243,13 @@ class RuntimeConfig:
     # "auto" enables it when the packed dataset fits device_dataset_max_mb.
     device_dataset: str = "auto"   # "auto" | "on" | "off"
     device_dataset_max_mb: int = 2048
-    # Fused multi-layer Pallas GCN stack (gcn + relu + dropout=0 + dense
-    # slots only).  Opt-in: on this session's relay, Pallas grid steps pay
-    # the same per-op overhead as separate XLA ops, so fusion shows no
-    # local gain (it remains the right design for directly attached TPUs);
-    # its remote compile is also slow (~2 min).
-    fused_stack: str = "off"       # "auto" | "on" | "off"
+    # Fused multi-layer Pallas GCN stack (gcn + relu + f32 + dense slots
+    # only).  Round-4 on-chip measurement: ~5% epoch-time win at GCN-5
+    # h128 (0.1124 vs 0.1187 s/epoch, 512 graphs), a wash at h16-L3
+    # where fixed dispatch dominates — "auto" enables it on TPU when the
+    # config is eligible; the extra compile (~1 min on the relay) is the
+    # only cost.
+    fused_stack: str = "auto"      # "auto" | "on" | "off"
     debug_nans: bool = False
     # Multi-host: "auto" calls jax.distributed.initialize() when a
     # coordinator is configured in the environment (TPU pod slices set
