@@ -181,17 +181,28 @@ def local_spmm_plans(plan: dict, block_size: int):
     aggregation (async collective + Pallas compute)")."""
     import jax.tree_util as jtu
 
-    from graph_hscn_tpu.ops.pallas.spmm_kernel import spmm_plan
+    from graph_hscn_tpu.ops.pallas.spmm_kernel import (PLAN_CANDIDATES,
+                                                       spmm_plan)
 
     D = plan["snd_loc"].shape[0]
-    per_dev = []
-    for d in range(D):
-        p = spmm_plan(plan["snd_loc"][d], plan["rcv_loc"][d],
-                      plan["mask_loc"][d], block_size)
-        if p is None:
-            return None
-        per_dev.append(p)
-    return jtu.tree_map(lambda *xs: jnp.asarray(np.stack(xs)), *per_dev)
+    # One (tile_edges, window) pair must serve EVERY device (the stacked
+    # pytree needs uniform leaf shapes); sweep the measured preference
+    # order (spmm_kernel.PLAN_CANDIDATES — (1024, 512) won the on-chip
+    # sweep; the old fixed (256, 1024) default left ~1.4x on the table)
+    # and keep the first pair feasible for all blocks.
+    for te, window in PLAN_CANDIDATES:
+        per_dev = []
+        for d in range(D):
+            p = spmm_plan(plan["snd_loc"][d], plan["rcv_loc"][d],
+                          plan["mask_loc"][d], block_size,
+                          tile_edges=te, window=window)
+            if p is None:
+                break
+            per_dev.append(p)
+        if len(per_dev) == D:
+            return jtu.tree_map(lambda *xs: jnp.asarray(np.stack(xs)),
+                                *per_dev)
+    return None
 
 
 def locality_reorder(senders: np.ndarray, receivers: np.ndarray,
