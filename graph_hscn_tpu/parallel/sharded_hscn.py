@@ -89,7 +89,8 @@ def init_sharded_hscn_params(rng, num_features: int, hidden: int,
 
 def make_sharded_hscn(mesh: Mesh, num_clusters: int,
                       vv_pattern: str = "triangular", axis: str = "data",
-                      heads: int = 1, use_spmm_plan: bool = False):
+                      heads: int = 1, use_spmm_plan: bool = False,
+                      dtype=None):
     """Builds (forward, value_and_grad) for the sharded HSCN.
 
     forward(params, x_blocks [D,Nb,F], mask_blocks [D,Nb],
@@ -110,6 +111,12 @@ def make_sharded_hscn(mesh: Mesh, num_clusters: int,
     (VERDICT round-3 item 2).  The K-segment lv/vv contractions stay
     XLA: their segment ids are cluster assignments (unsorted, K-sized),
     outside the receiver-sorted regime the kernel plans require.
+
+    ``dtype`` (e.g. jnp.bfloat16): mixed precision — local/virtual
+    streams and the per-layer halo payload run in ``dtype`` (f32 master
+    params); the lv attention logits, the global segment softmax
+    (pmax/psum statistics), and the logits stay f32, mirroring
+    make_sharded_gat.
     """
     from graph_hscn_tpu.parallel.sharded_gcn import _make_local_agg
     K = num_clusters
@@ -162,25 +169,37 @@ def make_sharded_hscn(mesh: Mesh, num_clusters: int,
         a_vv = adj_vv * ivv[:, None] * ivv[None, :]
 
         x_l = x
+        if dtype is not None:
+            x_l = x_l.astype(dtype)
+            x_v = x_v.astype(dtype)
+            w_loc, w_hal = w_loc.astype(dtype), w_hal.astype(dtype)
+            a_vv = a_vv.astype(dtype)
+
+        def _p(t):
+            return t.astype(dtype) if dtype is not None else t
+
         for layer in params["layers"]:
             # local <- local: sharded GCN, halo overlapped with local agg
             # (Pallas SpMM on this device's block when a plan is attached).
-            h = x_l @ layer["ll"]["kernel"]
+            h = x_l @ _p(layer["ll"]["kernel"])
             halo = _halo(h, send_idx)
             agg = local_agg(h, w_loc)
             agg = agg + segment_sum(halo[snd_hal] * w_hal[:, None],
                                     rcv_hal, nb)
-            x_l_new = agg + layer["ll"]["bias"]
+            x_l_new = agg + _p(layer["ll"]["bias"])
 
             # virtual <- local: bipartite multi-head GAT with a GLOBAL
             # per-head segment softmax over each cluster's members
             # (pmax + psum of [K, H] over ICI); H concatenated heads of
             # C = hidden // H channels (H = 1 degenerates to the
             # single-head program).
-            hs = (x_l @ layer["lv"]["kernel_src"]).reshape(nb, H, -1)
-            hd = (x_v @ layer["lv"]["kernel_dst"]).reshape(K, H, -1)
-            a_s = jnp.sum(hs * layer["lv"]["att_src"][None], -1)  # [Nb,H]
-            a_d = jnp.sum(hd * layer["lv"]["att_dst"][None], -1)  # [K,H]
+            hs = (x_l @ _p(layer["lv"]["kernel_src"])).reshape(nb, H, -1)
+            hd = (x_v @ _p(layer["lv"]["kernel_dst"])).reshape(K, H, -1)
+            # Attention logits + softmax statistics stay f32.
+            a_s = jnp.sum(hs.astype(jnp.float32)
+                          * layer["lv"]["att_src"][None], -1)     # [Nb,H]
+            a_d = jnp.sum(hd.astype(jnp.float32)
+                          * layer["lv"]["att_dst"][None], -1)     # [K,H]
             e = jax.nn.leaky_relu(a_s + a_d[clust], _SLOPE)
             e = jnp.where(mask[:, None], e, -jnp.inf)
             # Shift is softmax-invariant; stop_gradient BEFORE the pmax
@@ -190,21 +209,28 @@ def make_sharded_hscn(mesh: Mesh, num_clusters: int,
             gmax = jnp.where(jnp.isfinite(gmax), gmax, 0.0)
             ex = jnp.where(mask[:, None], jnp.exp(e - gmax[clust]), 0.0)
             denom = jax.lax.psum(segment_sum(ex, clust, K), axis)  # [K,H]
+            # Messages weighted in the stream dtype; divide in f32.
+            exd = ex.astype(hs.dtype)
             num = jax.lax.psum(
-                segment_sum(hs * ex[..., None], clust, K), axis)  # [K,H,C]
-            lv_out = ((num / jnp.maximum(denom, 1e-16)[..., None])
+                segment_sum(hs * exd[..., None], clust, K), axis)  # [K,H,C]
+            lv_out = ((num.astype(jnp.float32)
+                       / jnp.maximum(denom, 1e-16)[..., None])
                       .reshape(K, -1) + layer["lv"]["bias"])
+            if dtype is not None:
+                lv_out = lv_out.astype(dtype)
 
             # virtual <- virtual: replicated dense K x K DenseGCN.
-            vv_out = a_vv @ (x_v @ layer["vv"]["kernel"]) \
-                + layer["vv"]["bias"]
+            vv_out = a_vv @ (x_v @ _p(layer["vv"]["kernel"])) \
+                + _p(layer["vv"]["bias"])
 
             # HeteroConv aggr="sum" + per-type ReLU (hscn.py:97,110).
             x_l = jax.nn.relu(x_l_new)
             x_v = jax.nn.relu(lv_out + vv_out)
-            x_v = jnp.where(v_active[:, None], x_v, 0.0)
+            x_v = jnp.where(v_active[:, None], x_v,
+                            jnp.zeros((), x_v.dtype))
 
-        x_l = jnp.where(mask[:, None], x_l, 0.0)
+        x_l = jnp.where(mask[:, None], x_l,
+                        jnp.zeros((), x_l.dtype)).astype(jnp.float32)
         h = jax.nn.relu(x_l @ params["head"]["h1"]["kernel"]
                         + params["head"]["h1"]["bias"])
         out = h @ params["head"]["h2"]["kernel"] \

@@ -75,7 +75,8 @@ def init_sharded_scn_params(rng, num_features: int, mp_units, num_clusters):
 
 
 def make_sharded_scn(mesh: Mesh, num_clusters: int, mp_act: str = "relu",
-                     axis: str = "data", use_spmm_plan: bool = False):
+                     axis: str = "data", use_spmm_plan: bool = False,
+                     dtype=None):
     """Builds (losses, value_and_grad, assign) over the mesh.
 
     losses(params, x_blocks, mask_blocks, outdeg_blocks, plan)
@@ -94,6 +95,11 @@ def make_sharded_scn(mesh: Mesh, num_clusters: int, mp_act: str = "relu",
     aggregation AND the A·S contraction of the MinCUT numerator then ride
     the fused Pallas SpMM on each device's block (VERDICT round-3 item 2),
     same plan the stage-4 sharded HSCN reuses.
+
+    ``dtype`` (e.g. jnp.bfloat16): mixed precision on the GraphConv stack
+    (features + halo payloads in dtype, f32 params); the assignment
+    logits, softmax, and every MinCUT contraction stay f32 — the losses
+    are ratios of globally-reduced traces and numerically f32-sensitive.
     """
     from graph_hscn_tpu.parallel.sharded_gcn import _make_local_agg
     K = num_clusters
@@ -126,6 +132,14 @@ def make_sharded_scn(mesh: Mesh, num_clusters: int, mp_act: str = "relu",
         diag = dinv * dinv
 
         h = x
+        if dtype is not None:
+            h = h.astype(dtype)
+            w_loc, w_hal, diag = (w_loc.astype(dtype),
+                                  w_hal.astype(dtype), diag.astype(dtype))
+
+        def _p(t):
+            return t.astype(dtype) if dtype is not None else t
+
         for layer in params["layers"]:
             # Issue the exchange first; local-sender aggregation runs while
             # the all_to_all is in flight (same overlap as sharded_gcn;
@@ -135,10 +149,13 @@ def make_sharded_scn(mesh: Mesh, num_clusters: int, mp_act: str = "relu",
             agg = agg + segment_sum(halo_h[snd_hal] * w_hal[:, None],
                                     rcv_hal, nb)
             agg = agg + diag[:, None] * h
-            h = (agg @ layer["kernel_rel"] + h @ layer["kernel_root"]
-                 + layer["bias"])
+            h = (agg @ _p(layer["kernel_rel"]) + h @ _p(layer["kernel_root"])
+                 + _p(layer["bias"]))
             h = act(h)
-        s_logits = h @ params["head"]["kernel"] + params["head"]["bias"]
+        # Assignment logits + all MinCUT math in f32 (loss ratios of
+        # globally-reduced traces).
+        s_logits = (h.astype(jnp.float32) @ params["head"]["kernel"]
+                    + params["head"]["bias"])
 
         # PARTIAL MinCUT contractions on the raw unweighted adjacency
         # (quirk #7), masked like ops/dense.mincut_pool.  No psum — the
@@ -269,16 +286,9 @@ def fit_hscn_edge_partitioned(dm, mesh: Mesh, hscn_cfg, optim_cfg,
             "edge-partitioned HSCN computes node-level softmax cross "
             "entropy; set loss_fn: softmax_cross_entropy")
     if dtype is not None:
-        # Refuse rather than silently run f32 (the repo's refuse-loudly
-        # doctrine; VERDICT round-3 item 3).  bf16 for the MinCUT losses
-        # needs f32-contraction carve-outs the SCN grad-through-shard_map
-        # convention hasn't been validated with.
-        raise ValueError(
-            "edge-partitioned HSCN runs f32 (MinCUT loss contractions + "
-            "global lv segment-softmax are numerically f32-sensitive); "
-            "set runtime.compute_dtype: float32.  bf16 mixed precision "
-            "is implemented on the sharded gcn/gin/gat/gatedgcn/gps "
-            "paths.")
+        logger.info("[hscn-partition] mixed precision: bf16 streams + "
+                    "halo payloads; MinCUT contractions, lv softmax "
+                    "statistics, and logits stay f32.")
     D = int(np.prod(mesh.devices.shape))
     K = hscn_cfg.num_clusters
     metric_fn = METRICS[training_cfg.metric]
@@ -339,7 +349,7 @@ def fit_hscn_edge_partitioned(dm, mesh: Mesh, hscn_cfg, optim_cfg,
     # ---- Stage 1: sharded SCN clustering pre-train (full dataset). ----
     scn_losses, scn_vg, scn_assign = make_sharded_scn(
         mesh, K, mp_act=hscn_cfg.activation, axis=axis,
-        use_spmm_plan=use_spmm_plan)
+        use_spmm_plan=use_spmm_plan, dtype=dtype)
     scn_params = init_sharded_scn_params(
         jax.random.PRNGKey(training_cfg.seed), dm.num_features,
         list(hscn_cfg.mp_units), K)
@@ -379,7 +389,7 @@ def fit_hscn_edge_partitioned(dm, mesh: Mesh, hscn_cfg, optim_cfg,
         heads=heads)
     forward, value_and_grad = make_sharded_hscn(
         mesh, K, vv_pattern=vv_pattern, axis=axis, heads=heads,
-        use_spmm_plan=use_spmm_plan)
+        use_spmm_plan=use_spmm_plan, dtype=dtype)
     tx = build_optimizer(optim_cfg.optim_type, optim_cfg.lr,
                          optim_cfg.weight_decay,
                          optim_cfg.batch_accumulation,

@@ -237,9 +237,9 @@ def test_runner_sharded_gat_bf16_not_ignored():
     assert np.isfinite(r.history[-1]["train_loss"])
 
 
-def test_hscn_edge_partitioned_dtype_refused():
-    """compute_dtype on the sharded HSCN pipeline must refuse loudly
-    (VERDICT round-3 item 3), not silently run f32."""
+def test_hscn_edge_partitioned_bf16_trains():
+    """compute_dtype bfloat16 on the sharded HSCN pipeline trains (bf16
+    streams; MinCUT contractions / lv softmax statistics stay f32)."""
     from graph_hscn_tpu.config.config import parse_config
     from graph_hscn_tpu.runner import run_experiment
     raw = {
@@ -257,5 +257,54 @@ def test_hscn_edge_partitioned_dtype_refused():
         "mesh": {"axes": ["data"], "shape": [8], "edge_partition": True},
         "runtime": {"compute_dtype": "bfloat16"},
     }
-    with pytest.raises(ValueError, match="f32"):
-        run_experiment(parse_config(raw))
+    r = run_experiment(parse_config(raw))
+    assert np.isfinite(r.history[-1]["train_loss"])
+
+
+def test_sharded_scn_hscn_bf16_track_f32():
+    """bf16 sharded SCN losses/grads and HSCN forward/loss track the f32
+    builds loosely on the 8-device mesh."""
+    from graph_hscn_tpu.parallel.sharded_hscn import (
+        init_sharded_hscn_params, make_sharded_hscn)
+    from graph_hscn_tpu.parallel.sharded_scn import (init_sharded_scn_params,
+                                                     make_sharded_scn)
+    mesh, plan, xb, yb, okb, n, b = _sharded_setup()
+    D = 8
+    K = 4
+    snd = np.asarray(b.senders)
+    em = np.asarray(b.edge_mask)
+    outdeg = np.bincount(snd[em], minlength=n).astype(np.float32)
+    from graph_hscn_tpu.parallel.sharded_gcn import shard_node_blocks
+    (db,) = shard_node_blocks(mesh, D, outdeg)
+
+    scn_params = init_sharded_scn_params(jax.random.PRNGKey(2), 14,
+                                         [32], K)
+    losses32, vg32, _ = make_sharded_scn(mesh, K)
+    losses16, vg16, _ = make_sharded_scn(mesh, K, dtype=jnp.bfloat16)
+    mc32, o32 = losses32(scn_params, xb, okb, db, plan)
+    mc16, o16 = losses16(scn_params, xb, okb, db, plan)
+    np.testing.assert_allclose(float(mc16), float(mc32), atol=0.05)
+    np.testing.assert_allclose(float(o16), float(o32), atol=0.05)
+    l16, g16 = vg16(scn_params, xb, okb, db, plan)
+    assert np.isfinite(float(l16))
+    for g in jax.tree_util.tree_leaves(g16):
+        assert np.asarray(g).dtype == np.float32
+        assert np.all(np.isfinite(np.asarray(g)))
+
+    rng = np.random.default_rng(0)
+    clust = rng.integers(0, K, size=n).astype(np.int32)
+    (cb,) = shard_node_blocks(mesh, D, clust)
+    hp = init_sharded_hscn_params(jax.random.PRNGKey(3), 14, 16, 21, 2)
+    fw32, hvg32 = make_sharded_hscn(mesh, K)
+    fw16, hvg16 = make_sharded_hscn(mesh, K, dtype=jnp.bfloat16)
+    o_32 = np.asarray(fw32(hp, xb, okb, cb, plan)).reshape(n, -1)
+    o_16 = np.asarray(fw16(hp, xb, okb, cb, plan)).reshape(n, -1)
+    assert o_16.dtype == np.float32
+    m = np.asarray(b.node_mask)
+    np.testing.assert_allclose(o_16[m], o_32[m], rtol=0.15, atol=0.2)
+    hl32, _ = hvg32(hp, xb, okb, cb, plan, yb, okb)
+    hl16, hg16 = hvg16(hp, xb, okb, cb, plan, yb, okb)
+    np.testing.assert_allclose(float(hl16), float(hl32), rtol=0.05)
+    for g in jax.tree_util.tree_leaves(hg16):
+        assert np.asarray(g).dtype == np.float32
+        assert np.all(np.isfinite(np.asarray(g)))
