@@ -185,12 +185,18 @@ def local_spmm_plans(plan: dict, block_size: int):
                                                        spmm_plan)
 
     D = plan["snd_loc"].shape[0]
+    Eb = plan["snd_loc"].shape[1]
     # One (tile_edges, window) pair must serve EVERY device (the stacked
     # pytree needs uniform leaf shapes); sweep the measured preference
     # order (spmm_kernel.PLAN_CANDIDATES — (1024, 512) won the on-chip
     # sweep; the old fixed (256, 1024) default left ~1.4x on the table)
-    # and keep the first pair feasible for all blocks.
-    for te, window in PLAN_CANDIDATES:
+    # and keep the first pair feasible for all blocks.  spmm_plan_auto's
+    # tiny-batch guard applies per device: don't pad a small edge group
+    # up several-fold to fill one wide tile.
+    cands = [c for c in PLAN_CANDIDATES if c[0] <= Eb]
+    if not cands:
+        cands = [PLAN_CANDIDATES[-1]]
+    for te, window in cands:
         per_dev = []
         for d in range(D):
             p = spmm_plan(plan["snd_loc"][d], plan["rcv_loc"][d],

@@ -207,8 +207,9 @@ def make_sharded_gatedgcn(mesh: Mesh, num_layers: int, axis: str = "data",
             sig_hal = jnp.where(m_hal[:, None],
                                 jax.nn.sigmoid(e_new_hal), zero)
             # Gate normalization in f32: the denominator accumulates many
-            # sigmoids and divides against eps.
-            denom = (seg_loc(sig_loc).astype(jnp.float32)
+            # sigmoids and divides against eps — upcast BEFORE the sum
+            # (summing bf16 then upcasting has already rounded).
+            denom = (seg_loc(sig_loc.astype(jnp.float32))
                      + segment_sum(sig_hal.astype(jnp.float32), rcv_hal,
                                    nb))
             agg = (seg_loc(sig_loc * take_snd(bx))

@@ -294,15 +294,30 @@ def main():
                                            args.ref_epochs)
         if args.ref_seeds:
             ref_runs = []
+            first_text = None
             for s in [int(v) for v in args.ref_seeds.split(",")]:
                 txt = run_reference_shim(
                     args.dataset, npz_path, ref_cfg, args.reference_dir,
                     workdir, s, args.timeout)
                 v, m = best_val_test_metric(txt)
                 log(f"reference seed {s}: test_metric={m}")
+                if m is None:
+                    # A diverged/unparseable run must not poison the
+                    # study's means hours later.
+                    log(f"reference seed {s}: UNPARSEABLE eval output — "
+                        "excluded from the seed study")
+                    continue
+                if first_text is None:
+                    first_text = txt
                 ref_runs.append({"seed": s, "best_val_loss": v,
                                  "test_metric": m})
-            ref_text = txt
+            if not ref_runs:
+                raise SystemExit("no reference seed produced parseable "
+                                 "eval output")
+            # The headline single-run block pairs the FIRST parseable
+            # runs of each side (matched seeds when both lists start
+            # equal), consistent with the per-seed arrays.
+            ref_text = first_text
             result["reference_seed_runs"] = ref_runs
         else:
             ref_text = run_reference_shim(
@@ -369,8 +384,15 @@ def main():
         for s in [int(v) for v in args.fw_seeds.split(",")]:
             v, m = run_framework_once(s)
             log(f"framework seed {s}: test_metric={m}")
+            if m is None:
+                log(f"framework seed {s}: UNPARSEABLE eval output — "
+                    "excluded from the seed study")
+                continue
             fw_runs.append({"seed": s, "best_val_loss": v,
                             "test_metric": m})
+        if not fw_runs:
+            raise SystemExit("no framework seed produced parseable "
+                             "eval output")
         result["framework_seed_runs"] = fw_runs
         fw_val, fw_metric = fw_runs[0]["best_val_loss"], \
             fw_runs[0]["test_metric"]
