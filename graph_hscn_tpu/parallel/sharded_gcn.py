@@ -401,7 +401,9 @@ def fit_edge_partitioned(dm, mesh: Mesh, mpnn_cfg, optim_cfg, training_cfg,
             # and the node mask as rotating K/V side-channels.
             (plan["gid_blocks"],) = shard_node_blocks(mesh, D, gid)
             plan["ok_blocks"] = okb
-        if conv == "gatedgcn":
+        gps_gated = (conv == "gps" and getattr(
+            mpnn_cfg, "gps_local_conv", "gcn").lower() == "gatedgcn")
+        if conv == "gatedgcn" or gps_gated:
             plan["ok_blocks"] = okb
             if b.edge_feat is not None:
                 from graph_hscn_tpu.parallel.sharded_gatedgcn import \
@@ -440,17 +442,18 @@ def fit_edge_partitioned(dm, mesh: Mesh, mpnn_cfg, optim_cfg, training_cfg,
         # hidden width (input/head projections handle F and C).
         from graph_hscn_tpu.parallel.sharded_gps import (
             init_sharded_gps_params, make_sharded_gps)
-        if getattr(mpnn_cfg, "gps_local_conv", "gcn").lower() != "gcn":
-            raise ValueError(
-                "sharded GPS implements the GCN local block only; "
-                "gps_local_conv: gatedgcn is single-device-only")
+        gps_local = getattr(mpnn_cfg, "gps_local_conv", "gcn").lower()
+        edge_dim = (splits["train"][1]["e_loc"].shape[-1]
+                    if "e_loc" in splits["train"][1] else None)
         params = init_sharded_gps_params(
             jax.random.PRNGKey(training_cfg.seed), dm.num_features,
             mpnn_cfg.hidden_channels, dm.num_classes,
-            mpnn_cfg.num_layers, mpnn_cfg.num_heads)
+            mpnn_cfg.num_layers, mpnn_cfg.num_heads,
+            local_conv=gps_local, edge_features=edge_dim)
         _fw, _vg_gps = make_sharded_gps(mesh, mpnn_cfg.num_layers,
                                         mpnn_cfg.num_heads, axis=axis,
-                                        dtype=dtype, dropout=drop)
+                                        dtype=dtype, dropout=drop,
+                                        local_conv=gps_local)
 
         def forward(p, xb, plan):
             return _fw(p, xb, plan["gid_blocks"], plan["ok_blocks"], plan)

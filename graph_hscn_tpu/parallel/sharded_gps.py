@@ -56,25 +56,44 @@ def _glorot(key, shape, n_in: int = 1):
 
 def init_sharded_gps_params(rng, num_features: int, hidden: int,
                             num_classes: int, num_layers: int,
-                            num_heads: int) -> dict:
+                            num_heads: int, local_conv: str = "gcn",
+                            edge_features: int | None = None) -> dict:
     """Param pytree mirroring GPSModel's module structure
-    (tests map it 1:1 onto the flax variables)."""
+    (tests map it 1:1 onto the flax variables).
+
+    ``local_conv="gatedgcn"``: each layer carries the five GatedGCN
+    projections A..E instead of the single GCN kernel, plus a top-level
+    edge encoder (models/gps.py GPSModel: edge features -> hidden; a
+    constant 1-column encoder when the dataset has none)."""
     assert hidden % num_heads == 0
     hd = hidden // num_heads
 
     def ln():
         return {"scale": jnp.ones((hidden,)), "bias": jnp.zeros((hidden,))}
 
+    def dense(key, n_in):
+        return {"kernel": _glorot(key, (n_in, hidden)),
+                "bias": jnp.zeros((hidden,))}
+
     rng, k = jax.random.split(rng)
     params = {"in": {"kernel": _glorot(k, (num_features, hidden)),
                      "bias": jnp.zeros((hidden,))},
               "layers": [], "ln_f": ln()}
+    if local_conv == "gatedgcn":
+        rng, k = jax.random.split(rng)
+        params["enc_e"] = dense(k, edge_features or 1)
     for _ in range(num_layers):
         rng, k1, k2, k3, k4, k5, k6, k7 = jax.random.split(rng, 8)
+        if local_conv == "gatedgcn":
+            rng, *gks = jax.random.split(rng, 6)
+            local_p = {name: dense(kk, hidden)
+                       for name, kk in zip("ABCDE", gks)}
+        else:
+            local_p = {"kernel": _glorot(k1, (hidden, hidden)),
+                       "bias": jnp.zeros((hidden,))}
         params["layers"].append({
             "ln1": ln(),
-            "local": {"kernel": _glorot(k1, (hidden, hidden)),
-                      "bias": jnp.zeros((hidden,))},
+            "local": local_p,
             "ln2": ln(),
             "attn": {
                 "wq": _glorot(k2, (hidden, num_heads, hd)),
@@ -182,7 +201,7 @@ def _ring_attention(g, ap, gid, ok, axis: str, num_devices: int,
 def make_sharded_gps(mesh: Mesh, num_layers: int, num_heads: int,
                      axis: str = "data", tile: int | None = None,
                      dtype=None, shard_axes=None, grad_axes=None,
-                     dropout: float = 0.0):
+                     dropout: float = 0.0, local_conv: str = "gcn"):
     """Builds (forward, value_and_grad) for the ring-attention GPS.
 
     forward(params, x_blocks [D,Nb,F], gid_blocks [D,Nb], ok_blocks [D,Nb],
@@ -205,18 +224,23 @@ def make_sharded_gps(mesh: Mesh, num_layers: int, num_heads: int,
     shard_axes = shard_axes if shard_axes is not None else axis
     grad_axes = grad_axes if grad_axes is not None else axis
     has_key = dropout > 0.0   # training programs carry a PRNG step key
+    gated = local_conv == "gatedgcn"
+    n_e = 2 if gated else 0   # e_loc/e_hal side inputs
 
     def _c(a):
         return a.astype(dtype) if dtype is not None else a
 
-    def per_device_forward(params, x_blk, gid_blk, ok_blk, send_idx,
-                           snd_loc, rcv_loc, m_loc, snd_hal, rcv_hal,
-                           m_hal, key=None):
+    def per_device_forward(params, x_blk, gid_blk, ok_blk, *args,
+                           key=None):
+        if gated:
+            e0_loc, e0_hal = args[0][0], args[1][0]
+            args = args[2:]
+        else:
+            e0_loc = e0_hal = None
+        (send_idx, snd_loc, rcv_loc, m_loc, snd_hal, rcv_hal,
+         m_hal) = (a[0] for a in args)
         x0 = x_blk[0]
         gid, ok = gid_blk[0], ok_blk[0]
-        send_idx = send_idx[0]
-        snd_loc, rcv_loc, m_loc = snd_loc[0], rcv_loc[0], m_loc[0]
-        snd_hal, rcv_hal, m_hal = snd_hal[0], rcv_hal[0], m_hal[0]
         nb = x0.shape[0]
         t = tile or _pick_tile(nb)
 
@@ -226,17 +250,32 @@ def make_sharded_gps(mesh: Mesh, num_layers: int, num_heads: int,
                                          concat_axis=0, tiled=False)
             return inbound.reshape(-1, h.shape[-1])
 
-        # GCN normalization (layer-independent): in-degree + self loop,
-        # sender-side dinv exchanged once — same as make_sharded_gcn.
-        deg = (segment_sum(jnp.where(m_loc, 1.0, 0.0), rcv_loc, nb)
-               + segment_sum(jnp.where(m_hal, 1.0, 0.0), rcv_hal, nb)
-               + 1.0)
-        dinv = jax.lax.rsqrt(deg)
-        dinv_halo = _halo(dinv[:, None])[:, 0]
-        w_loc = _c(jnp.where(m_loc, dinv[snd_loc] * dinv[rcv_loc], 0.0))
-        w_hal = _c(jnp.where(m_hal, dinv_halo[snd_hal] * dinv[rcv_hal],
-                             0.0))
-        diag = _c(dinv * dinv)
+        def _dense(h, p):
+            return h @ _c(p["kernel"]) + _c(p["bias"])
+
+        if not gated:
+            # GCN normalization (layer-independent): in-degree + self
+            # loop, sender-side dinv exchanged once — as make_sharded_gcn.
+            deg = (segment_sum(jnp.where(m_loc, 1.0, 0.0), rcv_loc, nb)
+                   + segment_sum(jnp.where(m_hal, 1.0, 0.0), rcv_hal, nb)
+                   + 1.0)
+            dinv = jax.lax.rsqrt(deg)
+            dinv_halo = _halo(dinv[:, None])[:, 0]
+            w_loc = _c(jnp.where(m_loc, dinv[snd_loc] * dinv[rcv_loc],
+                                 0.0))
+            w_hal = _c(jnp.where(m_hal,
+                                 dinv_halo[snd_hal] * dinv[rcv_hal], 0.0))
+            diag = _c(dinv * dinv)
+        else:
+            # GatedGCN local block (models/gps.py GPSLayer gatedgcn
+            # branch: GatedGCNConv residual=False, norm="none"): edge
+            # state is receiver-resident for the whole run
+            # (sharded_gatedgcn layout); encode it once.
+            if e0_loc is None:
+                e0_loc = jnp.ones((snd_loc.shape[0], 1), jnp.float32)
+                e0_hal = jnp.ones((snd_hal.shape[0], 1), jnp.float32)
+            e_loc = _dense(_c(e0_loc), params["enc_e"])
+            e_hal = _dense(_c(e0_hal), params["enc_e"])
 
         x = (_c(x0) @ _c(params["in"]["kernel"])
              + params["in"]["bias"]).astype(jnp.float32)
@@ -248,16 +287,55 @@ def make_sharded_gps(mesh: Mesh, num_layers: int, num_heads: int,
                     return h
                 from graph_hscn_tpu.parallel.sharded_gcn import _dropout
                 return _dropout(h, key, 3 * li + branch, dropout)
-            # Local: GCNConv over the real edges (halo overlapped).
             h = _c(_layer_norm(x, layer["ln1"]))
-            hh = h @ _c(layer["local"]["kernel"])
-            halo_h = _halo(hh)
-            agg = segment_sum(hh[snd_loc] * w_loc[:, None], rcv_loc, nb)
-            agg = agg + segment_sum(halo_h[snd_hal] * w_hal[:, None],
-                                    rcv_hal, nb)
-            local = (agg + diag[:, None] * hh).astype(jnp.float32) \
-                + layer["local"]["bias"]
-            h_local = x + drop(jax.nn.relu(local), 0)
+            if gated:
+                # GatedGCN local: gates from the pre-normed stream; the
+                # halo carries h once, D/E/B for halo senders computed
+                # on the receiving device (sharded_gatedgcn recipe).
+                lp = layer["local"]
+                halo_hn = _halo(h)
+                dh = _dense(h, lp["D"])
+                eh = _dense(h, lp["E"])
+                bh = _dense(h, lp["B"])
+                e_hal_src = _dense(halo_hn, lp["E"])
+                b_hal_src = _dense(halo_hn, lp["B"])
+                e_new_loc = _dense(e_loc, lp["C"]) + dh[rcv_loc] \
+                    + eh[snd_loc]
+                e_new_hal = _dense(e_hal, lp["C"]) + dh[rcv_hal] \
+                    + e_hal_src[snd_hal]
+                zero = jnp.zeros((), e_new_loc.dtype)
+                sig_loc = jnp.where(m_loc[:, None],
+                                    jax.nn.sigmoid(e_new_loc), zero)
+                sig_hal = jnp.where(m_hal[:, None],
+                                    jax.nn.sigmoid(e_new_hal), zero)
+                denom = (segment_sum(sig_loc.astype(jnp.float32),
+                                     rcv_loc, nb)
+                         + segment_sum(sig_hal.astype(jnp.float32),
+                                       rcv_hal, nb))
+                agg = (segment_sum(sig_loc * bh[snd_loc], rcv_loc, nb)
+                       + segment_sum(sig_hal * b_hal_src[snd_hal],
+                                     rcv_hal, nb))
+                ratio = agg.astype(jnp.float32) / (denom + 1e-6)
+                local = jax.nn.relu(
+                    _dense(h, lp["A"]).astype(jnp.float32) + ratio)
+                # residual=False, norm="none": edge state = relu'd
+                # pre-activation, padded rows zeroed (layers.py:470-478).
+                e_loc = jnp.where(m_loc[:, None],
+                                  jax.nn.relu(e_new_loc), zero)
+                e_hal = jnp.where(m_hal[:, None],
+                                  jax.nn.relu(e_new_hal), zero)
+                h_local = x + drop(local, 0)
+            else:
+                # Local: GCNConv over the real edges (halo overlapped).
+                hh = h @ _c(layer["local"]["kernel"])
+                halo_h = _halo(hh)
+                agg = segment_sum(hh[snd_loc] * w_loc[:, None], rcv_loc,
+                                  nb)
+                agg = agg + segment_sum(halo_h[snd_hal] * w_hal[:, None],
+                                        rcv_hal, nb)
+                local = (agg + diag[:, None] * hh).astype(jnp.float32) \
+                    + layer["local"]["bias"]
+                h_local = x + drop(jax.nn.relu(local), 0)
 
             # Global: ring attention, per-graph masked (K/V rotate in
             # the compute dtype; accumulation stays f32 inside).
@@ -283,24 +361,23 @@ def make_sharded_gps(mesh: Mesh, num_layers: int, num_heads: int,
 
     forward = jax.jit(jax.shard_map(
         per_device_forward, mesh=mesh,
-        in_specs=(P(),) + (P(shard_axes),) * 10,
+        in_specs=(P(),) + (P(shard_axes),) * (10 + n_e),
         out_specs=P(shard_axes),
         check_vma=False,
     ))
 
-    def per_device_value_grad(params, x_blk, gid_blk, ok_blk, send_idx,
-                              snd_loc, rcv_loc, m_loc, snd_hal, rcv_hal,
-                              m_hal, y_blk, gcnt, *rest):
+    def per_device_value_grad(params, x_blk, gid_blk, ok_blk, y_blk,
+                              gcnt, *rest):
         if has_key:
             from graph_hscn_tpu.parallel.sharded_gcn import _device_key
             key = _device_key(rest[0], shard_axes)
+            rest = rest[1:]
         else:
             key = None
 
         def local_loss(params):
             logits = per_device_forward(
-                params, x_blk, gid_blk, ok_blk, send_idx, snd_loc,
-                rcv_loc, m_loc, snd_hal, rcv_hal, m_hal, key=key)[0]
+                params, x_blk, gid_blk, ok_blk, *rest, key=key)[0]
             y = y_blk[0]
             w = ok_blk[0].astype(logits.dtype)
             logp = jax.nn.log_softmax(logits, axis=-1)
@@ -315,15 +392,28 @@ def make_sharded_gps(mesh: Mesh, num_layers: int, num_heads: int,
 
     _vg = jax.jit(jax.shard_map(
         per_device_value_grad, mesh=mesh,
-        in_specs=(P(),) + (P(shard_axes),) * 11 + (None,)
-        + ((P(),) if has_key else ()),
+        in_specs=(P(),) + (P(shard_axes),) * 4 + (None,)
+        + ((P(),) if has_key else ())
+        + (P(shard_axes),) * (7 + n_e),
         out_specs=(P(), P()),
         check_vma=False,
-    ), static_argnums=(12,))
+    ), static_argnums=(5,))
+
+    def _eargs(plan):
+        if not gated:
+            return ()
+        # Edge features are optional (VOC has none): the per-device
+        # program substitutes a ones-column encoder input.
+        if plan.get("e_loc") is None:
+            El = plan["snd_loc"].shape
+            Eh = plan["snd_hal"].shape
+            return (jnp.ones(El + (1,), jnp.float32),
+                    jnp.ones(Eh + (1,), jnp.float32))
+        return (plan["e_loc"], plan["e_hal"])
 
     def forward_wrapper(params, x_blocks, gid_blocks, ok_blocks, plan):
         return forward(params, x_blocks, gid_blocks, ok_blocks,
-                       *(plan[k] for k in _PLAN_KEYS))
+                       *_eargs(plan), *(plan[k] for k in _PLAN_KEYS))
 
     def value_and_grad(params, x_blocks, gid_blocks, ok_blocks, plan,
                        y_blocks, key=None):
@@ -335,9 +425,9 @@ def make_sharded_gps(mesh: Mesh, num_layers: int, num_heads: int,
                     "dropout > 0 training steps need a fresh per-step "
                     "PRNG key (see make_sharded_gcn.value_and_grad)")
             extras = (key,)
-        return _vg(params, x_blocks, gid_blocks, ok_blocks,
-                   *(plan[k] for k in _PLAN_KEYS), y_blocks, gcnt,
-                   *extras)
+        return _vg(params, x_blocks, gid_blocks, ok_blocks, y_blocks,
+                   gcnt, *extras, *_eargs(plan),
+                   *(plan[k] for k in _PLAN_KEYS))
 
     return forward_wrapper, value_and_grad
 

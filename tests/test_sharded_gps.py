@@ -210,3 +210,113 @@ def test_sharded_gps_bf16_tracks_f32():
     assert np.isfinite(float(loss))
     for leaf in jax.tree_util.tree_leaves(grads):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def _map_params_gated(p, num_layers):
+    """Sharded gatedgcn-local param pytree -> flax GPSModel variables
+    (GatedGCNConv declares A..E as Dense_0..4; top-level Dense_1 is the
+    edge encoder, Dense_2 the class head)."""
+    out = {"Dense_0": {"kernel": p["in"]["kernel"],
+                       "bias": p["in"]["bias"]},
+           "Dense_1": p["enc_e"]}
+    for i, layer in enumerate(p["layers"]):
+        g = layer["local"]
+        out[f"GPSLayer_{i}"] = {
+            "LayerNorm_0": layer["ln1"],
+            "GatedGCNConv_0": {
+                f"Dense_{j}": g[name]
+                for j, name in enumerate("ABCDE")},
+            "LayerNorm_1": layer["ln2"],
+            "GraphMHA_0": {
+                "query": {"kernel": layer["attn"]["wq"],
+                          "bias": layer["attn"]["bq"]},
+                "key": {"kernel": layer["attn"]["wk"],
+                        "bias": layer["attn"]["bk"]},
+                "value": {"kernel": layer["attn"]["wv"],
+                          "bias": layer["attn"]["bv"]},
+                "out": {"kernel": layer["attn"]["wo"],
+                        "bias": layer["attn"]["bo"]},
+            },
+            "LayerNorm_2": layer["ln3"],
+            "Dense_0": layer["ffn1"],
+            "Dense_1": layer["ffn2"],
+        }
+    out["LayerNorm_0"] = p["ln_f"]
+    out["Dense_2"] = p["head"]
+    return {"params": out}
+
+
+def test_sharded_gps_gatedgcn_local_matches_flax():
+    """Ring GPS with the GatedGCN local block (round-4: the last
+    family refusal removed) vs the flax GPSModel(local_conv=gatedgcn)
+    with mapped weights — WITH real edge features (peptides bonds)."""
+    from graph_hscn_tpu.data.synthetic import make_peptides_func
+    from graph_hscn_tpu.parallel.sharded_gatedgcn import gather_edge_groups
+
+    graphs = make_peptides_func(num_graphs=8, seed=5, mean_nodes=40)
+    slot = ((max(g.num_nodes for g in graphs) + 7) // 8) * 8
+    budget = PadBudget.for_dataset(graphs, batch_size=8)
+    b = pack_batch(graphs, budget, slot_nodes=slot)
+    n = b.num_nodes_padded
+    assert n % D == 0
+    plan_np = plan_halo_exchange(np.asarray(b.senders),
+                                 np.asarray(b.receivers),
+                                 np.asarray(b.edge_mask), n, D)
+    plan = {k: jnp.asarray(v) for k, v in plan_np.items()
+            if k not in ("block_size", "halo_width")}
+    el, eh = gather_edge_groups(np.asarray(b.edge_feat), plan_np)
+    from graph_hscn_tpu.parallel.edge_partition import shard_arrays
+    mesh = make_mesh(("data",), (D,))
+    plan["e_loc"], plan["e_hal"] = shard_arrays(mesh, el, eh)
+
+    fe = b.edge_feat.shape[-1]
+    params = init_sharded_gps_params(jax.random.PRNGKey(9), 9, HID, 10, L,
+                                     HEADS, local_conv="gatedgcn",
+                                     edge_features=fe)
+    forward, vg = make_sharded_gps(mesh, L, HEADS, local_conv="gatedgcn")
+    xb, gb, okb = shard_node_blocks(
+        mesh, D, np.asarray(b.node_feat),
+        np.asarray(b.node_graph).astype(np.int32),
+        np.asarray(b.node_mask))
+    out = np.asarray(forward(params, xb, gb, okb, plan)).reshape(n, -1)
+
+    flax_model = GPSModel(num_features=9, hidden_channels=HID,
+                          num_classes=10, num_layers=L, num_heads=HEADS,
+                          dropout=0.0, readout="none",
+                          local_conv="gatedgcn")
+    ref = np.asarray(flax_model.apply(_map_params_gated(params, L), b,
+                                      train=False))
+    mask = np.asarray(b.node_mask)
+    np.testing.assert_allclose(out[mask], ref[mask], rtol=3e-4, atol=3e-4)
+
+    # Gradients finite through the gated local block + ring.
+    yb_np = np.zeros((n, 10), np.float32)
+    yb_np[np.arange(n), np.arange(n) % 10] = 1.0
+    (yb,) = shard_node_blocks(mesh, D, yb_np)
+    loss, grads = vg(params, xb, gb, okb, plan, yb)
+    assert np.isfinite(float(loss))
+    for g in jax.tree_util.tree_leaves(grads):
+        assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_cli_gps_gatedgcn_local_trains():
+    """CLI: conv_type gps + gps_local_conv gatedgcn on the edge-partition
+    mesh trains (previously a config-time refusal)."""
+    from graph_hscn_tpu.config.config import parse_config
+    from graph_hscn_tpu.runner import run_experiment
+    raw = {
+        "data": {"dataset_name": "voc_superpixels", "batch_size": 4,
+                 "num_graphs": 8},
+        "mp": {"conv_type": "gps", "activation": "relu",
+               "hidden_channels": 8, "num_layers": 2, "dropout": 0.1,
+               "num_heads": 2, "gps_local_conv": "gatedgcn"},
+        "optim": {"optim_type": "adamW", "lr": 0.01,
+                  "weight_decay": 5e-4},
+        "training": {"model_type": "gps", "use_wandb": False,
+                     "loss_fn": "softmax_cross_entropy", "metric": "f1",
+                     "max_epochs": 2, "eval_period": 1, "min_delta": 0.0,
+                     "patience": 50},
+        "mesh": {"axes": ["data"], "shape": [8], "edge_partition": True},
+    }
+    r = run_experiment(parse_config(raw))
+    assert np.isfinite(r.history[-1]["train_loss"])
