@@ -24,7 +24,7 @@ MODEL ?= gcn
 parity:
 	python scripts/parity_run.py --mode shim --dataset $(DATASET) \
 	  --model $(MODEL) --ref-seeds 0,1,2,3,4,5,6,7 \
-	  --fw-seeds 0,1,2,3,4,5,6 --out PARITY_RESULT.json
+	  --fw-seeds 0,1,2,3,4,5,6,7 --out PARITY_RESULT.json
 
 # Single-seed quick variant (one reference + one framework run).
 parity-quick:
