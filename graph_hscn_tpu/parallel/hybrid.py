@@ -219,8 +219,11 @@ def fit_hybrid(dm, mesh: Mesh, mpnn_cfg, optim_cfg, training_cfg, logger,
             init_sharded_gps_params, make_sharded_gps)
         if getattr(mpnn_cfg, "gps_local_conv", "gcn").lower() != "gcn":
             raise ValueError(
-                "sharded GPS implements the GCN local block only; "
-                "gps_local_conv: gatedgcn is single-device-only")
+                "the hybrid 2-D mesh implements the GCN local block for "
+                "GPS; gps_local_conv: gatedgcn runs on the 1-D "
+                "edge-partition mesh (mesh.axes: [data]) or single-device "
+                "— its receiver-resident edge state is not sharded over "
+                "the 2-D group layout")
         params = init_sharded_gps_params(
             jax.random.PRNGKey(training_cfg.seed), dm.num_features,
             mpnn_cfg.hidden_channels, dm.num_classes, mpnn_cfg.num_layers,

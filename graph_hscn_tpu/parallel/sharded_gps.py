@@ -270,10 +270,9 @@ def make_sharded_gps(mesh: Mesh, num_layers: int, num_heads: int,
             # GatedGCN local block (models/gps.py GPSLayer gatedgcn
             # branch: GatedGCNConv residual=False, norm="none"): edge
             # state is receiver-resident for the whole run
-            # (sharded_gatedgcn layout); encode it once.
-            if e0_loc is None:
-                e0_loc = jnp.ones((snd_loc.shape[0], 1), jnp.float32)
-                e0_hal = jnp.ones((snd_hal.shape[0], 1), jnp.float32)
+            # (sharded_gatedgcn layout, whose per-layer gate recipe —
+            # incl. the f32 denominator-upcast rationale — this
+            # mirrors); _eargs always supplies both edge inputs.
             e_loc = _dense(_c(e0_loc), params["enc_e"])
             e_hal = _dense(_c(e0_hal), params["enc_e"])
 
@@ -402,13 +401,15 @@ def make_sharded_gps(mesh: Mesh, num_layers: int, num_heads: int,
     def _eargs(plan):
         if not gated:
             return ()
-        # Edge features are optional (VOC has none): the per-device
-        # program substitutes a ones-column encoder input.
+        # Edge features are optional (VOC has none): substitute a
+        # ones-column encoder input ONCE per plan (cached in the dict —
+        # a fresh device array per step would cost a relay upload each
+        # call).
         if plan.get("e_loc") is None:
-            El = plan["snd_loc"].shape
-            Eh = plan["snd_hal"].shape
-            return (jnp.ones(El + (1,), jnp.float32),
-                    jnp.ones(Eh + (1,), jnp.float32))
+            plan["e_loc"] = jnp.ones(plan["snd_loc"].shape + (1,),
+                                     jnp.float32)
+            plan["e_hal"] = jnp.ones(plan["snd_hal"].shape + (1,),
+                                     jnp.float32)
         return (plan["e_loc"], plan["e_hal"])
 
     def forward_wrapper(params, x_blocks, gid_blocks, ok_blocks, plan):

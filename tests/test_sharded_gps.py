@@ -320,3 +320,31 @@ def test_cli_gps_gatedgcn_local_trains():
     }
     r = run_experiment(parse_config(raw))
     assert np.isfinite(r.history[-1]["train_loss"])
+
+
+def test_sharded_gps_gatedgcn_bf16_tracks_f32():
+    """bf16 mixed precision composes with the gated local block."""
+    b, plan, n = _setup()   # VOC graphs, no edge features (ones encoder)
+    mesh = make_mesh(("data",), (D,))
+    params = init_sharded_gps_params(jax.random.PRNGKey(4), 14, HID, 21, L,
+                                     HEADS, local_conv="gatedgcn")
+    fw32, _ = make_sharded_gps(mesh, L, HEADS, local_conv="gatedgcn")
+    fw16, vg16 = make_sharded_gps(mesh, L, HEADS, local_conv="gatedgcn",
+                                  dtype=jnp.bfloat16)
+    xb, gb, okb = shard_node_blocks(
+        mesh, D, np.asarray(b.node_feat),
+        np.asarray(b.node_graph).astype(np.int32),
+        np.asarray(b.node_mask))
+    o32 = np.asarray(fw32(params, xb, gb, okb, dict(plan))).reshape(n, -1)
+    o16 = np.asarray(fw16(params, xb, gb, okb, dict(plan))).reshape(n, -1)
+    assert o16.dtype == np.float32
+    m = np.asarray(b.node_mask)
+    np.testing.assert_allclose(o16[m], o32[m], rtol=0.15, atol=0.25)
+    yb_np = np.zeros((n, 21), np.float32)
+    yb_np[np.arange(n), np.arange(n) % 21] = 1.0
+    (yb,) = shard_node_blocks(mesh, D, yb_np)
+    loss, grads = vg16(params, xb, gb, okb, dict(plan), yb)
+    assert np.isfinite(float(loss))
+    for g in jax.tree_util.tree_leaves(grads):
+        assert np.asarray(g).dtype == np.float32
+        assert np.all(np.isfinite(np.asarray(g)))
