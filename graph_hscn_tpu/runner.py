@@ -63,7 +63,8 @@ def run_experiment(cfg: ExperimentConfig, log_file=None) -> FitResult:
     if cfg.pe is not None:
         from graph_hscn_tpu.transform.posenc import attach_posenc
         attach_posenc(dm, cfg.pe, logger,
-                      frozen_random=cfg.compat.frozen_random_signnet)
+                      frozen_random=cfg.compat.frozen_random_signnet,
+                      seed=cfg.training.seed)
 
     node_level = dm.task_level == "node"
 
@@ -299,7 +300,8 @@ def run_eval(cfg: ExperimentConfig, which: str = "best", log_file=None,
     if cfg.pe is not None:
         from graph_hscn_tpu.transform.posenc import attach_posenc
         attach_posenc(dm, cfg.pe, logger,
-                      frozen_random=cfg.compat.frozen_random_signnet)
+                      frozen_random=cfg.compat.frozen_random_signnet,
+                      seed=cfg.training.seed)
     node_level = dm.task_level == "node"
 
     if cfg.mesh.edge_partition:

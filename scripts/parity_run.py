@@ -63,6 +63,10 @@ FRAMEWORK_CFGS = {
     ("peptides_func", "gat"): "configs/GAT/peptides_func_GAT.yaml",
     ("peptides_func", "hscn"): "configs/HSCN/peptides_func_HSCN.yaml",
     ("peptides_struct", "gcn"): "configs/GCN/peptides_struct_GCN.yaml",
+    # gcn_pe: same GCN pair with the SignNet PE subsystem ON on both
+    # sides (the reference's PE path executes under the one-line
+    # ACT_DICT amendment documented in scripts/ref_shim/run_reference.py).
+    ("peptides_func", "gcn_pe"): "configs/GCN/peptides_func_GCN_PE.yaml",
 }
 
 # Keys each reference pydantic model accepts (config.py:32-152); anything
@@ -77,6 +81,10 @@ REF_OPTIM_KEYS = ("optim_type", "batch_accumulation", "clip_grad_norm",
                   "lr", "weight_decay")
 REF_TRAIN_KEYS = ("model_type", "loss_fn", "metric", "eval_period",
                   "min_delta", "patience")
+REF_PE_KEYS = ("dim_in", "dim_emb", "dim_pe", "model", "layers",
+               "post_layers", "eigen_max_freqs", "eigvec_norm",
+               "eigen_laplacian_norm", "phi_hidden_dim", "phi_out_dim",
+               "pass_as_var", "use_bn")
 
 
 def log(msg: str) -> None:
@@ -116,6 +124,96 @@ def best_val_test_metric(text: str):
     return best
 
 
+def reference_effective_splits(split: dict) -> dict:
+    """Derive the splits the reference's HSCN stage EFFECTIVELY trains and
+    evaluates on (SURVEY.md quirk #16, found in round 4 by execution).
+
+    ``generate_hetero_data`` builds its hetero list in train/val/test
+    POSITION order (/root/reference/graph_hscn/loader/hetero_data.py:34-42):
+    position ``p`` of that list holds the graph whose ORIGINAL dataset id
+    is ``order[p]`` with ``order = concat(train_idx, val_idx, test_idx)``.
+    ``hetero_loaders`` then indexes the list with the original ids as if
+    they were positions (hetero_data.py:97-99), so the reference's
+    "train" loader actually contains the graphs ``order[train_idx]`` —
+    a deterministic scramble of the partition (labels travel with each
+    graph, so metrics stay well-defined; the three sets stay disjoint).
+
+    The derivation is pinned against the executed reference in
+    tests/test_ref_shim.py::test_hetero_loader_split_scramble.
+    """
+    order = np.concatenate(
+        [split["train"], split["val"], split["test"]]).astype(np.int64)
+    n = len(order)
+    if np.bincount(order, minlength=n).max() != 1 or order.min() != 0:
+        raise ValueError("splits must partition the dataset for the "
+                         "reference's position/id confusion to be "
+                         "well-defined")
+    return {k: order[split[k].astype(np.int64)] for k in
+            ("train", "val", "test")}
+
+
+def write_effective_splits_npz(npz_path: Path, out_dir: Path) -> Path:
+    """Copy the shared data cache with split_* replaced by the reference's
+    effective (scrambled) splits; the framework trained on this cache is
+    the apples-to-apples side of an HSCN parity pair."""
+    z = dict(np.load(npz_path))
+    split = {k: z[f"split_{k}"] for k in ("train", "val", "test")}
+    eff = reference_effective_splits(split)
+    for k, v in eff.items():
+        z[f"split_{k}"] = v
+    out_dir.mkdir(parents=True, exist_ok=True)
+    out = out_dir / npz_path.name
+    np.savez_compressed(out, **z)
+    return out
+
+
+def seed_study_stats(rv: list, fv: list, gate: float) -> dict:
+    """Delta-of-means with its standard error and 95% CI (Welch), plus an
+    explicit statement of what the study can resolve against the gate
+    (round-4 verdict: no PASS whose CI spans the gate without saying so)."""
+    rv = np.asarray(rv, dtype=float)
+    fv = np.asarray(fv, dtype=float)
+    nr, nf = len(rv), len(fv)
+    sr = float(np.std(rv, ddof=1)) if nr > 1 else float("nan")
+    sf = float(np.std(fv, ddof=1)) if nf > 1 else float("nan")
+    dom = float(np.mean(fv) - np.mean(rv))
+    se = float(np.sqrt(sr ** 2 / nr + sf ** 2 / nf))
+    # Welch-Satterthwaite dof; normal quantile fallback if scipy absent.
+    try:
+        from scipy import stats as sps
+        df = (sr ** 2 / nr + sf ** 2 / nf) ** 2 / (
+            (sr ** 2 / nr) ** 2 / (nr - 1) + (sf ** 2 / nf) ** 2 / (nf - 1))
+        tq = float(sps.t.ppf(0.975, df))
+    except Exception:
+        df, tq = float("nan"), 1.96
+    hw = tq * se
+    resolved = bool(hw <= gate)
+    out = {
+        "reference": {"n": nr, "mean": float(np.mean(rv)), "std": sr},
+        "framework": {"n": nf, "mean": float(np.mean(fv)), "std": sf},
+        "delta_of_means": abs(dom),
+        "delta_of_means_signed": dom,
+        "se_delta": se,
+        "ci95_delta": [dom - hw, dom + hw],
+        "ci95_halfwidth": hw,
+        "welch_df": df,
+        "pass": bool(abs(dom) <= gate),
+        "resolves_gate": resolved,
+        "resolution": (
+            f"CI half-width {hw:.4f} <= gate {gate}: the study can "
+            "resolve the gate" if resolved else
+            f"CI half-width {hw:.4f} > gate {gate}: the observed delta "
+            f"is consistent with parity but a true gap up to "
+            f"{abs(dom) + hw:.4f} cannot be excluded at this n; per-seed "
+            "training noise dominates"),
+        "note": "the reference's own seed-to-seed test-metric spread "
+                "exceeds the gate several-fold on this task; "
+                "single-run deltas are dominated by training noise, "
+                "so the gate is applied to the delta of seed means",
+    }
+    return out
+
+
 def synthesize_reference_cfg(fw_cfg: dict, model: str,
                              ref_epochs: int | None) -> dict:
     """Translate the framework YAML into the reference's config schema so
@@ -127,13 +225,17 @@ def synthesize_reference_cfg(fw_cfg: dict, model: str,
     ``max_epochs`` explicitly, which for the shipped configs (500) equals
     the reference's effective behavior.
     """
+    # PE rides the framework YAML: a ``pe: {use: true}`` block turns the
+    # SignNet pipeline on for BOTH sides (the reference side needs the
+    # documented one-line ACT_DICT amendment — quirk #5 — applied by
+    # scripts/ref_shim/run_reference.py).  Without it, pe stays off
+    # (the reference's shipped configs run pe False).
+    use_pe = bool(fw_cfg.get("pe", {}).get("use", False))
     ref: dict = {"data": {
         "dataset_name": fw_cfg["data"]["dataset_name"],
         "batch_size": fw_cfg["data"].get("batch_size", 32),
         "num_workers": 0,
-        # The reference's PE path crashes as committed (quirk #5 +
-        # pe_cfg=None when pe.use is false, main.py:41-44 vs loader.py:75).
-        "pe": False,
+        "pe": use_pe,
     }}
     if model == "hscn":
         src = fw_cfg["hscn"]
@@ -143,7 +245,12 @@ def synthesize_reference_cfg(fw_cfg: dict, model: str,
         ref["mp"] = {k: src[k] for k in REF_MP_KEYS if k in src}
     src = fw_cfg["optim"]
     ref["optim"] = {k: src[k] for k in REF_OPTIM_KEYS if k in src}
-    ref["pe"] = {"use": False}
+    if use_pe:
+        src = fw_cfg["pe"]
+        ref["pe"] = {"use": True}
+        ref["pe"].update({k: src[k] for k in REF_PE_KEYS if k in src})
+    else:
+        ref["pe"] = {"use": False}
     src = fw_cfg["training"]
     ref["training"] = {k: src[k] for k in REF_TRAIN_KEYS if k in src}
     ref["training"]["use_wandb"] = True  # mandatory (quirk #3); shim no-ops
@@ -184,7 +291,7 @@ def main():
     ap.add_argument("--mode", choices=["shim", "cli"], default="shim")
     ap.add_argument("--dataset", default="peptides_func")
     ap.add_argument("--model", default="gcn",
-                    choices=["gcn", "gat", "hscn"])
+                    choices=["gcn", "gat", "hscn", "gcn_pe"])
     ap.add_argument("--num-graphs", type=int, default=512,
                     help="synthetic dataset size (shim mode)")
     ap.add_argument("--data-seed", type=int, default=0)
@@ -205,6 +312,11 @@ def main():
     ap.add_argument("--fw-seeds", default=None,
                     help="comma list: run the framework once per "
                          "training.seed")
+    ap.add_argument("--fw-true-split-seeds", default=None,
+                    help="hscn only: extra framework runs on the TRUE "
+                         "splits (recorded for transparency, not a "
+                         "parity comparison — quirk #16); default: the "
+                         "first --fw-seeds seed")
     ap.add_argument("--reference-dir", default="/root/reference")
     ap.add_argument("--reference-python", default=sys.executable)
     ap.add_argument("--reference-cfg", default=None,
@@ -329,13 +441,21 @@ def main():
                               "on pure-torch shims of its PyG/OGB/wandb "
                               "deps: scripts/ref_shim/)",
             "data": result["phases"]["data"],
-            "amendments": [
-                "data.pe=False on both sides (reference PE path crashes "
-                "as committed: SURVEY.md quirk #5, main.py:41-44)",
-                "HSCNConfig.mp_units declared by the run wrapper (the "
-                "reference's main.py:102 reads it but its schema omits "
-                "it)",
-            ],
+            "amendments": (
+                ["HSCNConfig.mp_units declared by the run wrapper (the "
+                 "reference's main.py:102 reads it but its schema omits "
+                 "it)"] +
+                (["ACT_DICT['activation'] -> F.relu added by the run "
+                  "wrapper so the SignNet MLP's broken lookup "
+                  "(signnet.py:49, quirk #5) resolves to the relu the "
+                  "call sites request",
+                  "compute_posenc loaders rebuilt per-graph by the run "
+                  "wrapper (the committed code batches Batch objects "
+                  "into loaders of batches-of-batches, a path that "
+                  "never executed; see run_reference.py)"]
+                 if ref_cfg["data"]["pe"] else
+                 ["data.pe=False on both sides (this pair runs without "
+                  "the PE subsystem; the gcn_pe pair exercises it)"])),
             "ref_seed": args.ref_seed,
             "ref_epochs": args.ref_epochs,
         }
@@ -368,36 +488,72 @@ def main():
         if args.fw_epochs:
             base["training"]["max_epochs"] = args.fw_epochs
 
-    def run_framework_once(seed=None):
+    # HSCN apples-to-apples data: the reference's hetero loaders train and
+    # evaluate on a deterministic scramble of the partition (quirk #16),
+    # so the framework's comparable runs use the derived EFFECTIVE splits;
+    # a true-splits run is recorded alongside for completeness.
+    fw_data_dir = None
+    if args.model == "hscn" and not args.dry_run:
+        eff_path = write_effective_splits_npz(
+            npz_path, workdir / "data_effective")
+        fw_data_dir = str(eff_path.parent)
+        result["effective_splits"] = {
+            "npz": str(eff_path),
+            "derivation": "order=concat(train,val,test) split indices; "
+                          "effective[k]=order[split[k]] (reference "
+                          "hetero_data.py:34-42 position order vs :97-99 "
+                          "original-id indexing — SURVEY.md quirk #16)",
+        }
+
+    def run_framework_once(seed=None, data_dir_override=None, tag=""):
         cfg = dict(base)
+        if data_dir_override is not None:
+            cfg["data"] = dict(cfg["data"], data_dir=data_dir_override)
         if seed is not None:
             cfg["training"] = dict(cfg["training"], seed=seed)
-        run_cfg_path = workdir / f"framework_cfg_{seed}.yaml"
+        run_cfg_path = workdir / f"framework_cfg{tag}_{seed}.yaml"
         run_cfg_path.write_text(yaml.safe_dump(cfg))
         txt = run_and_capture(
             [sys.executable, REPO / "main.py", "--cfg", run_cfg_path],
             cwd=REPO, timeout=args.timeout)
         return best_val_test_metric(txt)
 
-    if args.fw_seeds and not args.dry_run:
-        fw_runs = []
-        for s in [int(v) for v in args.fw_seeds.split(",")]:
-            v, m = run_framework_once(s)
-            log(f"framework seed {s}: test_metric={m}")
+    def run_framework_seeds(seeds, data_dir_override=None, tag=""):
+        runs = []
+        for s in seeds:
+            v, m = run_framework_once(s, data_dir_override, tag)
+            log(f"framework{tag} seed {s}: test_metric={m}")
             if m is None:
-                log(f"framework seed {s}: UNPARSEABLE eval output — "
+                log(f"framework{tag} seed {s}: UNPARSEABLE eval output — "
                     "excluded from the seed study")
                 continue
-            fw_runs.append({"seed": s, "best_val_loss": v,
-                            "test_metric": m})
+            runs.append({"seed": s, "best_val_loss": v, "test_metric": m})
+        return runs
+
+    if args.fw_seeds and not args.dry_run:
+        seeds = [int(v) for v in args.fw_seeds.split(",")]
+        fw_runs = run_framework_seeds(seeds, fw_data_dir)
         if not fw_runs:
             raise SystemExit("no framework seed produced parseable "
                              "eval output")
         result["framework_seed_runs"] = fw_runs
         fw_val, fw_metric = fw_runs[0]["best_val_loss"], \
             fw_runs[0]["test_metric"]
+        if fw_data_dir is not None:
+            # One true-splits run per requested seed (default: first seed
+            # only) — NOT comparable to the reference (different test
+            # subset), recorded for transparency.
+            ts = ([int(v) for v in args.fw_true_split_seeds.split(",")]
+                  if args.fw_true_split_seeds else seeds[:1])
+            result["framework_true_split_runs"] = run_framework_seeds(
+                ts, None, tag="_true_splits")
+            result["framework_true_split_note"] = (
+                "true-splits runs evaluate a DIFFERENT test subset than "
+                "the reference does (quirk #16); they are not a parity "
+                "comparison")
     else:
-        fw_val, fw_metric = run_framework_once()
+        fw_val, fw_metric = run_framework_once(
+            data_dir_override=fw_data_dir)
     result["phases"]["framework"] = str(fw_cfg_path)
     if fw_metric is None:
         raise SystemExit("could not parse framework eval lines")
@@ -415,26 +571,18 @@ def main():
     if "reference_seed_runs" in result and "framework_seed_runs" in result:
         rv = [r["test_metric"] for r in result["reference_seed_runs"]]
         fv = [r["test_metric"] for r in result["framework_seed_runs"]]
-        dom = abs(float(np.mean(fv)) - float(np.mean(rv)))
-        result["seed_study"] = {
-            "reference": {"n": len(rv), "mean": float(np.mean(rv)),
-                          "std": float(np.std(rv, ddof=1))},
-            "framework": {"n": len(fv), "mean": float(np.mean(fv)),
-                          "std": float(np.std(fv, ddof=1))},
-            "delta_of_means": dom,
-            "pass": bool(dom <= args.gate),
-            "note": "the reference's own seed-to-seed test-metric spread "
-                    "exceeds the gate several-fold on this task; "
-                    "single-run deltas are dominated by training noise, "
-                    "so the gate is applied to the delta of seed means",
-        }
+        result["seed_study"] = seed_study_stats(rv, fv, args.gate)
         # With a seed study present, the headline verdict is the
         # statistically meaningful one.
         result["pass_single_run"] = result["pass"]
         result["pass"] = result["seed_study"]["pass"]
+        ss = result["seed_study"]
         log(f"seed study: ref mean {np.mean(rv):.4f} (n={len(rv)}), "
             f"fw mean {np.mean(fv):.4f} (n={len(fv)}), "
-            f"delta_of_means={dom:.4f}")
+            f"delta_of_means={ss['delta_of_means']:.4f} "
+            f"+/- {ss['ci95_halfwidth']:.4f} (95% CI); "
+            f"{'resolves' if ss['resolves_gate'] else 'does NOT resolve'} "
+            f"the {args.gate} gate")
     Path(args.out).write_text(json.dumps(result, indent=2))
     log(f"wrote {args.out}: delta={delta:.4f} "
         f"gate={'n/a (dry run)' if args.dry_run else args.gate}")

@@ -39,7 +39,40 @@ class Batch(Data):
         return batch
 
     def to_data_list(self):
-        return self._src_list
+        """Separate the batch back into per-graph Data objects from the
+        CURRENT batched storage (PyG semantics): mutations made on the
+        batch — e.g. SignNetNodeEncoder overwriting ``batch.x`` with the
+        PE-concatenated features, train.py:29-51 — must be visible in
+        the separated graphs, so slicing the batched tensors (not
+        returning the stale source list) is load-bearing for the PE
+        path."""
+        n_graphs = self.num_graphs
+        n_total = int(self.ptr[-1])
+        e_counts = [d.num_edges for d in self._src_list]
+        e_ptr = torch.tensor([0] + e_counts).cumsum(0)
+        out = []
+        for i in range(n_graphs):
+            n0, n1 = int(self.ptr[i]), int(self.ptr[i + 1])
+            e0, e1 = int(e_ptr[i]), int(e_ptr[i + 1])
+            d = Data()
+            for key, v in self.__dict__.items():
+                if key in ("_src_list", "batch", "ptr") or \
+                        not torch.is_tensor(v):
+                    continue
+                if key == "edge_index":
+                    d[key] = v[:, e0:e1] - n0
+                elif key in ("edge_attr",) or (
+                        v.size(0) == int(e_ptr[-1]) and
+                        v.size(0) != n_total and v.size(0) != n_graphs):
+                    d[key] = v[e0:e1]
+                elif v.size(0) == n_total:
+                    d[key] = v[n0:n1]
+                elif v.size(0) == n_graphs:
+                    d[key] = v[i:i + 1]
+                else:
+                    d[key] = v
+            out.append(d)
+        return out
 
     @property
     def num_graphs(self):

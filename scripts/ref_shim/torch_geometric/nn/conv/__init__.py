@@ -98,7 +98,12 @@ class GATConv(MessagePassing):
 
 class GINConv(MessagePassing):
     """PyG GINConv: nn((1 + eps) * x + sum_{j->i} x_j).  Constructed by
-    SignNet (signnet.py:5) — the PE path — and listed in CONV_DICT."""
+    SignNet (signnet.py:5) — the PE path — and listed in CONV_DICT.
+
+    Aggregates over PyG's default ``node_dim=-2``: SignNet feeds 3-D
+    inputs [K, N, C] where the node axis is the SECOND-to-last
+    (signnet.py:206-208, 271-274 transpose to k x n x c before the GIN
+    stack), so gather/scatter must ride dim -2, not dim 0."""
 
     def __init__(self, nn_module: nn.Module, eps: float = 0.0,
                  train_eps: bool = False, **kwargs):
@@ -111,7 +116,8 @@ class GINConv(MessagePassing):
 
     def forward(self, x, edge_index):
         row, col = edge_index[0], edge_index[1]
-        agg = torch.zeros_like(x).index_add_(0, col, x[row])
+        agg = torch.zeros_like(x).index_add_(
+            -2, col, x.index_select(-2, row))
         return self.nn((1 + self.eps) * x + agg)
 
 

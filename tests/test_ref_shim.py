@@ -166,6 +166,125 @@ def test_shim_collate_separate_roundtrip_and_batching():
     assert graphs[0].edge_weight is None
 
 
+def test_hetero_loader_split_scramble(tmp_path):
+    """Pin the effective-splits derivation (parity_run.py
+    reference_effective_splits) against the EXECUTED reference: its
+    ``generate_hetero_data`` builds the hetero list in train/val/test
+    position order (hetero_data.py:34-42) but ``hetero_loaders`` indexes
+    it with original dataset ids (hetero_data.py:97-99) — quirk #16.
+    Each graph carries a unique y id, so the graphs each loader actually
+    yields identify the reference's EFFECTIVE partition exactly."""
+    script = tmp_path / "probe.py"
+    script.write_text(
+        "import json, sys\n"
+        "import numpy as np\n"
+        "import torch\n"
+        "from torch_geometric.data import Data\n"
+        "from graph_hscn.config.config import DataConfig, HSCNConfig\n"
+        "from graph_hscn.loader.hetero_data import (generate_hetero_data,\n"
+        "    hetero_loaders)\n"
+        "from graph_hscn.logger import CustomLogger\n"
+        "n_graphs = 10\n"
+        "dataset = []\n"
+        "rng = np.random.default_rng(0)\n"
+        "for i in range(n_graphs):\n"
+        "    n = int(rng.integers(4, 8))\n"
+        "    src = np.arange(n - 1); dst = np.arange(1, n)\n"
+        "    ei = np.stack([np.concatenate([src, dst]),\n"
+        "                   np.concatenate([dst, src])])\n"
+        "    dataset.append(Data(\n"
+        "        x=torch.randn(n, 3),\n"
+        "        edge_index=torch.tensor(ei, dtype=torch.long),\n"
+        "        y=torch.tensor([[float(i)]])))\n"
+        "split_idx = {'train': torch.tensor([3, 7, 1, 9]),\n"
+        "             'val': torch.tensor([0, 5, 2]),\n"
+        "             'test': torch.tensor([8, 4, 6])}\n"
+        "cluster_lst = [np.zeros(d.num_nodes, dtype=np.int64)\n"
+        "               for d in dataset]\n"
+        "data_cfg = DataConfig.parse_obj({'dataset_name': 'peptides_func',\n"
+        "    'pe': False, 'batch_size': 1, 'num_workers': 0})\n"
+        "model_cfg = HSCNConfig.parse_obj({'activation': 'relu',\n"
+        "    'hidden_channels': 4, 'num_layers': 1, 'num_clusters': 3,\n"
+        "    'cluster_epochs': 1})\n"
+        "logger = CustomLogger(sys.argv[1], metric_name='ap')\n"
+        "h_data = generate_hetero_data(cluster_lst, dataset, split_idx,\n"
+        "                              data_cfg, model_cfg, logger)\n"
+        "loaders = hetero_loaders(data_cfg, h_data, split_idx)\n"
+        "out = {}\n"
+        "for name, loader in zip(['train', 'val', 'test'], loaders):\n"
+        "    ids = []\n"
+        "    for batch in loader:\n"
+        "        ids.extend(int(v) for v in\n"
+        "                   batch['local'].y.flatten().tolist())\n"
+        "    out[name] = sorted(ids)\n"
+        "print('SPLITS=' + json.dumps(out))\n")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "PYTHONPATH")}
+    env["PYTHONPATH"] = f"{SHIM}:/root/reference"
+    proc = subprocess.run(
+        [sys.executable, str(script), str(tmp_path / "probe.log")],
+        capture_output=True, text=True, env=env, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    import json
+    line = [ln for ln in proc.stdout.splitlines()
+            if ln.startswith("SPLITS=")][0]
+    executed = json.loads(line[len("SPLITS="):])
+
+    sys.path.insert(0, str(REPO / "scripts"))
+    try:
+        import parity_run
+        derived = parity_run.reference_effective_splits({
+            "train": np.array([3, 7, 1, 9]),
+            "val": np.array([0, 5, 2]),
+            "test": np.array([8, 4, 6])})
+    finally:
+        sys.path.remove(str(REPO / "scripts"))
+    for k in ("train", "val", "test"):
+        assert executed[k] == sorted(derived[k].tolist()), (
+            k, executed[k], derived[k])
+    # And the scramble is real: the effective partition differs from the
+    # true one (otherwise this test would pass vacuously).
+    assert executed["test"] != sorted([8, 4, 6])
+
+
+def test_reference_gin_config_crashes():
+    """Document-by-execution why GIN has no parity entry: the reference
+    lists "gin" in CONV_DICT (config.py:19-23) but MPNN constructs
+    ``GINConv(num_features, hidden)`` (mpnn.py:29-32) — GINConv's first
+    argument is an ``nn`` module, so the conv's update net is an int and
+    the first forward raises TypeError.  Same failure in real PyG."""
+    script = (
+        "import torch\n"
+        "from graph_hscn.config.config import MPNNConfig\n"
+        "from graph_hscn.model.mpnn import build_mpnn\n"
+        "cfg = MPNNConfig.parse_obj({'conv_type': 'gin',\n"
+        "    'activation': 'relu', 'hidden_channels': 8, 'num_layers': 2,\n"
+        "    'dropout': 0.0, 'use_batch_norm': False,\n"
+        "    'use_layer_norm': False})\n"
+        "model = build_mpnn(cfg, 5, 3)\n"
+        "from torch_geometric.data import Data\n"
+        "from torch_geometric.data.batch import Batch\n"
+        "d = Data(x=torch.randn(4, 5),\n"
+        "         edge_index=torch.tensor([[0, 1, 2], [1, 2, 3]]),\n"
+        "         y=torch.zeros(1, 3))\n"
+        "batch = Batch.from_data_list([d])\n"
+        "try:\n"
+        "    model(batch)\n"
+        "except TypeError as e:\n"
+        "    print('GIN_FORWARD_TYPEERROR:', e)\n"
+        "else:\n"
+        "    raise SystemExit('expected the reference GIN config to "
+        "crash')\n")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "PYTHONPATH")}
+    env["PYTHONPATH"] = f"{SHIM}:/root/reference"
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True, text=True, env=env, timeout=600)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "GIN_FORWARD_TYPEERROR" in proc.stdout
+
+
 @pytest.mark.slow
 def test_reference_executes_under_shim(tmp_path):
     """The mounted reference CLI trains end-to-end in-image (micro run)."""
