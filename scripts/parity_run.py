@@ -187,25 +187,29 @@ def seed_study_stats(rv: list, fv: list, gate: float) -> dict:
     except Exception:
         df, tq = float("nan"), 1.96
     hw = tq * se
-    resolved = bool(hw <= gate)
+    resolved = bool(np.isfinite(hw) and hw <= gate)
+
+    def _f(v):  # keep the artifact strict-JSON (no NaN literals)
+        return float(v) if np.isfinite(v) else None
     out = {
-        "reference": {"n": nr, "mean": float(np.mean(rv)), "std": sr},
-        "framework": {"n": nf, "mean": float(np.mean(fv)), "std": sf},
+        "reference": {"n": nr, "mean": float(np.mean(rv)), "std": _f(sr)},
+        "framework": {"n": nf, "mean": float(np.mean(fv)), "std": _f(sf)},
         "delta_of_means": abs(dom),
         "delta_of_means_signed": dom,
-        "se_delta": se,
-        "ci95_delta": [dom - hw, dom + hw],
-        "ci95_halfwidth": hw,
-        "welch_df": df,
+        "se_delta": _f(se),
+        "ci95_delta": [_f(dom - hw), _f(dom + hw)],
+        "ci95_halfwidth": _f(hw),
+        "welch_df": _f(df),
         "pass": bool(abs(dom) <= gate),
         "resolves_gate": resolved,
         "resolution": (
             f"CI half-width {hw:.4f} <= gate {gate}: the study can "
             "resolve the gate" if resolved else
-            f"CI half-width {hw:.4f} > gate {gate}: the observed delta "
-            f"is consistent with parity but a true gap up to "
-            f"{abs(dom) + hw:.4f} cannot be excluded at this n; per-seed "
-            "training noise dominates"),
+            (f"CI half-width {hw:.4f} > gate {gate}: the observed delta "
+             f"is consistent with parity but a true gap up to "
+             f"{abs(dom) + hw:.4f} cannot be excluded at this n; per-seed "
+             "training noise dominates" if np.isfinite(hw) else
+             "n too small for a CI (need >= 2 seeds per side)")),
         "note": "the reference's own seed-to-seed test-metric spread "
                 "exceeds the gate several-fold on this task; "
                 "single-run deltas are dominated by training noise, "
@@ -408,9 +412,14 @@ def main():
             ref_runs = []
             first_text = None
             for s in [int(v) for v in args.ref_seeds.split(",")]:
-                txt = run_reference_shim(
-                    args.dataset, npz_path, ref_cfg, args.reference_dir,
-                    workdir, s, args.timeout)
+                try:
+                    txt = run_reference_shim(
+                        args.dataset, npz_path, ref_cfg, args.reference_dir,
+                        workdir, s, args.timeout)
+                except (RuntimeError, subprocess.TimeoutExpired) as e:
+                    log(f"reference seed {s}: FAILED ({e}) — excluded "
+                        "from the seed study")
+                    continue
                 v, m = best_val_test_metric(txt)
                 log(f"reference seed {s}: test_metric={m}")
                 if m is None:
@@ -521,7 +530,12 @@ def main():
     def run_framework_seeds(seeds, data_dir_override=None, tag=""):
         runs = []
         for s in seeds:
-            v, m = run_framework_once(s, data_dir_override, tag)
+            try:
+                v, m = run_framework_once(s, data_dir_override, tag)
+            except (RuntimeError, subprocess.TimeoutExpired) as e:
+                log(f"framework{tag} seed {s}: FAILED ({e}) — excluded "
+                    "from the seed study")
+                continue
             log(f"framework{tag} seed {s}: test_metric={m}")
             if m is None:
                 log(f"framework{tag} seed {s}: UNPARSEABLE eval output — "
@@ -577,10 +591,11 @@ def main():
         result["pass_single_run"] = result["pass"]
         result["pass"] = result["seed_study"]["pass"]
         ss = result["seed_study"]
+        hw = ss["ci95_halfwidth"]
         log(f"seed study: ref mean {np.mean(rv):.4f} (n={len(rv)}), "
             f"fw mean {np.mean(fv):.4f} (n={len(fv)}), "
             f"delta_of_means={ss['delta_of_means']:.4f} "
-            f"+/- {ss['ci95_halfwidth']:.4f} (95% CI); "
+            f"+/- {hw if hw is None else round(hw, 4)} (95% CI); "
             f"{'resolves' if ss['resolves_gate'] else 'does NOT resolve'} "
             f"the {args.gate} gate")
     Path(args.out).write_text(json.dumps(result, indent=2))

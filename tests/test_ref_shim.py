@@ -16,6 +16,8 @@ import subprocess
 import sys
 from pathlib import Path
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 import torch
@@ -164,6 +166,282 @@ def test_shim_collate_separate_roundtrip_and_batching():
     # Missing attributes resolve to None (PyG-1.x semantics the reference
     # needs, train_clustering.py:39).
     assert graphs[0].edge_weight is None
+
+
+# ---------------------------------------------------------------------------
+# Per-layer parity vs the EXECUTED reference modules (round-4 verdict #3):
+# the mounted graph_hscn.model.* modules run under the shim in a subprocess
+# (scripts/ref_shim/dump_module_oracle.py), their weights are mapped onto
+# the flax models, and every layer's activations must allclose.
+# ---------------------------------------------------------------------------
+
+def _parity_graphs(num=3, f=5, seed=7, clusters=None):
+    """Small deterministic graphs; with ``clusters`` K, every cluster is
+    non-empty per graph (keeps the reference's np.unique remap the
+    identity so quirk #8's rotation is exactly (c-1) mod K)."""
+    from graph_hscn_tpu.data.batching import GraphData
+    rng = np.random.default_rng(seed)
+    graphs = []
+    for i in range(num):
+        n = int(rng.integers(3 * (clusters or 1) + 3, 12 + 3 * (clusters or 1)))
+        src = np.arange(n - 1)
+        dst = np.arange(1, n)
+        extra = rng.integers(0, n, size=(2, max(2, n // 3)))
+        ei = np.stack([np.concatenate([src, dst, extra[0]]),
+                       np.concatenate([dst, src, extra[1]])])
+        key = ei[0] * n + ei[1]
+        _, uniq = np.unique(key, return_index=True)
+        ei = ei[:, np.sort(uniq)].astype(np.int64)
+        g = GraphData(x=rng.normal(size=(n, f)).astype(np.float32),
+                      edge_index=ei, edge_attr=None,
+                      y=np.zeros(4, np.float32))
+        if clusters is not None:
+            c = rng.integers(0, clusters, size=n)
+            c[:clusters] = np.arange(clusters)   # every cluster non-empty
+            g = g.replace(cluster=c.astype(np.int64))
+        graphs.append(g)
+    return graphs
+
+
+def _dump_oracle(tmp_path, graphs, mode, **flags):
+    inputs = {}
+    node_ptr, edge_ptr = [0], [0]
+    xs, eis, cs = [], [], []
+    for g in graphs:
+        xs.append(g.x)
+        eis.append(g.edge_index)
+        if g.cluster is not None:
+            cs.append(g.cluster)
+        node_ptr.append(node_ptr[-1] + g.num_nodes)
+        edge_ptr.append(edge_ptr[-1] + g.num_edges)
+    inputs["node_feat"] = np.concatenate(xs, axis=0)
+    inputs["edge_index"] = np.concatenate(eis, axis=1)
+    inputs["node_ptr"] = np.asarray(node_ptr)
+    inputs["edge_ptr"] = np.asarray(edge_ptr)
+    if cs:
+        inputs["cluster"] = np.concatenate(cs)
+    in_path = tmp_path / "inputs.npz"
+    out_path = tmp_path / "oracle.npz"
+    np.savez(in_path, **inputs)
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "PYTHONPATH")}
+    env["PYTHONPATH"] = f"{SHIM}:/root/reference"
+    cmd = [sys.executable, str(SHIM / "dump_module_oracle.py"),
+           "--mode", mode, "--inputs", str(in_path), "--out", str(out_path),
+           "--log", str(tmp_path / "oracle.log")]
+    for k, v in flags.items():
+        cmd += [f"--{k}", str(v)]
+    proc = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                          timeout=600)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    return dict(np.load(out_path))
+
+
+def _pack(graphs):
+    from graph_hscn_tpu.data.batching import PadBudget, pack_batch
+    budget = PadBudget.for_dataset(graphs, batch_size=len(graphs))
+    return pack_batch(graphs, budget)
+
+
+def _set(params, path, torch_w, transpose=False):
+    node = params
+    for p in path[:-1]:
+        node = node[p]
+    w = np.asarray(torch_w)
+    if transpose:
+        w = w.T
+    assert node[path[-1]].shape == w.shape, (path, node[path[-1]].shape,
+                                             w.shape)
+    node[path[-1]] = jnp.asarray(w)
+
+
+def _intermediate(state, name):
+    return np.asarray(state["intermediates"][name]["__call__"][0])
+
+
+def _run_mpnn_module_parity(tmp_path, conv):
+    import flax
+
+    from graph_hscn_tpu.models.mpnn import MPNN
+    graphs = _parity_graphs()
+    oracle = _dump_oracle(tmp_path, graphs, "mpnn", conv=conv,
+                          hidden=8, layers=3, classes=4)
+    batch = _pack(graphs)
+    model = MPNN(conv_type=conv, activation="relu", num_features=5,
+                 hidden_channels=8, num_classes=4, num_layers=3,
+                 dropout=0.0, compat_double_relu=True)
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    params = flax.core.unfreeze(variables)["params"]
+    layer = "GCNConv" if conv == "gcn" else "GATConv"
+    for i in range(3):
+        if conv == "gcn":
+            _set(params, [f"{layer}_{i}", "kernel"],
+                 oracle[f"w::conv_layers.{i}.lin.weight"], transpose=True)
+            _set(params, [f"{layer}_{i}", "bias"],
+                 oracle[f"w::conv_layers.{i}.bias"])
+        else:
+            _set(params, [f"{layer}_{i}", "kernel_src"],
+                 oracle[f"w::conv_layers.{i}.lin_src.weight"],
+                 transpose=True)
+            _set(params, [f"{layer}_{i}", "att_src"],
+                 oracle[f"w::conv_layers.{i}.att_src"])
+            _set(params, [f"{layer}_{i}", "att_dst"],
+                 oracle[f"w::conv_layers.{i}.att_dst"])
+            _set(params, [f"{layer}_{i}", "bias"],
+                 oracle[f"w::conv_layers.{i}.bias"])
+    out, state = model.apply(
+        {"params": params}, batch, train=False,
+        capture_intermediates=True, mutable=["intermediates"])
+    mask = np.asarray(batch.node_mask)
+    for i in range(3):
+        got = _intermediate(state, f"{layer}_{i}")[mask]
+        np.testing.assert_allclose(got, oracle[f"act_{i}"],
+                                   rtol=1e-4, atol=1e-5,
+                                   err_msg=f"{conv} layer {i}")
+    gm = np.asarray(batch.graph_mask)
+    np.testing.assert_allclose(np.asarray(out)[gm], oracle["out"],
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_module_parity_mpnn_gcn(tmp_path):
+    """Flax MPNN-GCN == the executed reference MPNN(GCNConv), layer by
+    layer (weights transplanted; quirk #1 double relu live on both)."""
+    _run_mpnn_module_parity(tmp_path, "gcn")
+
+
+def test_module_parity_mpnn_gat(tmp_path):
+    """Flax MPNN-GAT == the executed reference MPNN(GATConv) (heads=1,
+    the only GAT the reference can express), layer by layer."""
+    _run_mpnn_module_parity(tmp_path, "gat")
+
+
+def test_module_parity_scn(tmp_path):
+    """Flax SCN == the executed reference SCN: GraphConv stack output and
+    softmax cluster assignments allclose with transplanted weights; the
+    MinCUT/ortho losses allclose given the adjacency the reference's
+    dense_mincut_pool actually saw (A+I — its to_dense_adj runs on the
+    post-gcn_norm edge_index, quirk #7 ledger)."""
+    import flax
+
+    from graph_hscn_tpu.models.scn import SCN
+    from graph_hscn_tpu.ops.dense import mincut_pool
+    graphs = _parity_graphs(num=1)
+    oracle = _dump_oracle(tmp_path, graphs, "scn", hidden=8, clusters=3)
+    batch = _pack(graphs)
+    model = SCN(mp_units=[8], mp_act="relu", num_clusters=3,
+                max_nodes=int(np.asarray(batch.node_mask).sum()))
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    params = flax.core.unfreeze(variables)["params"]
+    _set(params, ["GraphConv_0", "kernel_rel"],
+         oracle["w::mp._mods.0.lin_rel.weight"], transpose=True)
+    _set(params, ["GraphConv_0", "bias"],
+         oracle["w::mp._mods.0.lin_rel.bias"])
+    _set(params, ["GraphConv_0", "kernel_root"],
+         oracle["w::mp._mods.0.lin_root.weight"], transpose=True)
+    _set(params, ["Dense_0", "kernel"], oracle["w::mlp.0.weight"],
+         transpose=True)
+    _set(params, ["Dense_0", "bias"], oracle["w::mlp.0.bias"])
+    (s, mc, o), state = model.apply(
+        {"params": params}, batch, train=False,
+        capture_intermediates=True, mutable=["intermediates"])
+    mask = np.asarray(batch.node_mask)
+    # The reference's mp Sequential ends in the activation (hscn.py:30-45),
+    # so its captured output is post-relu; our intermediate is pre-relu.
+    np.testing.assert_allclose(
+        np.maximum(_intermediate(state, "GraphConv_0")[mask], 0.0),
+        oracle["mp_out"], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s)[mask], oracle["s"],
+                               rtol=1e-4, atol=1e-5)
+    # Loss parity on identical inputs: replay our mincut_pool on the
+    # adjacency the reference used (A+I) with its mp features + logits.
+    s_logits = _intermediate(state, "Dense_0")[mask]
+    mc2, o2 = mincut_pool(
+        jnp.asarray(oracle["mp_out"])[None],
+        jnp.asarray(oracle["adj_used"]),
+        jnp.asarray(s_logits)[None])[2:]
+    np.testing.assert_allclose(float(mc2), float(oracle["mc_loss"]),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(o2), float(oracle["o_loss"]),
+                               rtol=1e-4, atol=1e-5)
+    # And the documented deviation: our in-model MinCUT runs on A
+    # (weights-dropped, no self loops) — same sign, different diagonal.
+    assert np.isfinite(float(mc)) and np.isfinite(float(o))
+
+
+def test_module_parity_hscn(tmp_path):
+    """Flax HSCN == the executed reference HSCN pipeline
+    (generate_hetero_data with quirks #8/#9 live + HeteroConv stack):
+    per-layer local/virtual pre-relu activations and the head output
+    allclose with transplanted weights; initial virtual features match
+    the reference's rotated grouping (index_shift=True)."""
+    import flax
+
+    from graph_hscn_tpu.models.hscn import HSCN, virtual_node_features
+    graphs = _parity_graphs(num=2, clusters=3)
+    oracle = _dump_oracle(tmp_path, graphs, "hscn", hidden=8, layers=2,
+                          classes=4, clusters=3)
+    batch = _pack(graphs)
+    K, L = 3, 2
+    model = HSCN(lv_conv="GAT", ll_conv="GCN", vv_conv="GCN",
+                 activation="relu", hidden_channels=8, num_classes=4,
+                 num_layers=L, num_clusters=K, vv_pattern="triangular",
+                 index_shift=True)
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    params = flax.core.unfreeze(variables)["params"]
+    for i in range(L):
+        pre = f"w::convs.{i}.convs"
+        _set(params, [f"GCNConv_{i}", "kernel"],
+             oracle[f"{pre}.local__to__local.lin.weight"], transpose=True)
+        _set(params, [f"GCNConv_{i}", "bias"],
+             oracle[f"{pre}.local__to__local.bias"])
+        _set(params, [f"GATConv_{i}", "kernel_src"],
+             oracle[f"{pre}.local__to__virtual.lin_src.weight"],
+             transpose=True)
+        _set(params, [f"GATConv_{i}", "kernel_dst"],
+             oracle[f"{pre}.local__to__virtual.lin_dst.weight"],
+             transpose=True)
+        _set(params, [f"GATConv_{i}", "att_src"],
+             oracle[f"{pre}.local__to__virtual.att_src"])
+        _set(params, [f"GATConv_{i}", "att_dst"],
+             oracle[f"{pre}.local__to__virtual.att_dst"])
+        _set(params, [f"GATConv_{i}", "bias"],
+             oracle[f"{pre}.local__to__virtual.bias"])
+        _set(params, [f"DenseGCN_{i}", "kernel"],
+             oracle[f"{pre}.virtual__to__virtual.lin.weight"],
+             transpose=True)
+        _set(params, [f"DenseGCN_{i}", "bias"],
+             oracle[f"{pre}.virtual__to__virtual.bias"])
+    _set(params, ["Dense_0", "kernel"], oracle["w::lin_1.weight"],
+         transpose=True)
+    _set(params, ["Dense_0", "bias"], oracle["w::lin_1.bias"])
+    _set(params, ["Dense_1", "kernel"], oracle["w::lin_2.weight"],
+         transpose=True)
+    _set(params, ["Dense_1", "bias"], oracle["w::lin_2.bias"])
+
+    # Initial virtual features: executed hetero rewrite vs tensorized.
+    x_v, v_active, _ = virtual_node_features(batch, K, index_shift=True)
+    np.testing.assert_allclose(
+        np.asarray(x_v)[np.asarray(v_active)], oracle["x_virtual_init"],
+        rtol=1e-5, atol=1e-6)
+
+    out, state = model.apply(
+        {"params": params}, batch, train=False,
+        capture_intermediates=True, mutable=["intermediates"])
+    mask = np.asarray(batch.node_mask)
+    va = np.asarray(v_active)
+    for i in range(L):
+        np.testing.assert_allclose(
+            _intermediate(state, f"GCNConv_{i}")[mask],
+            oracle[f"local_{i}"], rtol=1e-4, atol=1e-5,
+            err_msg=f"ll layer {i}")
+        lv = _intermediate(state, f"GATConv_{i}")
+        vv = _intermediate(state, f"DenseGCN_{i}").reshape(lv.shape)
+        np.testing.assert_allclose(
+            (lv + vv)[va], oracle[f"virtual_{i}"], rtol=1e-4, atol=1e-5,
+            err_msg=f"virtual layer {i}")
+    gm = np.asarray(batch.graph_mask)
+    np.testing.assert_allclose(np.asarray(out)[gm], oracle["out"],
+                               rtol=1e-4, atol=1e-5)
 
 
 def test_hetero_loader_split_scramble(tmp_path):
