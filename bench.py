@@ -101,7 +101,15 @@ def device_features(n, f, seed=0, dtype=None):
     return jax.block_until_ready(x)
 
 
-def scan_bench(step_fn, x0, args, iters=240, reps=3, base=16):
+# Per-phase dispersion registry (round-4 verdict weak #4: the artifact
+# presented single numbers with equal authority while the dense row
+# swung 4x between rounds on relay load).  Every scan_bench call with a
+# label lands here; main() writes BENCH_PHASES.json and flags >2x moves
+# vs the previous run's file.
+PHASE_STATS: dict = {}
+
+
+def scan_bench(step_fn, x0, args, iters=240, reps=3, base=16, label=None):
     """MARGINAL per-iteration time of ``step_fn``: one jitted
     dynamic-trip-count loop (fori_loop) with forced completion via scalar
     readback, timed at two trip counts; the difference cancels the
@@ -127,15 +135,20 @@ def scan_bench(step_fn, x0, args, iters=240, reps=3, base=16):
     nl = jnp.int32(base + iters)
     float(run(x0, nb, *args))  # compile + warm (shared by both lengths)
 
+    rep_estimates = []  # per-rep paired (large-small)/iters, for dispersion
+
     def measure(n_reps):
         best_small = best_large = float("inf")
         for _ in range(n_reps):
             t0 = time.perf_counter()
             float(run(x0, nb, *args))
-            best_small = min(best_small, time.perf_counter() - t0)
+            small = time.perf_counter() - t0
+            best_small = min(best_small, small)
             t0 = time.perf_counter()
             float(run(x0, nl, *args))
-            best_large = min(best_large, time.perf_counter() - t0)
+            large = time.perf_counter() - t0
+            best_large = min(best_large, large)
+            rep_estimates.append((large - small) / iters)
         return best_small, best_large
 
     best_small, best_large = measure(reps)
@@ -155,7 +168,21 @@ def scan_bench(step_fn, x0, args, iters=240, reps=3, base=16):
                 "below 2% of the fixed per-call cost after retry) — "
                 "treat this phase's throughput as a floor, not a "
                 "measurement")
-    return max(best_large - best_small, 1e-9) / iters
+    dt = max(best_large - best_small, 1e-9) / iters
+    if label is not None:
+        est = [e * 1e6 for e in rep_estimates]
+        spread = ((max(est) - min(est)) / max(abs(dt) * 1e6, 1e-9)
+                  if est else 0.0)
+        PHASE_STATS[label] = {
+            "dt_us": round(dt * 1e6, 2),
+            "rep_estimates_us": [round(e, 2) for e in est],
+            "rep_spread_over_dt": round(spread, 2),
+        }
+        if spread > 1.0:
+            log(f"scan_bench[{label}]: HIGH DISPERSION — per-rep "
+                f"marginal estimates span {spread:.1f}x the reported "
+                "min-based value (relay load); treat as noisy")
+    return dt
 
 
 def report_mfu(label, step_fn, x0, args, dt):
@@ -183,7 +210,7 @@ def report_mfu(label, step_fn, x0, args, dt):
         log(f"{label}: cost analysis unavailable ({e})")
 
 
-def bench_sparse(batch, feat, mfu=False):
+def bench_sparse(batch, feat, mfu=False, label="sparse"):
     import jax
     import jax.numpy as jnp
 
@@ -200,13 +227,14 @@ def bench_sparse(batch, feat, mfu=False):
         (dx,) = vjp(y)
         return dx
 
-    dt = scan_bench(fwd_bwd, x0, (snd, rcv))
+    dt = scan_bench(fwd_bwd, x0, (snd, rcv), label=label)
     if mfu:
         report_mfu("sparse mfu", fwd_bwd, x0, (snd, rcv), dt)
     return dt
 
 
-def bench_dense(batch, n_max, feat, dtype=None, mfu=False):
+def bench_dense(batch, n_max, feat, dtype=None, mfu=False,
+                label="dense"):
     """Dense-block path with the adjacency scattered ON DEVICE from the
     edge list (shipping a [G, n_pad^2] array through the relay costs ~100x
     the edge list in transfer bytes)."""
@@ -229,13 +257,13 @@ def bench_dense(batch, n_max, feat, dtype=None, mfu=False):
         (dx,) = vjp(y)
         return dx
 
-    dt = scan_bench(fwd_bwd, x0, (adj,))
+    dt = scan_bench(fwd_bwd, x0, (adj,), label=label)
     if mfu:
         report_mfu(f"dense mfu ({x0.dtype})", fwd_bwd, x0, (adj,), dt)
     return dt
 
 
-def bench_pallas(batch, feat):
+def bench_pallas(batch, feat, label="pallas"):
     """Fused windowed one-hot MXU SpMM (ops/pallas/spmm_kernel.py) fwd+bwd
     using the batch-attached plan."""
     import jax
@@ -253,7 +281,7 @@ def bench_pallas(batch, feat):
         (dx,) = vjp(y)
         return dx
 
-    return scan_bench(fwd_bwd, x0, ())
+    return scan_bench(fwd_bwd, x0, (), label=label)
 
 
 def bench_torch_cpu(batch, feat, iters=10, blocks=5, warmup=2):
@@ -367,9 +395,12 @@ def kernel_comparison_phase():
         f"E={batch.senders.shape[0]} ({real_edges} real), F={feat}")
     results = {}
     for name, fn in (
-            ("pallas", lambda: bench_pallas(batch, feat)),
-            ("sparse", lambda: bench_sparse(batch, feat)),
-            ("dense", lambda: bench_dense(batch, n_max, feat))):
+            ("pallas", lambda: bench_pallas(batch, feat,
+                                            label="kernel-pallas")),
+            ("sparse", lambda: bench_sparse(batch, feat,
+                                            label="kernel-sparse")),
+            ("dense", lambda: bench_dense(batch, n_max, feat,
+                                          label="kernel-dense"))):
         dt = with_deadline(fn, 240, f"kernel comparison {name}")
         if dt:
             results[name] = dt
@@ -422,7 +453,8 @@ def hbm_regime_phase():
         try:
             dt = with_deadline(
                 lambda: scan_bench(make_fwd_bwd(use_plan), x0, (),
-                                   iters=120), 300, f"hbm regime {name}")
+                                   iters=120, label=f"hbm-{name}"),
+                300, f"hbm regime {name}")
         finally:
             spmm_mod.set_backend("auto")
         if dt:
@@ -432,6 +464,52 @@ def hbm_regime_phase():
     if len(results) == 2:
         log(f"  pallas-hbm vs xla-sparse (N={n}): "
             f"{results['xla-sparse'] / results['pallas-hbm']:.2f}x")
+
+    # 51k-row full-batch regime (out buffer > VMEM even with x streamed):
+    # round-5 out-streamed kernel vs the XLA fallback it replaces
+    # (round-4 verdict item 6).
+    from graph_hscn_tpu.ops.pallas.spmm_kernel import spmm_pallas_hbm
+    n2, e2, snd2, rcv2, mask2, plan2 = ggb.build(n_target=51_000, feat=128)
+    if plan2 is None:
+        log("  51k regime: no feasible plan — skipped")
+        return
+    plan2_d = jax.tree_util.tree_map(jnp.asarray, plan2)
+    snd2_d, rcv2_d = jnp.asarray(snd2), jnp.asarray(rcv2)
+    w2_d = jnp.asarray(mask2, jnp.float32)
+    x2 = device_features(n2, 128, seed=1)
+
+    def fwd_bwd_stream(x):
+        y, vjp = jax.vjp(
+            lambda x: spmm_pallas_hbm(x, plan2_d, edge_weight=w2_d,
+                                      num_nodes=n2, interpret=False,
+                                      stream_out=True,
+                                      weight_grad=False), x)
+        (dx,) = vjp(y)
+        return dx
+
+    def fwd_bwd_xla(x):
+        def f(x):
+            msgs = jnp.take(x, snd2_d, axis=0) * w2_d[:, None]
+            from graph_hscn_tpu.ops.segment import segment_sum
+            return segment_sum(msgs, rcv2_d, n2, indices_are_sorted=True)
+        y, vjp = jax.vjp(f, x)
+        (dx,) = vjp(y)
+        return dx
+
+    results2 = {}
+    for name, fn in (("pallas-streamout", fwd_bwd_stream),
+                     ("xla-sparse", fwd_bwd_xla)):
+        dt = with_deadline(
+            lambda: scan_bench(fn, x2, (), iters=120,
+                               label=f"hbm51k-{name}"),
+            300, f"51k regime {name}")
+        if dt:
+            results2[name] = dt
+            log(f"  51k {name:16s}: {dt * 1e6:8.1f} us fwd+bwd "
+                f"-> {e2 / dt / 1e6:7.2f} M edges/s")
+    if len(results2) == 2:
+        log(f"  51k out-streamed vs xla (N={n2}): "
+            f"{results2['xla-sparse'] / results2['pallas-streamout']:.2f}x")
 
 
 def main():
@@ -457,7 +535,8 @@ def main():
 
     log("compiling+timing dense path...")
     dt_dense = with_deadline(
-        lambda: bench_dense(batch, n_max, feat, mfu=True), 300, "dense path")
+        lambda: bench_dense(batch, n_max, feat, mfu=True,
+                            label="headline-dense"), 300, "dense path")
     if dt_dense:
         log(f"dense-block fwd+bwd: {dt_dense * 1e6:.1f} us "
             f"-> {real_edges / dt_dense / 1e6:.1f} M edges/s")
@@ -466,15 +545,16 @@ def main():
         import jax.numpy as jnp
         dt_bf16 = with_deadline(
             lambda: bench_dense(batch, n_max, feat, dtype=jnp.bfloat16,
-                                mfu=True),
+                                mfu=True, label="headline-dense-bf16"),
             300, "dense bf16 path")
         if dt_bf16:
             log(f"dense-block bf16 fwd+bwd: {dt_bf16 * 1e6:.1f} us "
                 f"-> {real_edges / dt_bf16 / 1e6:.1f} M edges/s "
                 f"({dt_dense / dt_bf16:.2f}x vs f32)")
     log("compiling+timing sparse path...")
-    dt_sparse = with_deadline(lambda: bench_sparse(batch, feat),
-                              300, "sparse path")
+    dt_sparse = with_deadline(
+        lambda: bench_sparse(batch, feat, label="headline-sparse"),
+        300, "sparse path")
     if dt_sparse:
         log(f"sparse (gather+segsum) fwd+bwd: {dt_sparse * 1e6:.1f} us "
             f"-> {real_edges / dt_sparse / 1e6:.1f} M edges/s")
@@ -489,7 +569,8 @@ def main():
                 "60s backoff)...")
             time.sleep(60)
             dt_dense = with_deadline(
-                lambda: bench_dense(batch, n_max, feat), 300,
+                lambda: bench_dense(batch, n_max, feat,
+                                    label="headline-dense"), 300,
                 f"dense path retry {attempt + 1}")
             if dt_dense:
                 log(f"dense-block fwd+bwd (retry): {dt_dense * 1e6:.1f} us"
@@ -498,8 +579,9 @@ def main():
     if dt_dense is None and dt_sparse is None:
         log("retrying sparse path after backoff...")
         time.sleep(60)
-        dt_sparse = with_deadline(lambda: bench_sparse(batch, feat),
-                                  300, "sparse path retry")
+        dt_sparse = with_deadline(
+            lambda: bench_sparse(batch, feat, label="headline-sparse"),
+            300, "sparse path retry")
 
     candidates = [d for d in (dt_sparse, dt_dense) if d]
     if not candidates:
@@ -533,12 +615,52 @@ def main():
     except Exception as e:
         log(f"model-step diagnostic failed: {e}")
 
+    write_phase_report()
+
     print(json.dumps({
         "metric": "spmm_fwd_bwd_edges_per_sec_per_chip",
         "value": round(eps, 1),
         "unit": "edges/s",
         "vs_baseline": round(vs, 3),
     }))
+
+
+def write_phase_report(path="BENCH_PHASES.json"):
+    """Persist per-phase timings + dispersion and flag >2x moves vs the
+    previous run's file (round-4 verdict item 8: the dense row swung
+    2.6 -> 10.3 us between rounds on relay load with nothing labeling
+    it).  stderr + sidecar file only; stdout stays one JSON line."""
+    import pathlib
+    p = pathlib.Path(__file__).parent / path
+    prev = {}
+    if p.exists():
+        try:
+            prev = json.loads(p.read_text()).get("phases", {})
+        except Exception:
+            pass
+    flags = []
+    for name, stats in PHASE_STATS.items():
+        prior = prev.get(name, {}).get("dt_us")
+        if prior and stats["dt_us"] > 0:
+            ratio = stats["dt_us"] / prior
+            if ratio > 2.0 or ratio < 0.5:
+                flag = (f"{name}: {prior:.1f} -> {stats['dt_us']:.1f} us "
+                        f"({ratio:.2f}x vs previous run) — relay-load "
+                        "noise unless reproduced; compare ratios within "
+                        "one run, not absolute values across runs")
+                flags.append(flag)
+                log(f"PHASE DRIFT: {flag}")
+    report = {
+        "note": ("per-phase marginal timings with per-rep dispersion; "
+                 "absolute values vary several-fold with relay service "
+                 "load — only relative comparisons within one run are "
+                 "meaningful (CLAUDE.md measurement protocol)"),
+        "timestamp": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "phases": PHASE_STATS,
+        "drift_flags_vs_previous_run": flags,
+    }
+    p.write_text(json.dumps(report, indent=2))
+    log(f"wrote {p} ({len(PHASE_STATS)} phases, {len(flags)} drift flags)")
 
 
 if __name__ == "__main__":

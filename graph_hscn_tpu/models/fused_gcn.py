@@ -12,6 +12,8 @@ jax.random and fed through the identical post-bits math.
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -30,6 +32,10 @@ class FusedDenseGCN(nn.Module):
     dropout: float = 0.0
     readout: str = "mean"
     interpret: bool = False    # pallas interpret mode (CPU tests)
+    # bf16 compute: MXU operands + stored hidden activations narrow, all
+    # accumulation/bias/relu/dropout math and the logits f32 (the same
+    # contract as the unfused dtype= path).  None -> f32.
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, batch: GraphBatch, train: bool = True):
@@ -51,6 +57,8 @@ class FusedDenseGCN(nn.Module):
             })
 
         x_blocks = batch.node_feat.reshape(G, S, F0)
+        if self.dtype is not None:
+            x_blocks = x_blocks.astype(self.dtype)
         rate = float(self.dropout) if train else 0.0
         dropout = None
         if rate > 0.0:

@@ -59,15 +59,21 @@ def _fwd_kernel(adj_ref, x_ref, *refs, num_layers: int, rate: float = 0.0,
         bits_refs = refs[k:k + L - 1]
         k += L - 1
     outs = refs[k:]
+    # Compute dtype rides the operands (f32 or bf16); every matmul
+    # accumulates f32 (preferred_element_type) and all elementwise math
+    # (bias, relu, dropout) happens on the f32 accumulator — only the
+    # MXU operands and the stored hidden activations are narrow.
     a = adj_ref[0]                       # [S, S] folded operator
     h = x_ref[0]
+    cd = a.dtype
     thr = np.uint32(min(int(rate * 2 ** 32), 2 ** 32 - 1))
     scale = np.float32(1.0 / (1.0 - rate)) if rate > 0.0 else None
     for l in range(L):
         y = jax.lax.dot_general(h, ws[l][:], (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32,
                                 precision=_PREC)
-        z = jax.lax.dot_general(a, y, (((1,), (0,)), ((), ())),
+        z = jax.lax.dot_general(a, y.astype(cd),
+                                (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32,
                                 precision=_PREC)
         z = z + bs[l][:]
@@ -83,8 +89,9 @@ def _fwd_kernel(adj_ref, x_ref, *refs, num_layers: int, rate: float = 0.0,
                 else:
                     bits = bits_refs[l][0]
                 h = jnp.where(bits >= thr, h * scale, 0.0)
+            h = h.astype(outs[l].dtype)
         else:
-            h = z
+            h = z                         # logits stay f32
         outs[l][0] = h
 
 
@@ -108,29 +115,34 @@ def _bwd_kernel(adj_ref, x_ref, *refs, num_layers: int, rate: float = 0.0):
             dbs[l][:] = jnp.zeros_like(dbs[l])
 
     a = adj_ref[0]
+    cd = a.dtype                         # compute dtype (f32 or bf16)
     dz = g_ref[0]                        # cotangent of h_L (pre-masked)
     for l in range(L - 1, -1, -1):
         h_prev = x_ref[0] if l == 0 else acts[l - 1][0]
         # out = A (h_prev W) + b ; act applied after (handled via dz).
         dbs[l][0] += jnp.sum(dz, axis=0)
-        dy = jax.lax.dot_general(a, dz, (((0,), (0,)), ((), ())),
+        dy = jax.lax.dot_general(a, dz.astype(cd),
+                                 (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32,
                                  precision=_PREC)         # A^T dz
+        dyc = dy.astype(cd)
         dws[l][:] += jax.lax.dot_general(
-            h_prev, dy, (((0,), (0,)), ((), ())),
+            h_prev, dyc, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=_PREC)
-        dh = jax.lax.dot_general(dy, ws[l][:], (((1,), (1,)), ((), ())),
+        dh = jax.lax.dot_general(dyc, ws[l][:], (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32,
                                  precision=_PREC)         # dy W^T
         if l > 0:
             # acts are POST-dropout: h_post > 0 iff kept and z > 0; kept
             # values carry the 1/(1-p) scale, so this is mask ∘ relu'.
-            keep = (acts[l - 1][0] > 0.0).astype(jnp.float32)
+            # (compare in f32 — Mosaic has no bf16 cmpf on this target)
+            keep = (acts[l - 1][0].astype(jnp.float32) > 0.0)
+            keep = keep.astype(jnp.float32)
             if rate > 0.0:
                 keep = keep * np.float32(1.0 / (1.0 - rate))
             dz = dh * keep
         else:
-            dx_ref[0] = dh
+            dx_ref[0] = dh.astype(dx_ref.dtype)
 
 
 def _folded_operator(adj, add_self_loops=True):
@@ -181,11 +193,17 @@ def _dropout_inputs(dropout, rate, num_layers, blk):
 def _fwd(x_blocks, adj, params, dropout, rate, interpret):
     G, S, F0 = x_blocks.shape
     L = len(params)
-    a_hat = _folded_operator(adj)
-    ws = [p["kernel"] for p in params]
-    bs = [p["bias"].reshape(1, -1) for p in params]
-    out_shapes = [jax.ShapeDtypeStruct((G, S, w.shape[1]), jnp.float32)
-                  for w in ws]
+    cd = x_blocks.dtype   # compute dtype: f32, or bf16 (mixed precision)
+    # Fold the operator in f32 (rsqrt in bf16 loses degree precision),
+    # then narrow the MXU operand.
+    a_hat = _folded_operator(adj.astype(jnp.float32)).astype(cd)
+    ws = [p["kernel"].astype(cd) for p in params]
+    bs = [p["bias"].astype(jnp.float32).reshape(1, -1) for p in params]
+    # Hidden activations stored in the compute dtype (the HBM-bandwidth
+    # lever); logits stay f32.
+    out_shapes = [jax.ShapeDtypeStruct(
+        (G, S, w.shape[1]), cd if li < L - 1 else jnp.float32)
+        for li, w in enumerate(ws)]
     blk = lambda shape: pl.BlockSpec((1,) + shape[1:],
                                      lambda g: (g,) + (0,) * (len(shape) - 1),
                                      memory_space=pltpu.VMEM)
@@ -213,13 +231,14 @@ def _fused_bwd(rate, interpret, res, g):
     x_blocks, adj, params, dropout, acts = res
     G, S, F0 = x_blocks.shape
     L = len(params)
-    a_hat = _folded_operator(adj)
-    ws = [p["kernel"] for p in params]
+    cd = x_blocks.dtype
+    a_hat = _folded_operator(adj.astype(jnp.float32)).astype(cd)
+    ws = [p["kernel"].astype(cd) for p in params]
     blk = lambda shape: pl.BlockSpec((1,) + shape[1:],
                                      lambda gg: (gg,) + (0,) * (len(shape) - 1),
                                      memory_space=pltpu.VMEM)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-    out_shapes = ([jax.ShapeDtypeStruct((G, S, F0), jnp.float32)]
+    out_shapes = ([jax.ShapeDtypeStruct((G, S, F0), cd)]
                   + [jax.ShapeDtypeStruct(w.shape, jnp.float32)
                      for w in ws]
                   + [jax.ShapeDtypeStruct((1, w.shape[1]), jnp.float32)

@@ -356,21 +356,146 @@ def _spmm_hbm_call(x, w, ws, wr, snd_rel, rcv_rel, num_nodes: int,
     return out[:num_nodes]
 
 
+def _spmm_hbm_out_kernel(ws_ref, wr_ref, snd_rel_ref, rcv_rel_ref, w_ref,
+                         x_hbm, out_hbm, x_scratch, acc, x_sems, out_sem,
+                         *, window, n_chunks):
+    """Fully-streamed variant: BOTH x and out live in HBM.
+
+    x windows ride the same double-buffered DMA as _spmm_hbm_kernel; the
+    out window is read-modify-written through a VMEM accumulator.  The
+    plan's receiver windows are non-decreasing (edges are receiver-sorted,
+    so each tile's min receiver only grows), hence the only write-read
+    hazard is between CONSECUTIVE tiles' overlapping windows — waiting
+    out the write-back before the iteration ends (TPU grids execute
+    sequentially) makes the next tile's read safe.  The out read itself
+    overlaps the tile's matmuls.
+
+    This removes the x<=2*VMEM budget ceiling (round-4 verdict item 6:
+    the 51k-row 1-device full batch fell back to XLA because the out
+    buffer exceeded VMEM even with x streamed)."""
+    t = pl.program_id(0)
+    n_t = pl.num_programs(0)
+
+    def x_dma(slot, tile):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(ws_ref[tile], window), :],
+            x_scratch.at[slot],
+            x_sems.at[slot])
+
+    @pl.when(t == 0)
+    def _():
+        # Zero the HBM out buffer chunk-by-chunk through the (still
+        # unused) accumulator scratch, then kick off the first x fetch.
+        acc[:] = jnp.zeros_like(acc)
+
+        def zero_chunk(i, carry):
+            cp = pltpu.make_async_copy(
+                acc, out_hbm.at[pl.ds(i * window, window), :], out_sem)
+            cp.start()
+            cp.wait()
+            return carry
+
+        jax.lax.fori_loop(0, n_chunks, zero_chunk, 0)
+        x_dma(0, 0).start()
+
+    cur = jax.lax.rem(t, 2)
+    nxt = jax.lax.rem(t + 1, 2)
+
+    @pl.when(t + 1 < n_t)
+    def _():
+        x_dma(nxt, t + 1).start()
+
+    wr = wr_ref[t]                 # 32-aligned host-side
+    in_cp = pltpu.make_async_copy(
+        out_hbm.at[pl.ds(wr, window), :], acc, out_sem)
+    in_cp.start()
+
+    x_dma(cur, t).wait()
+    x_win = x_scratch[cur]
+
+    snd_rel = snd_rel_ref[0, 0]
+    rcv_rel = rcv_rel_ref[0, 0]
+    w = w_ref[0, 0]
+    te = snd_rel.shape[0]
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, (te, window), 1)
+    g_onehot = (snd_rel[:, None] == iota).astype(jnp.float32)
+    g_onehot = (g_onehot * w[:, None]).astype(x_win.dtype)
+    msgs = jax.lax.dot_general(
+        g_onehot, x_win, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_PRECISION)
+    p_onehot = (rcv_rel[:, None] == iota).astype(x_win.dtype)
+    partial = jax.lax.dot_general(
+        p_onehot, msgs.astype(x_win.dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_PRECISION)
+
+    in_cp.wait()
+    acc[:] = acc[:] + partial
+    out_cp = pltpu.make_async_copy(
+        acc, out_hbm.at[pl.ds(wr, window), :], out_sem)
+    out_cp.start()
+    out_cp.wait()                  # consecutive windows may overlap
+
+
+def _spmm_hbm_out_call(x, w, ws, wr, snd_rel, rcv_rel, num_nodes: int,
+                       interpret: bool = False, window: int = WINDOW):
+    T, te = snd_rel.shape
+    F = x.shape[-1]
+    # Round n_pad to a multiple of window so the zeroing loop covers the
+    # buffer exactly; window slices stay in bounds by construction.
+    n_pad = ((num_nodes + 31) // 32) * 32 + window
+    n_pad = ((n_pad + window - 1) // window) * window
+    if x.shape[0] < n_pad:
+        x = jnp.pad(x, ((0, n_pad - x.shape[0]), (0, 0)))
+    w = w.reshape(T, 1, te).astype(jnp.float32)
+    tile_spec = pl.BlockSpec((1, 1, te), lambda t, *_: (t, 0, 0),
+                             memory_space=pltpu.VMEM)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T,),
+        in_specs=[
+            tile_spec, tile_spec, tile_spec,
+            pl.BlockSpec(memory_space=pl.ANY),       # x off-chip
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),  # out off-chip too
+        scratch_shapes=[
+            pltpu.VMEM((2, window, F), x.dtype),
+            pltpu.VMEM((window, F), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_spmm_hbm_out_kernel, window=window,
+                          n_chunks=n_pad // window),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_pad, F), jnp.float32),
+        interpret=interpret,
+    )(ws, wr, snd_rel.reshape(T, 1, te), rcv_rel.reshape(T, 1, te), w, x)
+    return out[:num_nodes]
+
+
 def spmm_pallas_hbm(x, plan: SpmmPlanArrays, edge_weight=None,
                     num_nodes: int | None = None,
                     interpret: bool | None = None,
-                    weight_grad: bool = True):
+                    weight_grad: bool = True,
+                    stream_out: bool = False):
     """Large-graph fused SpMM: node features stream from HBM via
-    double-buffered window DMA (no x-fits-in-VMEM constraint; the output
-    block still lives in VMEM, so the regime is x up to ~2x the VMEM
-    kernel's budget — beyond that the sharded edge-partition machinery
-    takes over, parallel/).
+    double-buffered window DMA (no x-fits-in-VMEM constraint).  With
+    ``stream_out=False`` the output block still lives in VMEM, so the
+    regime is x up to ~2x the VMEM kernel's budget; ``stream_out=True``
+    streams the output window through a VMEM accumulator as well
+    (read-modify-write DMA), removing that ceiling — the 51k-row
+    single-chip full batch rides the kernel instead of falling back to
+    XLA.  Beyond single-chip HBM the sharded edge-partition machinery
+    takes over (parallel/).
 
     Fully differentiable: dx runs the same HBM kernel with the transpose
     plan; dw is the HBM-streamed SDDMM (both windows DMA'd)."""
     interpret = resolve_interpret(interpret)
     n = num_nodes if num_nodes is not None else x.shape[0]
     E = plan.t_order.shape[0]
+    _call = _spmm_hbm_out_call if stream_out else _spmm_hbm_call
     if edge_weight is None:
         w = jnp.ones((E,), x.dtype)
     elif edge_weight.shape[0] < E:
@@ -380,9 +505,9 @@ def spmm_pallas_hbm(x, plan: SpmmPlanArrays, edge_weight=None,
 
     @jax.custom_vjp
     def _spmm(x, w):
-        return _spmm_hbm_call(x, w, plan.ws, plan.wr, plan.snd_rel,
-                              plan.rcv_rel, n, interpret,
-                              window=plan.window)
+        return _call(x, w, plan.ws, plan.wr, plan.snd_rel,
+                     plan.rcv_rel, n, interpret,
+                     window=plan.window)
 
     def fwd(x, w):
         # The plan rides through the RESIDUALS, not the bwd closure: a
@@ -395,9 +520,9 @@ def spmm_pallas_hbm(x, plan: SpmmPlanArrays, edge_weight=None,
     def bwd(res, g):
         x, w, pl_ = res
         w_t = jnp.take(w, pl_.t_order, axis=0)
-        dx = _spmm_hbm_call(g, w_t, pl_.t_ws, pl_.t_wr, pl_.t_snd_rel,
-                            pl_.t_rcv_rel, n, interpret,
-                            window=pl_.window)
+        dx = _call(g, w_t, pl_.t_ws, pl_.t_wr, pl_.t_snd_rel,
+                   pl_.t_rcv_rel, n, interpret,
+                   window=pl_.window)
         if weight_grad:
             from graph_hscn_tpu.ops.pallas.sddmm_kernel import \
                 sddmm_pallas_hbm

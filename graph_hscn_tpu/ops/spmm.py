@@ -108,8 +108,18 @@ def gather_scatter(
             return spmm_pallas_hbm(x, plan, edge_weight=edge_weight,
                                    num_nodes=num_nodes,
                                    weight_grad=weight_needs_grad)
-        # Beyond ~2x the VMEM budget the output block no longer fits
-        # either — XLA fallback (or the sharded edge-partition path).
+        # Beyond ~2x the VMEM budget the out buffer no longer fits in
+        # VMEM either: stream BOTH x and out (windowed RMW through a
+        # VMEM accumulator).  Only the per-window scratch must fit —
+        # 3 * window * F_pad — which caps F, not N.
+        scratch = 3 * plan.window * max(x.shape[1], 128) * x.dtype.itemsize
+        if scratch <= VMEM_X_BUDGET:
+            return spmm_pallas_hbm(x, plan, edge_weight=edge_weight,
+                                   num_nodes=num_nodes,
+                                   weight_grad=weight_needs_grad,
+                                   stream_out=True)
+        # Pathologically wide features — XLA fallback (or the sharded
+        # edge-partition path).
     msgs = jnp.take(x, senders, axis=0)
     if edge_weight is not None:
         msgs = msgs * edge_weight[:, None]

@@ -119,14 +119,18 @@ def run_experiment(cfg: ExperimentConfig, log_file=None) -> FitResult:
 
     if _use_fused_stack(cfg, dm, node_level):
         from graph_hscn_tpu.models.fused_gcn import FusedDenseGCN
-        logger.info("Fused Pallas GCN stack on.")
+        logger.info("Fused Pallas GCN stack on"
+                    + (f" ({cfg.runtime.compute_dtype} compute, f32 "
+                       "accumulation/logits)."
+                       if compute_dtype is not None else "."))
         model = FusedDenseGCN(
             hidden_channels=cfg.mpnn.hidden_channels,
             num_classes=dm.num_classes,
             num_layers=cfg.mpnn.num_layers,
             dropout=cfg.mpnn.dropout,
             readout="none" if node_level else "mean",
-            interpret=jax.default_backend() != "tpu")
+            interpret=jax.default_backend() != "tpu",
+            dtype=compute_dtype)
     else:
         model = build_mpnn(cfg.mpnn, dm.num_features, dm.num_classes,
                            compat=cfg.compat.double_relu,
@@ -238,16 +242,17 @@ def _use_fused_stack(cfg: ExperimentConfig, dm, node_level: bool) -> bool:
     mode = cfg.runtime.fused_stack
     if mode == "off" or cfg.mpnn is None:
         return False
+    # bf16 compute is supported in-kernel (f32 accumulation, f32 logits)
+    # since round 5 — the fusion and bandwidth levers compose.
     eligible = (cfg.mpnn.conv_type.lower() == "gcn"
                 and cfg.mpnn.activation.lower() == "relu"
                 and not cfg.mpnn.use_batch_norm
                 and not cfg.mpnn.use_layer_norm
-                and cfg.runtime.compute_dtype in ("float32", "f32")
                 and dm.slot_nodes is not None)
     if mode == "on":
         if not eligible:
             raise ValueError("fused_stack requested but config ineligible "
-                             "(needs gcn+relu+dense slots+f32)")
+                             "(needs gcn+relu+dense slots)")
         return True
     import jax as _jax
     return eligible and _jax.default_backend() == "tpu"

@@ -328,3 +328,74 @@ def test_hbm_streamed_bf16_grads_match_xla():
     np.testing.assert_allclose(np.asarray(dwk, np.float32)[mask],
                                np.asarray(dwr, np.float32)[mask],
                                rtol=5e-2, atol=2e-1)
+
+
+def test_hbm_out_streamed_matches_xla(planned_batch):
+    """Fully-streamed variant (x AND out in HBM, windowed RMW): fwd + dx
+    + dw vs XLA on the planned batch (interpret mode)."""
+    from graph_hscn_tpu.ops.pallas.spmm_kernel import spmm_pallas_hbm
+    b = planned_batch
+    n = b.num_nodes_padded
+    rng = np.random.default_rng(12)
+    x0 = jnp.asarray(rng.normal(size=(n, 128)).astype(np.float32))
+    w0 = jnp.asarray(rng.uniform(0.5, 1.5,
+                                 size=b.senders.shape).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(n, 128)).astype(np.float32))
+
+    out = spmm_pallas_hbm(x0, b.spmm, edge_weight=w0, num_nodes=n,
+                          interpret=True, stream_out=True)
+    ref = xla_ref(x0, b, w0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+    def f_stream(x, w):
+        return jnp.vdot(spmm_pallas_hbm(x, b.spmm, edge_weight=w,
+                                        num_nodes=n, interpret=True,
+                                        stream_out=True), g)
+
+    def f_ref(x, w):
+        return jnp.vdot(xla_ref(x, b, w), g)
+
+    dx_s, dw_s = jax.grad(f_stream, argnums=(0, 1))(x0, w0)
+    dx_r, dw_r = jax.grad(f_ref, argnums=(0, 1))(x0, w0)
+    np.testing.assert_allclose(np.asarray(dx_s), np.asarray(dx_r),
+                               rtol=1e-4, atol=1e-4)
+    mask = np.asarray(b.edge_mask)
+    np.testing.assert_allclose(np.asarray(dw_s)[mask],
+                               np.asarray(dw_r)[mask],
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_gather_scatter_routes_giant_to_out_streamed(monkeypatch):
+    """Beyond 2x VMEM budget gather_scatter now rides the out-streamed
+    kernel instead of falling back to XLA (round-4 verdict item 6)."""
+    from graph_hscn_tpu.ops import spmm as spmm_mod
+    from graph_hscn_tpu.ops.pallas import spmm_kernel as kmod
+    # Shrink the budget so a modest batch lands in the >2x band (but
+    # keep it above the 3*window*F scratch guard).
+    monkeypatch.setattr(kmod, "VMEM_X_BUDGET", 1024 * 1024)
+    graphs = make_peptides_func(num_graphs=24, seed=13, mean_nodes=580)
+    budget = PadBudget.for_dataset(graphs, batch_size=24,
+                                   edge_multiple=256)
+    b = pack_batch(graphs, budget, with_spmm_plan=True)
+    n = b.num_nodes_padded
+    assert n * 128 * 4 > 2 * kmod.VMEM_X_BUDGET
+    x = jnp.asarray(np.random.default_rng(14).normal(size=(n, 128))
+                    .astype(np.float32))
+    called = {}
+    orig = kmod.spmm_pallas_hbm
+
+    def spy(*a, **k):
+        called["stream_out"] = k.get("stream_out", False)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(kmod, "spmm_pallas_hbm", spy)
+    spmm_mod.set_backend("pallas")
+    try:
+        out = spmm_mod.gather_scatter(x, b.senders, b.receivers,
+                                      num_nodes=n, plan=b.spmm)
+    finally:
+        spmm_mod.set_backend("auto")
+    assert called.get("stream_out") is True
+    np.testing.assert_allclose(np.asarray(out), np.asarray(xla_ref(x, b)),
+                               rtol=1e-4, atol=1e-4)
