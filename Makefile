@@ -7,6 +7,11 @@
 test:
 	python -m pytest tests/ -q
 
+# Core iteration suite (<5 min): kernels, parity oracles, batching, one
+# sharded family.  The full suite stays the round gate.
+test-quick:
+	python -m pytest tests/ -q -m "quick and not slow"
+
 native:
 	$(MAKE) -C native
 

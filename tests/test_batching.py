@@ -7,6 +7,8 @@ from graph_hscn_tpu.data import batching, synthetic
 from graph_hscn_tpu.data.batching import PadBudget, pack_batch
 
 
+pytestmark = pytest.mark.quick   # core <5-min suite (make test-quick)
+
 @pytest.fixture(scope="module")
 def graphs():
     return synthetic.make_peptides_func(num_graphs=40, seed=0, mean_nodes=40)

@@ -10,6 +10,8 @@ from graph_hscn_tpu.ops.pallas.fused_gcn_kernel import (_folded_operator,
                                                         fused_gcn_stack)
 
 
+pytestmark = pytest.mark.quick   # core <5-min suite (make test-quick)
+
 def _ref_stack(x_blocks, adj, params):
     a_hat = _folded_operator(adj)
     h = x_blocks

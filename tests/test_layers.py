@@ -16,6 +16,8 @@ from graph_hscn_tpu.data.synthetic import make_peptides_func
 from graph_hscn_tpu.models.layers import GATConv, GCNConv, GINConv, GraphConv
 
 
+pytestmark = pytest.mark.quick   # core <5-min suite (make test-quick)
+
 @pytest.fixture(scope="module")
 def small_batch():
     graphs = make_peptides_func(num_graphs=4, seed=3, mean_nodes=25)

@@ -12,6 +12,8 @@ from graph_hscn_tpu.ops.pallas.sddmm_kernel import (sddmm_pallas,
 from graph_hscn_tpu.ops.segment import segment_sum
 
 
+pytestmark = pytest.mark.quick   # core <5-min suite (make test-quick)
+
 @pytest.fixture(scope="module")
 def planned_batch():
     graphs = make_peptides_func(num_graphs=8, seed=71, mean_nodes=60)

@@ -15,6 +15,8 @@ from graph_hscn_tpu.ops.segment import (gather_planned, segment_sum,
                                         segment_sum_planned)
 
 
+pytestmark = pytest.mark.quick   # core <5-min suite (make test-quick)
+
 @pytest.fixture(scope="module")
 def batch():
     graphs = make_peptides_func(num_graphs=8, seed=31, mean_nodes=60)

@@ -22,6 +22,8 @@ import numpy as np
 import pytest
 import torch
 
+pytestmark = pytest.mark.quick   # core <5-min suite (make test-quick)
+
 REPO = Path(__file__).resolve().parent.parent
 SHIM = REPO / "scripts" / "ref_shim"
 

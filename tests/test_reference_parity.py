@@ -26,6 +26,8 @@ from graph_hscn_tpu.train.loss import criterion  # noqa: E402
 from graph_hscn_tpu.train.metrics import eval_ap, eval_mae  # noqa: E402
 
 
+pytestmark = pytest.mark.quick   # core <5-min suite (make test-quick)
+
 def test_criterion_bce_matches_reference():
     rng = np.random.default_rng(0)
     pred = rng.normal(size=(40, 10)).astype(np.float32)

@@ -4,6 +4,7 @@ convergence, virtual-node construction, end-to-end HSCN training."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from graph_hscn_tpu.config.config import (DataConfig, HSCNConfig, OptimConfig,
                                           TrainingConfig)
@@ -15,6 +16,8 @@ from graph_hscn_tpu.ops.dense import mincut_pool
 from graph_hscn_tpu.train.clustering import train_clustering
 from graph_hscn_tpu.utils.logger import Logger
 
+
+pytestmark = pytest.mark.quick   # core <5-min suite (make test-quick)
 
 def test_mincut_loss_values():
     """Two disconnected cliques, perfect 2-way assignment: mincut loss -> -1

@@ -4,6 +4,7 @@ and gradients must match on the 8-device CPU mesh."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from graph_hscn_tpu.data.batching import PadBudget, pack_batch
 from graph_hscn_tpu.data.synthetic import make_voc_superpixels
@@ -14,6 +15,8 @@ from graph_hscn_tpu.parallel.sharded_gcn import (init_sharded_gcn_params,
                                                  make_sharded_gcn,
                                                  shard_node_blocks)
 
+
+pytestmark = pytest.mark.quick   # core <5-min suite (make test-quick)
 
 def _setup(D=8):
     graphs = make_voc_superpixels(num_graphs=4, seed=99, mean_nodes=300)

@@ -27,6 +27,8 @@ from graph_hscn_tpu.models.mpnn import MPNN
 from graph_hscn_tpu.train.loss import criterion
 
 
+pytestmark = pytest.mark.quick   # core <5-min suite (make test-quick)
+
 def torch_gcn_layer(x, senders, receivers, edge_mask, W, b):
     """Reference-exact GCNConv in torch (in-degree norm, self loops)."""
     x = torch.as_tensor(x)
