@@ -22,18 +22,44 @@ relu as intended.
 from __future__ import annotations
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+import numpy as np
 
 from graph_hscn_tpu.data.structures import GraphBatch
 from graph_hscn_tpu.models.layers import glorot
 from graph_hscn_tpu.ops.spmm import gather_scatter
 
 
+def _dense(features: int, x, torch_init: bool):
+    """nn.Dense with either flax-glorot (default) or the torch nn.Linear
+    default init (kaiming_uniform(a=sqrt(5)) == U(+-1/sqrt(fan_in)) for
+    BOTH weight and bias).  The torch family matters for the frozen-
+    random SignNet (quirk #6): the reference never trains these weights,
+    so the INIT DISTRIBUTION is the model — matching torch's makes the
+    frozen PE features statistically comparable to the executed
+    reference's (reference signnet.py MLP uses plain nn.Linear)."""
+    if not torch_init:
+        return nn.Dense(features, kernel_init=glorot)(x)
+    bound = 1.0 / np.sqrt(x.shape[-1])
+
+    def unif(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return nn.Dense(features, kernel_init=unif, bias_init=unif)(x)
+
+
 class _GINLayer(nn.Module):
-    """GINConv with an MLP update net (eps=0), vmapped over K channels."""
+    """GINConv with an MLP update net (eps=0), vmapped over K channels.
+
+    Mirrors the reference GIN block construction (signnet.py:86-161):
+    ``mlp_layers=1`` is a single Linear; ``mlp_layers>=2`` stacks
+    Linear(hidden) + relu layers before the final Linear(features)."""
 
     features: int
     mlp_layers: int = 1
+    hidden: int | None = None      # width of the pre-final MLP Linears
+    torch_init: bool = False
 
     @nn.compact
     def __call__(self, x, senders, receivers, edge_mask, num_nodes):
@@ -47,8 +73,9 @@ class _GINLayer(nn.Module):
         neigh = jnp.transpose(agg_flat.reshape(N, K, C), (1, 0, 2))
         h = x + neigh          # (1 + eps) x + sum, eps = 0
         for i in range(self.mlp_layers - 1):
-            h = nn.relu(nn.Dense(self.features, kernel_init=glorot)(h))
-        h = nn.Dense(self.features, kernel_init=glorot)(h)
+            h = nn.relu(_dense(self.hidden or self.features, h,
+                               self.torch_init))
+        h = _dense(self.features, h, self.torch_init)
         return h
 
 
@@ -73,6 +100,10 @@ class SignNetNodeEncoder(nn.Module):
     max_freqs: int = 10
     expand_x: bool = True
     model_type: str = "DeepSet"
+    # torch nn.Linear init family throughout — used by the frozen-random
+    # compat path so the untrained encoder's feature distribution matches
+    # the executed reference's (see _dense).
+    torch_init: bool = False
 
     @nn.compact
     def __call__(self, batch: GraphBatch, train: bool = False):
@@ -86,14 +117,23 @@ class SignNetNodeEncoder(nn.Module):
         ev = jnp.where(nan_mask, 0.0, ev)
         x = jnp.transpose(ev, (1, 0))[:, :, None]     # [K, N, 1]
 
-        # phi: GIN stack with shared weights for +v / -v.
-        dims = ([self.phi_hidden_dim] * max(self.sign_inv_layers - 1, 0)
-                + [self.phi_out_dim])
-        layers = [
-            _GINLayer(features=d,
-                      mlp_layers=(2 if i == len(dims) - 1 else 1))
-            for i, d in enumerate(dims)
-        ]
+        # phi: GIN stack with shared weights for +v / -v, mirroring the
+        # reference GIN construction (signnet.py:86-145): an input conv
+        # at phi_hidden_dim (1-layer MLP), sign_inv_layers-2 hidden convs
+        # at phi_hidden_dim, and an output conv whose 2-layer MLP runs
+        # phi_hidden_dim -> phi_out_dim.  Note the reference's
+        # ``n_layers=1`` (PE_LAYERS default) still builds TWO GINConvs
+        # (input + output; its hidden range(n_layers-2) is empty).
+        layers = (
+            [_GINLayer(features=self.phi_hidden_dim, mlp_layers=1,
+                       torch_init=self.torch_init)]
+            + [_GINLayer(features=self.phi_hidden_dim, mlp_layers=1,
+                         torch_init=self.torch_init)
+               for _ in range(max(self.sign_inv_layers - 2, 0))]
+            + [_GINLayer(features=self.phi_out_dim, mlp_layers=2,
+                         hidden=self.phi_hidden_dim,
+                         torch_init=self.torch_init)]
+        )
 
         def phi(v):
             h = v
@@ -119,12 +159,12 @@ class SignNetNodeEncoder(nn.Module):
 
         # rho MLP -> dim_pe.
         for _ in range(max(self.rho_layers - 1, 0)):
-            h = nn.relu(nn.Dense(self.phi_hidden_dim, kernel_init=glorot)(h))
-        pe = nn.Dense(self.dim_pe, kernel_init=glorot)(h)
+            h = nn.relu(_dense(self.phi_hidden_dim, h, self.torch_init))
+        pe = _dense(self.dim_pe, h, self.torch_init)
 
         if self.expand_x:
-            base = nn.Dense(self.dim_emb - self.dim_pe,
-                            kernel_init=glorot)(batch.node_feat)
+            base = _dense(self.dim_emb - self.dim_pe, batch.node_feat,
+                          self.torch_init)
         else:
             base = batch.node_feat
         out = jnp.concatenate([base, pe], axis=-1)

@@ -222,7 +222,11 @@ def attach_posenc(dm, pe_cfg, logger, frozen_random: bool = True,
         dim_pe=pe_cfg.dim_pe, phi_hidden_dim=pe_cfg.phi_hidden_dim,
         phi_out_dim=pe_cfg.phi_out_dim, sign_inv_layers=pe_cfg.layers,
         rho_layers=pe_cfg.post_layers, max_freqs=pe_cfg.eigen_max_freqs,
-        model_type=pe_cfg.model)
+        model_type=pe_cfg.model,
+        # Frozen-random (quirk #6): the untrained weights ARE the model,
+        # so the init family must match the reference's torch defaults
+        # for the PE feature distribution to be comparable.
+        torch_init=True)
     example = dm.example_batch()
     params = enc.init(jax.random.PRNGKey(seed), example)["params"]
     apply = jax.jit(lambda b: enc.apply({"params": params}, b))
