@@ -1,0 +1,121 @@
+"""Assemble PARITY_MATRIX.json from executed seed-study artifacts.
+
+Every entry carries {n, mean, std, values} per side plus the
+delta-of-means with SE and a Welch 95% CI, and an explicit
+``resolves_gate`` statement (round-4 verdict item 2: no PASS whose CI
+spans the gate without saying so).
+
+Inputs: artifacts/PARITY_*.json written by scripts/parity_run.py
+(--ref-seeds/--fw-seeds studies).  Extension artifacts (e.g. HSCN seeds
+8-23) are merged with their base study by key.
+
+Usage:  python scripts/build_parity_matrix.py [--out PARITY_MATRIX.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO / "scripts"))
+
+from parity_run import seed_study_stats  # noqa: E402
+
+GATE = 0.005
+
+# (matrix key, metric, [artifact files merged in order], scope note)
+ENTRIES = [
+    ("peptides_func/gcn", "test AP",
+     ["PARITY_GCN_R5.json"],
+     "24x24 seeds at 512 graphs"),
+    ("peptides_func/gat", "test AP",
+     ["PARITY_GAT_R4.json"],
+     "8x8 seeds at 512 graphs; SCOPE: heads=1 both sides — the only GAT "
+     "the reference can express (PyG default); the multi-head kernels "
+     "rest on unit tests (tests/test_multihead_kernel.py, "
+     "test_sharded_gat.py), not an executed-reference comparison"),
+    ("peptides_struct/gcn", "test MAE",
+     ["PARITY_STRUCT_R5.json"],
+     "8x8 seeds at 256 graphs; MAE is low-variance, the one entry whose "
+     "CI resolves the gate cleanly"),
+    ("peptides_func/hscn", "test AP",
+     ["PARITY_HSCN_R5.json", "PARITY_HSCN_R5_EXT.json"],
+     "turnkey `make parity MODEL=hscn`: framework trained/evaluated on "
+     "the reference's EFFECTIVE (scrambled) splits derived automatically "
+     "from the npz split indices (quirk #16); true-splits run recorded "
+     "in the artifact for transparency"),
+    ("peptides_func/gcn+signnet_pe", "test AP",
+     ["PARITY_GCN_PE_R5B.json"],
+     "8x8 seeds at 512 graphs with the SignNet PE subsystem ON on both "
+     "sides (reference PE path executed under the documented ACT_DICT "
+     "amendment, quirk #5; frozen-random encoder per quirk #6 with the "
+     "torch init family on the framework side)"),
+]
+
+
+def load_runs(files):
+    ref, fw, provenance = [], [], None
+    for f in files:
+        p = REPO / "artifacts" / f
+        if not p.exists():
+            return None, None, None, f
+        d = json.loads(p.read_text())
+        ref += [r["test_metric"] for r in d.get("reference_seed_runs", [])]
+        fw += [r["test_metric"] for r in d.get("framework_seed_runs", [])]
+        provenance = d.get("provenance", provenance)
+    return ref, fw, provenance, None
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=str(REPO / "PARITY_MATRIX.json"))
+    args = ap.parse_args()
+    matrix = {
+        "provenance": (
+            "every reference number comes from EXECUTING the mounted "
+            "reference in-image (scripts/ref_shim/); both sides train on "
+            "byte-identical synthetic data with full 500-epoch + "
+            "early-stop semantics; per-entry studies regenerable via "
+            "`make parity MODEL=...` / scripts/parity_run.py"),
+        "gate": GATE,
+        "statistics": (
+            "delta_of_means (|framework - reference|) with SE and Welch "
+            "95% CI; `resolves_gate` says whether the study's CI "
+            "half-width is within the gate — where it is not, the "
+            "verdict states what gap the study can exclude instead of "
+            "claiming a resolved PASS"),
+        "entries": {},
+    }
+    for key, metric, files, note in ENTRIES:
+        ref, fw, prov, missing = load_runs(files)
+        if missing:
+            print(f"[matrix] {key}: missing artifact {missing} — skipped",
+                  file=sys.stderr)
+            continue
+        stats = seed_study_stats(ref, fw, GATE)
+        entry = {
+            "metric": metric,
+            "reference": dict(stats["reference"], values=ref),
+            "framework": dict(stats["framework"], values=fw),
+            "delta_of_means": stats["delta_of_means"],
+            "delta_of_means_signed": stats["delta_of_means_signed"],
+            "se_delta": stats["se_delta"],
+            "ci95_delta": stats["ci95_delta"],
+            "ci95_halfwidth": stats["ci95_halfwidth"],
+            "pass": stats["pass"],
+            "resolves_gate": stats["resolves_gate"],
+            "resolution": stats["resolution"],
+            "note": note,
+        }
+        if prov and prov.get("amendments"):
+            entry["amendments"] = prov["amendments"]
+        matrix["entries"][key] = entry
+    Path(args.out).write_text(json.dumps(matrix, indent=2))
+    print(f"wrote {args.out} with {len(matrix['entries'])} entries")
+
+
+if __name__ == "__main__":
+    main()
