@@ -48,14 +48,35 @@ def virtual_node_features(batch: GraphBatch, num_clusters: int,
     node features (reference hetero_data.py:56-59).
 
     Returns (x_v [G*K, F], v_active [G*K] bool, vid [N] int32).
-    ``index_shift`` reproduces quirk #8 (features rotated one cluster down
-    relative to the l->v edge targets, hetero_data.py:53-54 vs :81-83),
-    approximated as a mod-K rotation.
+    ``index_shift`` reproduces quirk #8 EXACTLY (features rotated one
+    cluster down relative to the l->v edge targets): the reference first
+    compacts each graph's occupied clusters with np.unique
+    (hetero_data.py:46-51) and then rotates in that COMPACTED space
+    (``clusters[ix] - 1`` with Python negative-index wrap over the
+    length-U list, :53-54), so a node in the cluster of compacted rank r
+    contributes its features to the active cluster of rank (r-1) mod U —
+    the cyclically-previous OCCUPIED cluster, not (c-1) mod K.
     """
     K = num_clusters
     G = batch.num_graphs_padded
     vid = batch.node_graph * K + batch.cluster
-    feat_cluster = ((batch.cluster - 1) % K) if index_shift else batch.cluster
+    if index_shift:
+        # Per-graph occupancy -> compacted ranks -> cyclic-previous
+        # active cluster id per slot.
+        ones_occ = batch.node_mask.astype(jnp.int32)
+        occ = segment_sum(ones_occ, vid, G * K).reshape(G, K) > 0  # [G, K]
+        occ_i = occ.astype(jnp.int32)
+        rank = jnp.cumsum(occ_i, axis=1) - 1               # [G, K]
+        U = jnp.sum(occ_i, axis=1)                         # [G]
+        # order[g, r] = id of the active cluster with rank r (ascending);
+        # inactive slots sort to the back.
+        sort_key = jnp.where(occ, jnp.arange(K)[None, :], K)
+        order = jnp.argsort(sort_key, axis=1)              # [G, K]
+        prev_rank = jnp.mod(rank - 1, jnp.maximum(U, 1)[:, None])
+        prev_id = jnp.take_along_axis(order, prev_rank, axis=1)  # [G, K]
+        feat_cluster = prev_id[batch.node_graph, batch.cluster]
+    else:
+        feat_cluster = batch.cluster
     feat_vid = batch.node_graph * K + feat_cluster
     ones = batch.node_mask.astype(batch.node_feat.dtype)
     count = segment_sum(ones, vid, G * K)

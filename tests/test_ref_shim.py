@@ -446,6 +446,79 @@ def test_module_parity_hscn(tmp_path):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_module_parity_hscn_empty_cluster(tmp_path):
+    """Quirk #8 in COMPACTED space: with an unoccupied cluster the
+    reference remaps occupied ids with np.unique and rotates among the
+    occupied set (cyclically-previous ACTIVE cluster, not (c-1) mod K).
+    virtual_node_features(index_shift=True) must reproduce that exactly."""
+    import flax
+
+    from graph_hscn_tpu.models.hscn import HSCN, virtual_node_features
+    rng = np.random.default_rng(21)
+    graphs = _parity_graphs(num=2, clusters=3, seed=21)
+    # Leave cluster 1 empty in graph 0 (occupied {0, 2}) and cluster 0
+    # empty in graph 1 (occupied {1, 2}).
+    fixed = []
+    for gi, g in enumerate(graphs):
+        n = g.num_nodes
+        allowed = np.array([0, 2]) if gi == 0 else np.array([1, 2])
+        c = allowed[rng.integers(0, 2, size=n)]
+        c[0], c[1] = allowed[0], allowed[1]   # both occupied
+        fixed.append(g.replace(cluster=c.astype(np.int64)))
+    graphs = fixed
+    oracle = _dump_oracle(tmp_path, graphs, "hscn", hidden=8, layers=1,
+                          classes=4, clusters=3)
+    batch = _pack(graphs)
+    K = 3
+    x_v, v_active, _ = virtual_node_features(batch, K, index_shift=True)
+    np.testing.assert_allclose(
+        np.asarray(x_v)[np.asarray(v_active)], oracle["x_virtual_init"],
+        rtol=1e-5, atol=1e-6)
+
+    model = HSCN(lv_conv="GAT", ll_conv="GCN", vv_conv="GCN",
+                 activation="relu", hidden_channels=8, num_classes=4,
+                 num_layers=1, num_clusters=K, vv_pattern="triangular",
+                 index_shift=True)
+    variables = model.init(jax.random.PRNGKey(0), batch, train=False)
+    params = flax.core.unfreeze(variables)["params"]
+    pre = "w::convs.0.convs"
+    _set(params, ["GCNConv_0", "kernel"],
+         oracle[f"{pre}.local__to__local.lin.weight"], transpose=True)
+    _set(params, ["GCNConv_0", "bias"],
+         oracle[f"{pre}.local__to__local.bias"])
+    _set(params, ["GATConv_0", "kernel_src"],
+         oracle[f"{pre}.local__to__virtual.lin_src.weight"], transpose=True)
+    _set(params, ["GATConv_0", "kernel_dst"],
+         oracle[f"{pre}.local__to__virtual.lin_dst.weight"], transpose=True)
+    _set(params, ["GATConv_0", "att_src"],
+         oracle[f"{pre}.local__to__virtual.att_src"])
+    _set(params, ["GATConv_0", "att_dst"],
+         oracle[f"{pre}.local__to__virtual.att_dst"])
+    _set(params, ["GATConv_0", "bias"],
+         oracle[f"{pre}.local__to__virtual.bias"])
+    _set(params, ["DenseGCN_0", "kernel"],
+         oracle[f"{pre}.virtual__to__virtual.lin.weight"], transpose=True)
+    _set(params, ["DenseGCN_0", "bias"],
+         oracle[f"{pre}.virtual__to__virtual.bias"])
+    _set(params, ["Dense_0", "kernel"], oracle["w::lin_1.weight"],
+         transpose=True)
+    _set(params, ["Dense_0", "bias"], oracle["w::lin_1.bias"])
+    _set(params, ["Dense_1", "kernel"], oracle["w::lin_2.weight"],
+         transpose=True)
+    _set(params, ["Dense_1", "bias"], oracle["w::lin_2.bias"])
+    out, state = model.apply(
+        {"params": params}, batch, train=False,
+        capture_intermediates=True, mutable=["intermediates"])
+    va = np.asarray(v_active)
+    lv = _intermediate(state, "GATConv_0")
+    vv = _intermediate(state, "DenseGCN_0").reshape(lv.shape)
+    np.testing.assert_allclose((lv + vv)[va], oracle["virtual_0"],
+                               rtol=1e-4, atol=1e-5)
+    gm = np.asarray(batch.graph_mask)
+    np.testing.assert_allclose(np.asarray(out)[gm], oracle["out"],
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_hetero_loader_split_scramble(tmp_path):
     """Pin the effective-splits derivation (parity_run.py
     reference_effective_splits) against the EXECUTED reference: its
