@@ -54,7 +54,13 @@ def log(msg: str) -> None:
 def with_deadline(fn, seconds: int, label: str):
     """Run fn() with a SIGALRM watchdog: the remote-compile service this
     session depends on sometimes wedges, and the bench must always emit
-    its JSON line.  Returns fn() or None on timeout."""
+    its JSON line.  Returns fn() or None on timeout.
+
+    Nestable: an inner deadline re-arms the outer one's REMAINING time on
+    exit (signal.alarm is process-global), so code between/after inner
+    calls inside an outer with_deadline stays guarded — previously the
+    first inner call cancelled the outer alarm and a relay wedge in the
+    unguarded gap could hang the bench forever."""
     import signal
 
     class _Timeout(Exception):
@@ -64,7 +70,8 @@ def with_deadline(fn, seconds: int, label: str):
         raise _Timeout()
 
     old = signal.signal(signal.SIGALRM, _raise)
-    signal.alarm(seconds)
+    prev_remaining = signal.alarm(seconds)
+    t0 = time.monotonic()
     try:
         return fn()
     except _Timeout:
@@ -72,7 +79,11 @@ def with_deadline(fn, seconds: int, label: str):
             " — skipped")
         return None
     finally:
-        signal.alarm(0)
+        if prev_remaining:
+            elapsed = int(time.monotonic() - t0)
+            signal.alarm(max(1, prev_remaining - elapsed))
+        else:
+            signal.alarm(0)
         signal.signal(signal.SIGALRM, old)
 
 

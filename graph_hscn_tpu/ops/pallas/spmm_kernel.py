@@ -199,6 +199,28 @@ def spmm_plan_auto(senders, receivers, edge_mask, num_nodes,
     return None
 
 
+def _tile_partial(snd_rel, rcv_rel, w, x_win, window):
+    """The shared tile body of all three SpMM kernels: weighted one-hot
+    gather matmul + one-hot scatter matmul -> [WR, F] f32 partial.
+    Masked edge slots have rel == window, outside the iota range, so
+    their one-hot rows are all-zero.  The weighted one-hot is built in
+    f32 (Mosaic only supports minor-dim broadcast insertion for 32-bit
+    types) and cast to the MXU input dtype."""
+    te = snd_rel.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (te, window), 1)
+    g_onehot = (snd_rel[:, None] == iota).astype(jnp.float32)
+    g_onehot = (g_onehot * w[:, None]).astype(x_win.dtype)
+    msgs = jax.lax.dot_general(
+        g_onehot, x_win, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_PRECISION)                                 # [TE, F]
+    p_onehot = (rcv_rel[:, None] == iota).astype(x_win.dtype)
+    return jax.lax.dot_general(
+        p_onehot, msgs.astype(x_win.dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_PRECISION)                                 # [WR, F]
+
+
 def _spmm_kernel(ws_ref, wr_ref, snd_rel_ref, rcv_rel_ref, w_ref, x_ref,
                  out_ref, *, window):
     t = pl.program_id(0)
@@ -213,26 +235,8 @@ def _spmm_kernel(ws_ref, wr_ref, snd_rel_ref, rcv_rel_ref, w_ref, x_ref,
     wr = (wr_ref[t] // 32) * 32
     x_win = x_ref[pl.ds(ws, window), :]                       # [WS, F]
 
-    snd_rel = snd_rel_ref[0, 0]                               # [TE]
-    rcv_rel = rcv_rel_ref[0, 0]
-    w = w_ref[0, 0]                                           # [TE]
-    te = snd_rel.shape[0]
-
-    iota = jax.lax.broadcasted_iota(jnp.int32, (te, window), 1)
-    # Weighted one-hot built in f32 (Mosaic only supports minor-dim
-    # broadcast insertion for 32-bit types), cast to the MXU input dtype.
-    g_onehot = (snd_rel[:, None] == iota).astype(jnp.float32)
-    g_onehot = (g_onehot * w[:, None]).astype(x_ref.dtype)
-    msgs = jax.lax.dot_general(
-        g_onehot, x_win, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=_PRECISION)                                 # [TE, F]
-
-    p_onehot = (rcv_rel[:, None] == iota).astype(x_ref.dtype)
-    partial = jax.lax.dot_general(
-        p_onehot, msgs.astype(x_ref.dtype), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=_PRECISION)                                 # [WR, F]
+    partial = _tile_partial(snd_rel_ref[0, 0], rcv_rel_ref[0, 0],
+                            w_ref[0, 0], x_win, window)
 
     cur = out_ref[pl.ds(wr, window), :]
     out_ref[pl.ds(wr, window), :] = cur + partial
@@ -301,23 +305,8 @@ def _spmm_hbm_kernel(ws_ref, wr_ref, snd_rel_ref, rcv_rel_ref, w_ref,
         dma(nxt, t + 1).start()
 
     dma(cur, t).wait()
-    x_win = scratch[cur]                                      # [WS, F]
-
-    snd_rel = snd_rel_ref[0, 0]
-    rcv_rel = rcv_rel_ref[0, 0]
-    w = w_ref[0, 0]
-    te = snd_rel.shape[0]
-
-    iota = jax.lax.broadcasted_iota(jnp.int32, (te, window), 1)
-    g_onehot = (snd_rel[:, None] == iota).astype(jnp.float32)
-    g_onehot = (g_onehot * w[:, None]).astype(x_win.dtype)
-    msgs = jax.lax.dot_general(
-        g_onehot, x_win, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_PRECISION)
-    p_onehot = (rcv_rel[:, None] == iota).astype(x_win.dtype)
-    partial = jax.lax.dot_general(
-        p_onehot, msgs.astype(x_win.dtype), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_PRECISION)
+    partial = _tile_partial(snd_rel_ref[0, 0], rcv_rel_ref[0, 0],
+                            w_ref[0, 0], scratch[cur], window)
     wr = (wr_ref[t] // 32) * 32   # 32-aligned in the plan
     acc = out_ref[pl.ds(wr, window), :]
     out_ref[pl.ds(wr, window), :] = acc + partial
@@ -411,23 +400,8 @@ def _spmm_hbm_out_kernel(ws_ref, wr_ref, snd_rel_ref, rcv_rel_ref, w_ref,
     in_cp.start()
 
     x_dma(cur, t).wait()
-    x_win = x_scratch[cur]
-
-    snd_rel = snd_rel_ref[0, 0]
-    rcv_rel = rcv_rel_ref[0, 0]
-    w = w_ref[0, 0]
-    te = snd_rel.shape[0]
-
-    iota = jax.lax.broadcasted_iota(jnp.int32, (te, window), 1)
-    g_onehot = (snd_rel[:, None] == iota).astype(jnp.float32)
-    g_onehot = (g_onehot * w[:, None]).astype(x_win.dtype)
-    msgs = jax.lax.dot_general(
-        g_onehot, x_win, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_PRECISION)
-    p_onehot = (rcv_rel[:, None] == iota).astype(x_win.dtype)
-    partial = jax.lax.dot_general(
-        p_onehot, msgs.astype(x_win.dtype), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_PRECISION)
+    partial = _tile_partial(snd_rel_ref[0, 0], rcv_rel_ref[0, 0],
+                            w_ref[0, 0], x_scratch[cur], window)
 
     in_cp.wait()
     acc[:] = acc[:] + partial

@@ -111,8 +111,11 @@ def gather_scatter(
         # Beyond ~2x the VMEM budget the out buffer no longer fits in
         # VMEM either: stream BOTH x and out (windowed RMW through a
         # VMEM accumulator).  Only the per-window scratch must fit —
-        # 3 * window * F_pad — which caps F, not N.
-        scratch = 3 * plan.window * max(x.shape[1], 128) * x.dtype.itemsize
+        # which caps F, not N.  Model the actual allocation: a
+        # double-buffered x window in x.dtype plus an f32 accumulator
+        # (spmm_kernel._spmm_hbm_out_call scratch_shapes).
+        f_pad = max(x.shape[1], 128)
+        scratch = plan.window * f_pad * (2 * x.dtype.itemsize + 4)
         if scratch <= VMEM_X_BUDGET:
             return spmm_pallas_hbm(x, plan, edge_weight=edge_weight,
                                    num_nodes=num_nodes,

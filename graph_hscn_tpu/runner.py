@@ -374,6 +374,19 @@ def run_eval(cfg: ExperimentConfig, which: str = "best", log_file=None,
             compat_triangular=cfg.compat.vv_triangular_pattern,
             compat_index_shift=cfg.compat.cluster_index_shift,
             readout="none" if node_level else "mean", dtype=compute_dtype)
+    elif _use_fused_stack(cfg, dm, node_level):
+        # Mirror run_experiment's model choice: a checkpoint written by
+        # the fused-stack trainer carries FusedDenseGCN's param tree
+        # (kernel_i/bias_i), which build_mpnn cannot restore.
+        from graph_hscn_tpu.models.fused_gcn import FusedDenseGCN
+        model = FusedDenseGCN(
+            hidden_channels=cfg.mpnn.hidden_channels,
+            num_classes=dm.num_classes,
+            num_layers=cfg.mpnn.num_layers,
+            dropout=cfg.mpnn.dropout,
+            readout="none" if node_level else "mean",
+            interpret=jax.default_backend() != "tpu",
+            dtype=compute_dtype)
     else:
         model = build_mpnn(cfg.mpnn, dm.num_features, dm.num_classes,
                            compat=cfg.compat.double_relu,

@@ -50,10 +50,21 @@ def train_clustering(logger, dm: DataModule, scn: SCN, hscn_cfg, optim_cfg,
         s, _, _ = scn.apply({"params": params}, batch, train=False)
         return jnp.argmax(s, axis=-1)
 
+    from graph_hscn_tpu.data.batching import iter_batches
     for epoch in range(hscn_cfg.cluster_epochs):
         t0 = time.time()
         losses = []
-        for batch in dm.train_batches(epoch_seed=seed + epoch):
+        # The reference trains clustering on the FULL dataset — main.py:107
+        # passes `dataset` (train+val+test) and train_clustering.py:36
+        # iterates it all; the MinCUT objective is unsupervised, so this
+        # is its transductive design, not leakage.  The device-resident
+        # path (train_clustering_device) already matches; this host path
+        # must too, or the two paths (and the reference) silently fit
+        # clustering on different graph subsets.
+        for batch in iter_batches(dm.graphs, dm.batch_size, dm.budget,
+                                  shuffle=True,
+                                  rng=np.random.default_rng(seed + epoch),
+                                  slot_nodes=dm.slot_nodes):
             params, opt_state, loss = step(params, opt_state, batch)
             losses.append(loss)
         mean_loss = float(np.mean([np.asarray(l) for l in losses]))

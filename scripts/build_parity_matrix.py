@@ -42,7 +42,7 @@ ENTRIES = [
      "8x8 seeds at 256 graphs; MAE is low-variance, the one entry whose "
      "CI resolves the gate cleanly"),
     ("peptides_func/hscn", "test AP",
-     ["PARITY_HSCN_R5.json", "PARITY_HSCN_R5_EXT.json"],
+     ["PARITY_HSCN_R5.json", "PARITY_HSCN_R5_EXT.json?"],
      "turnkey `make parity MODEL=hscn`: framework trained/evaluated on "
      "the reference's EFFECTIVE (scrambled) splits derived automatically "
      "from the npz split indices (quirk #16); true-splits run recorded "
@@ -57,10 +57,18 @@ ENTRIES = [
 
 
 def load_runs(files):
+    """A trailing '?' marks an artifact as optional (e.g. an extension
+    study merged with its base when present)."""
     ref, fw, provenance = [], [], None
     for f in files:
+        optional = f.endswith("?")
+        f = f.rstrip("?")
         p = REPO / "artifacts" / f
         if not p.exists():
+            if optional:
+                print(f"[matrix] optional artifact {f} absent — base "
+                      "study only", file=sys.stderr)
+                continue
             return None, None, None, f
         d = json.loads(p.read_text())
         ref += [r["test_metric"] for r in d.get("reference_seed_runs", [])]

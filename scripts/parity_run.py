@@ -144,7 +144,11 @@ def reference_effective_splits(split: dict) -> dict:
     order = np.concatenate(
         [split["train"], split["val"], split["test"]]).astype(np.int64)
     n = len(order)
-    if np.bincount(order, minlength=n).max() != 1 or order.min() != 0:
+    # Exact-partition check: every id 0..n-1 appears exactly once (an
+    # out-of-range or duplicated id would otherwise slip past a
+    # max-count check by pigeonhole and fail later as a raw IndexError).
+    if order.min() < 0 or order.max() >= n or \
+            not np.array_equal(np.sort(order), np.arange(n)):
         raise ValueError("splits must partition the dataset for the "
                          "reference's position/id confusion to be "
                          "well-defined")

@@ -206,3 +206,34 @@ def test_async_write_roundtrip(tmp_path):
     ck_bad.save_latest(state, epoch=0)
     with pytest.raises(BaseException):
         ck_bad.wait()
+
+
+def test_eval_only_mode_fused_stack(tmp_path):
+    """A checkpoint written by the fused-stack trainer (FusedDenseGCN
+    param tree) must restore through run_eval's fused branch — round-5
+    review finding: run_eval previously always rebuilt via build_mpnn and
+    failed on fused checkpoints."""
+    from graph_hscn_tpu.config.config import (ExperimentConfig,
+                                              RuntimeConfig)
+    from graph_hscn_tpu.runner import run_eval, run_experiment
+
+    cfg = ExperimentConfig(
+        data=DataConfig(dataset_name="peptides_func", batch_size=8,
+                        num_graphs=32),
+        mpnn=MPNNConfig(conv_type="gcn", activation="relu",
+                        hidden_channels=16, num_layers=2, dropout=0.0),
+        optim=OptimConfig(optim_type="adamW", lr=0.01, weight_decay=5e-4),
+        training=TrainingConfig(model_type="gcn", loss_fn="cross_entropy",
+                                metric="ap", epochs=4, eval_period=2,
+                                patience=50, min_delta=0.0,
+                                use_wandb=False,
+                                checkpoint_dir=str(tmp_path / "ckpt")),
+        runtime=RuntimeConfig(fused_stack="on"),
+    )
+    result = run_experiment(cfg)
+    best_val = min(h["validation_loss"] for h in result.history
+                   if "validation_loss" in h)
+    scores = run_eval(cfg, which="best")
+    assert np.isfinite(scores["test"]["ap"])
+    np.testing.assert_allclose(scores["val"]["loss"], best_val,
+                               rtol=1e-5, atol=1e-6)
