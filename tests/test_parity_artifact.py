@@ -41,3 +41,71 @@ def test_parity_parses_eval_lines():
             "Test -- Loss: 0.57, AP: 0.38\n")
     val, metric = parity_run.best_val_test_metric(text)
     assert val == 0.50 and metric == 0.41
+
+
+def test_seed_study_direction_semantics():
+    """The 0.005 gate is symmetric parity, but the build goal is
+    match-or-beat: a framework mean on the better side of the metric must
+    be classified framework_better / meets_or_beats, never a bare fail."""
+    sys.path.insert(0, str(REPO / "scripts"))
+    import parity_run
+
+    # AP (higher better): framework clearly above -> better, not parity.
+    s = parity_run.seed_study_stats(
+        [0.40, 0.41, 0.42, 0.40], [0.44, 0.45, 0.43, 0.44], 0.005,
+        higher_is_better=True)
+    assert s["verdict"] == "framework_better"
+    assert s["meets_or_beats"] is True
+    assert s["pass"] is False            # strict parity gate still honest
+    assert s["framework_advantage"] > 0
+
+    # AP: framework clearly below -> worse.
+    s = parity_run.seed_study_stats(
+        [0.44, 0.45, 0.43, 0.44], [0.40, 0.41, 0.42, 0.40], 0.005,
+        higher_is_better=True)
+    assert s["verdict"] == "framework_worse"
+    assert s["meets_or_beats"] is False
+
+    # MAE (lower better): framework below reference -> better.
+    s = parity_run.seed_study_stats(
+        [0.94, 0.95, 0.94, 0.95], [0.90, 0.91, 0.90, 0.91], 0.005,
+        higher_is_better=False)
+    assert s["verdict"] == "framework_better"
+    assert s["meets_or_beats"] is True
+    assert s["framework_advantage"] > 0
+
+    # Within the gate either way -> parity.
+    s = parity_run.seed_study_stats(
+        [0.420, 0.421], [0.423, 0.421], 0.005, higher_is_better=True)
+    assert s["verdict"] == "parity"
+    assert s["pass"] is True and s["meets_or_beats"] is True
+
+    # Without a direction the legacy fields are absent (artifact shape
+    # unchanged for callers that do not pass one).
+    s = parity_run.seed_study_stats([0.4, 0.41], [0.4, 0.41], 0.005)
+    assert "verdict" not in s and "meets_or_beats" not in s
+
+
+def test_reuse_ref_artifact_data_key_guard(tmp_path):
+    """--reuse-ref-artifact refuses a prior study whose data provenance
+    (dataset/n/seed) differs from this run's."""
+    sys.path.insert(0, str(REPO / "scripts"))
+    prior = {
+        "reference_seed_runs": [
+            {"seed": 0, "best_val_loss": 0.3, "test_metric": 0.5}],
+        "provenance": {
+            "data": "synthetic:/tmp/x/data/peptides_func.npz:n=128:seed=0"},
+    }
+    art = tmp_path / "prior.json"
+    art.write_text(json.dumps(prior))
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "scripts" / "parity_run.py"),
+         "--model", "hscn", "--num-graphs", "256",
+         "--reuse-ref-artifact", str(art),
+         "--fw-seeds", "0", "--fw-epochs", "1",
+         "--out", str(tmp_path / "out.json")],
+        capture_output=True, text=True, timeout=600,
+        env={"PATH": "/usr/bin:/bin:/usr/local/bin",
+             "JAX_PLATFORMS": "cpu", "HOME": "/root"})
+    assert proc.returncode != 0
+    assert "data mismatch" in (proc.stderr + proc.stdout)
