@@ -2,6 +2,7 @@
 # Makefile:26-32; here tests and the native build are first-class).
 
 .PHONY: test native bench lint clean parity parity-quick parity-real \
+	parity-hscn-compat parity-matrix \
 	parity-dry
 
 test:
@@ -26,10 +27,26 @@ bench:
 # MODEL=gat/hscn select other parity pairs.
 DATASET ?= peptides_func
 MODEL ?= gcn
+PARITY_ARGS ?=
 parity:
 	python scripts/parity_run.py --mode shim --dataset $(DATASET) \
 	  --model $(MODEL) --ref-seeds 0,1,2,3,4,5,6,7 \
-	  --fw-seeds 0,1,2,3,4,5,6,7 --out PARITY_RESULT.json
+	  --fw-seeds 0,1,2,3,4,5,6,7 $(PARITY_ARGS) --out PARITY_RESULT.json
+
+# Quirk-faithful HSCN pair (compat.cluster_index_shift on, the
+# PARITY_MATRIX peptides_func/hscn entry); the plain `make parity
+# MODEL=hscn` run keeps the shipped quirk-8-FIXED config and lands
+# above the reference (peptides_func/hscn+quirk8_fixed entry).
+parity-hscn-compat:
+	python scripts/parity_run.py --mode shim --model hscn \
+	  --num-graphs 256 \
+	  --framework-cfg configs/HSCN/peptides_func_HSCN_parity.yaml \
+	  --ref-seeds 0,1,2,3,4,5,6,7 --fw-seeds 0,1,2,3,4,5,6,7 \
+	  $(PARITY_ARGS) --out PARITY_RESULT.json
+
+# Re-assemble PARITY_MATRIX.json from the committed study artifacts.
+parity-matrix:
+	python scripts/build_parity_matrix.py
 
 # Single-seed quick variant (one reference + one framework run).
 parity-quick:

@@ -33,7 +33,7 @@ ENTRIES = [
      ["PARITY_GCN_R5.json"],
      "24x24 seeds at 512 graphs"),
     ("peptides_func/gat", "test AP", True,
-     ["PARITY_GAT_R4.json"],
+     ["PARITY_GAT_R4.json", "PARITY_GAT_R5_EXT.json?"],
      "8x8 seeds at 512 graphs; SCOPE: heads=1 both sides — the only GAT "
      "the reference can express (PyG default); the multi-head kernels "
      "rest on unit tests (tests/test_multihead_kernel.py, "
@@ -43,7 +43,7 @@ ENTRIES = [
      "8x8 seeds at 256 graphs; MAE is low-variance, the one entry whose "
      "CI resolves the gate cleanly"),
     ("peptides_func/hscn", "test AP", True,
-     ["PARITY_HSCN_COMPAT_R5.json"],
+     ["PARITY_HSCN_COMPAT_R5.json", "PARITY_HSCN_COMPAT_R5_EXT.json?"],
      "turnkey quirk-faithful pair: framework runs with "
      "compat.cluster_index_shift (quirk #8 reproduced exactly, "
      "configs/HSCN/peptides_func_HSCN_parity.yaml) on the reference's "
@@ -139,6 +139,43 @@ def main():
         if prov and prov.get("amendments"):
             entry["amendments"] = prov["amendments"]
         matrix["entries"][key] = entry
+
+    # Pooled AP bias: no single family's study can resolve the 0.005
+    # gate at affordable n (per-seed std ~0.02-0.04 vs ~1 min/run), but
+    # the SYSTEMATIC framework-vs-reference difference pooled across the
+    # independent AP studies (inverse-variance fixed-effect) has a much
+    # tighter CI — this is the strongest statement the rig's statistical
+    # power supports, labeled for what it is.  The quirk-8-FIXED HSCN
+    # entry is excluded (its delta measures the value of fixing a
+    # reference bug, not implementation bias); MAE is excluded (different
+    # metric scale).
+    pool = [(k, e) for k, e in matrix["entries"].items()
+            if e["metric"] == "test AP" and "quirk8_fixed" not in k
+            and e.get("se_delta")]
+    if len(pool) >= 2:
+        ws = [1.0 / e["se_delta"] ** 2 for _, e in pool]
+        dm = sum(w * e["delta_of_means_signed"]
+                 for w, (_, e) in zip(ws, pool)) / sum(ws)
+        se = (1.0 / sum(ws)) ** 0.5
+        matrix["pooled_ap_bias"] = {
+            "studies": [k for k, _ in pool],
+            "method": "inverse-variance fixed-effect pool of the "
+                      "per-family delta_of_means_signed (framework - "
+                      "reference, test AP)",
+            "delta": dm,
+            "se": se,
+            "ci95": [dm - 1.96 * se, dm + 1.96 * se],
+            "ci95_halfwidth": 1.96 * se,
+            "resolves_gate": bool(1.96 * se <= GATE),
+            "interpretation": (
+                f"pooled across {len(pool)} independent AP studies, the "
+                f"systematic framework-minus-reference difference is "
+                f"{dm:+.4f} +/- {1.96 * se:.4f} (95% CI)"
+                + ("; the pooled CI half-width is within the 0.005 gate"
+                   if 1.96 * se <= GATE else
+                   f"; the pooled CI excludes any systematic framework "
+                   f"deficit larger than {max(0.0, -(dm - 1.96 * se)):.4f}")),
+        }
     Path(args.out).write_text(json.dumps(matrix, indent=2))
     print(f"wrote {args.out} with {len(matrix['entries'])} entries")
 
