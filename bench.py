@@ -350,7 +350,7 @@ def bench_model_step(steps: int = 3):
     graphs = dm.split("train")
     ds = DeviceDataset.build(graphs)
     perm = epoch_permutation(len(graphs), 32, 0)
-    tr_fn, _ = make_epoch_fn(model, tx, "cross_entropy")
+    tr_fn, ev_fn = make_epoch_fn(model, tx, "cross_entropy")
     example = jax.jit(assemble)(ds, jnp.asarray(perm[0]))
     state = init_state(model, tx, example, seed=0)
     state, outs = tr_fn(state, ds, jnp.asarray(perm))
@@ -392,6 +392,44 @@ def bench_model_step(steps: int = 3):
     log(f"model train step (GCN-5 h128, device-resident): "
         f"{dt / nb * 1e3:.2f} ms/step, epoch {dt * 1e3:.1f} ms, "
         f"{e_total / dt / 1e6:.1f} M edges/s")
+
+    # Serving diagnostic: forward-only scoring pass over the same
+    # device-resident dataset (the `--eval` / `--predict` path a serving
+    # deployment runs), same marginal-epoch methodology.
+    from graph_hscn_tpu.train.loop import TrainState
+
+    @jax.jit
+    def run_eval_epochs(state, ds, perm_d, k):
+        def body(_, acc):
+            # Thread the carry into the params so XLA cannot hoist the
+            # (otherwise loop-invariant) eval epoch out of the loop —
+            # `p + 0.0 * acc` is not foldable under float semantics.
+            params = jax.tree_util.tree_map(lambda p: p + 0.0 * acc,
+                                            state.params)
+            st = TrainState(params=params, opt_state=state.opt_state,
+                            step=state.step, rng=state.rng)
+            outs = ev_fn(st, ds, perm_d)
+            return acc + jnp.sum(outs[0])
+        return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+    def timed_eval(k):
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            float(run_eval_epochs(state, ds, perm_d, jnp.int32(k)))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    float(run_eval_epochs(state, ds, perm_d, jnp.int32(1)))  # compile
+    te_small = timed_eval(1)
+    te_large = timed_eval(1 + 4 * steps)
+    dte = max(te_large - te_small, 1e-9) / (4 * steps)
+    n_total = sum(g.num_nodes for g in graphs)
+    log(f"serving fwd-only (GCN-5 h128, device-resident): "
+        f"{dte / nb * 1e3:.2f} ms/batch, dataset pass {dte * 1e3:.1f} ms, "
+        f"{e_total / dte / 1e6:.1f} M edges/s, "
+        f"{len(graphs) / dte:.0f} graphs/s, {n_total / dte / 1e6:.2f} M "
+        f"nodes/s ({dt / dte:.2f}x faster than the train step)")
 
 
 def kernel_comparison_phase():
