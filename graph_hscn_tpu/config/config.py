@@ -119,6 +119,13 @@ class HSCNConfig:
     # hidden_channels // H each (PyG GATConv(concat=True) semantics); the
     # reference hardcodes heads=1 (hscn.py:117-125).
     num_heads: int = 1
+    # Opt-in virtual->local feedback relation.  The reference's HSCN has
+    # no v->l edge type and pools only local nodes, so its virtual
+    # pathway is output-inert (quirk #17, proven by execution —
+    # tests/test_ref_shim.py::test_reference_virtual_pathway_inert);
+    # this flag adds the missing hierarchical channel.  Default off for
+    # reference parity.
+    virtual_feedback: bool = False
 
     def __post_init__(self):
         _check(self.num_layers >= 1, "num_layers must be >= 1")

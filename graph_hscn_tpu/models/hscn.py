@@ -185,6 +185,14 @@ class HSCN(nn.Module):
     num_heads: int = 1               # GAT relation slots; hidden % heads == 0
     vv_pattern: str = "triangular"   # reference parity (quirk #9)
     index_shift: bool = False        # quirk #8 off by default
+    # Opt-in virtual->local feedback (quirk #17): the reference's relation
+    # set has no v->l edge type and its head pools only local nodes, so
+    # the virtual pathway cannot reach the output (proven by execution,
+    # tests/test_ref_shim.py::test_reference_virtual_pathway_inert).
+    # With feedback on, each local node also receives a projection of its
+    # cluster's virtual state (HeteroConv aggr="sum" semantics) — the
+    # hierarchical long-range channel the architecture describes.
+    virtual_feedback: bool = False
     readout: str = "mean"
     dtype: Any = None                # bf16 compute (params/logits stay f32)
 
@@ -207,7 +215,7 @@ class HSCN(nn.Module):
             batch, K, index_shift=self.index_shift)
         adj_vv = _vv_adjacency(v_active, G, K, self.vv_pattern, x_l.dtype)
 
-        for _ in range(self.num_layers):
+        for _l in range(self.num_layers):
             # local <- local (reference hscn.py:121, add_self_loops=False;
             # conv type per config — GCN default, GAT supported).
             if self.ll_conv.upper() == "GAT":
@@ -242,6 +250,15 @@ class HSCN(nn.Module):
             vv_out = vv(x_v.reshape(G, K, -1), adj_vv).reshape(G * K, -1)
 
             # HeteroConv aggr="sum" + per-type ReLU (hscn.py:97,110).
+            if self.virtual_feedback:
+                # virtual -> local: each node gathers its cluster's
+                # virtual state through a linear map (bipartite conv with
+                # in-degree 1 per local node; no normalization needed).
+                # Replicated virtual nodes make this communication-free
+                # on edge-partitioned meshes.
+                vl = nn.Dense(self.hidden_channels, kernel_init=glorot,
+                              dtype=self.dtype, name=f"VLDense_{_l}")
+                x_l_new = x_l_new + vl(x_v)[vid]
             x_l = nn.relu(x_l_new)
             x_v = nn.relu(lv_out + vv_out)
             x_v = jnp.where(v_active[:, None], x_v, 0.0)
@@ -272,6 +289,7 @@ def build_hscn(model_cfg, num_classes: int, compat_triangular: bool = True,
         num_heads=getattr(model_cfg, "num_heads", 1),
         vv_pattern="triangular" if compat_triangular else "clique",
         index_shift=compat_index_shift,
+        virtual_feedback=getattr(model_cfg, "virtual_feedback", False),
         readout=readout,
         dtype=dtype,
     )

@@ -43,12 +43,15 @@ _PLAN_KEYS = ("send_idx", "snd_loc", "rcv_loc", "mask_loc",
 
 def init_sharded_hscn_params(rng, num_features: int, hidden: int,
                              num_classes: int, num_layers: int,
-                             heads: int = 1) -> dict:
+                             heads: int = 1,
+                             virtual_feedback: bool = False) -> dict:
     """Parameter pytree mirroring the flax HSCN's per-layer modules.
 
     ``heads``: multi-head lv attention (models/hscn.py ``num_heads``
     semantics) — H heads of hidden // H channels each, concatenated;
-    att_src/att_dst are [H, C] like flax GATConv's (1, H, C) squeezed."""
+    att_src/att_dst are [H, C] like flax GATConv's (1, H, C) squeezed.
+    ``virtual_feedback`` adds the per-layer v->l projection (quirk #17
+    extension, models/hscn.py ``virtual_feedback``)."""
     assert hidden % heads == 0, "hidden must be divisible by heads"
     C = hidden // heads
 
@@ -64,8 +67,8 @@ def init_sharded_hscn_params(rng, num_features: int, hidden: int,
     layers = []
     f_in = num_features
     for _ in range(num_layers):
-        rng, k1, k2, k3, k4, k5, k6 = jax.random.split(rng, 7)
-        layers.append({
+        rng, k1, k2, k3, k4, k5, k6, k7 = jax.random.split(rng, 8)
+        layer = {
             "ll": {"kernel": glorot(k1, (f_in, hidden)),
                    "bias": jnp.zeros((hidden,))},
             "lv": {"kernel_src": glorot(k2, (f_in, hidden)),
@@ -75,7 +78,11 @@ def init_sharded_hscn_params(rng, num_features: int, hidden: int,
                    "bias": jnp.zeros((hidden,))},
             "vv": {"kernel": glorot(k6, (f_in, hidden)),
                    "bias": jnp.zeros((hidden,))},
-        })
+        }
+        if virtual_feedback:
+            layer["vl"] = {"kernel": glorot(k7, (f_in, hidden)),
+                           "bias": jnp.zeros((hidden,))}
+        layers.append(layer)
         f_in = hidden
     rng, k1, k2 = jax.random.split(rng, 3)
     head = {
@@ -222,6 +229,15 @@ def make_sharded_hscn(mesh: Mesh, num_clusters: int,
             # virtual <- virtual: replicated dense K x K DenseGCN.
             vv_out = a_vv @ (x_v @ _p(layer["vv"]["kernel"])) \
                 + _p(layer["vv"]["bias"])
+
+            if "vl" in layer:
+                # virtual -> local feedback (quirk #17 extension):
+                # virtual nodes are replicated, so each device projects
+                # the K virtual states and gathers by its own cluster
+                # ids — zero additional communication.
+                vl_out = (x_v @ _p(layer["vl"]["kernel"])
+                          + _p(layer["vl"]["bias"]))[clust]
+                x_l_new = x_l_new + vl_out
 
             # HeteroConv aggr="sum" + per-type ReLU (hscn.py:97,110).
             x_l = jax.nn.relu(x_l_new)

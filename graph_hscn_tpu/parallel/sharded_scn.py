@@ -386,7 +386,8 @@ def fit_hscn_edge_partitioned(dm, mesh: Mesh, hscn_cfg, optim_cfg,
     params = init_sharded_hscn_params(
         jax.random.PRNGKey(training_cfg.seed), dm.num_features,
         hscn_cfg.hidden_channels, dm.num_classes, hscn_cfg.num_layers,
-        heads=heads)
+        heads=heads,
+        virtual_feedback=getattr(hscn_cfg, "virtual_feedback", False))
     forward, value_and_grad = make_sharded_hscn(
         mesh, K, vv_pattern=vv_pattern, axis=axis, heads=heads,
         use_spmm_plan=use_spmm_plan, dtype=dtype)

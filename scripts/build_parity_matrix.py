@@ -39,26 +39,24 @@ ENTRIES = [
      "rest on unit tests (tests/test_multihead_kernel.py, "
      "test_sharded_gat.py), not an executed-reference comparison"),
     ("peptides_struct/gcn", "test MAE", False,
-     ["PARITY_STRUCT_R5.json"],
-     "8x8 seeds at 256 graphs; MAE is low-variance, the one entry whose "
-     "CI resolves the gate cleanly"),
+     ["PARITY_STRUCT_R5.json", "PARITY_STRUCT_R5_EXT.json?"],
+     "seed study at 256 graphs; MAE is low-variance for most seeds but "
+     "the framework's seed draw has occasional high-MAE outliers (early "
+     "stop landing on a poor plateau), so the study is extended rather "
+     "than trimmed — outliers are part of the seed distribution on both "
+     "sides"),
     ("peptides_func/hscn", "test AP", True,
-     ["PARITY_HSCN_COMPAT_R5.json", "PARITY_HSCN_COMPAT_R5_EXT.json?"],
-     "turnkey quirk-faithful pair: framework runs with "
-     "compat.cluster_index_shift (quirk #8 reproduced exactly, "
-     "configs/HSCN/peptides_func_HSCN_parity.yaml) on the reference's "
-     "EFFECTIVE (scrambled) splits derived automatically from the npz "
-     "split indices (quirk #16); reference seed runs shared with the "
-     "quirk-fixed study below (same program, same data)"),
-    ("peptides_func/hscn+quirk8_fixed", "test AP", True,
      ["PARITY_HSCN_R5.json", "PARITY_HSCN_R5_EXT.json?"],
-     "the DEFAULT framework config (quirk #8 cluster rotation FIXED) vs "
-     "the as-committed reference on the same effective splits — not a "
-     "parity claim but the shipped behavior: fixing the reference's "
-     "virtual-feature rotation moves the framework's mean AP above the "
-     "reference's; true-splits run recorded in the artifact"),
+     "turnkey `make parity MODEL=hscn`: framework trained/evaluated on "
+     "the reference's EFFECTIVE (scrambled) splits derived automatically "
+     "from the npz split indices (quirk #16); true-splits run recorded "
+     "in the artifact.  Quirk #8 (virtual-feature rotation) needs no "
+     "compat treatment here: the reference's virtual pathway is "
+     "OUTPUT-INERT (quirk #17, proven by execution), and the committed "
+     "compat-faithful study PARITY_HSCN_COMPAT_R5.json reproduces these "
+     "per-seed APs bit-identically"),
     ("peptides_func/gcn+signnet_pe", "test AP", True,
-     ["PARITY_GCN_PE_R5B.json"],
+     ["PARITY_GCN_PE_R5B.json", "PARITY_GCN_PE_R5B_EXT.json?"],
      "8x8 seeds at 512 graphs with the SignNet PE subsystem ON on both "
      "sides (reference PE path executed under the documented ACT_DICT "
      "amendment, quirk #5; frozen-random encoder per quirk #6 with the "
@@ -145,13 +143,10 @@ def main():
     # the SYSTEMATIC framework-vs-reference difference pooled across the
     # independent AP studies (inverse-variance fixed-effect) has a much
     # tighter CI — this is the strongest statement the rig's statistical
-    # power supports, labeled for what it is.  The quirk-8-FIXED HSCN
-    # entry is excluded (its delta measures the value of fixing a
-    # reference bug, not implementation bias); MAE is excluded (different
-    # metric scale).
+    # power supports, labeled for what it is.  MAE is excluded
+    # (different metric scale).
     pool = [(k, e) for k, e in matrix["entries"].items()
-            if e["metric"] == "test AP" and "quirk8_fixed" not in k
-            and e.get("se_delta")]
+            if e["metric"] == "test AP" and e.get("se_delta")]
     if len(pool) >= 2:
         ws = [1.0 / e["se_delta"] ** 2 for _, e in pool]
         dm = sum(w * e["delta_of_means_signed"]

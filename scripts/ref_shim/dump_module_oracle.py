@@ -155,6 +155,17 @@ def run_hscn(args, z, out):
         out[f"local_{i}"] = d["local"]
         out[f"virtual_{i}"] = d["virtual"]
     out["out"] = pred.detach().numpy()
+    # Quirk #17 probe (SURVEY.md): the reference's relation set
+    # (hscn.py:83-94) has NO virtual->local edge type and the head pools
+    # only x_dict["local"] (hscn.py:111), so the virtual-node pathway
+    # cannot reach the output.  Prove it by execution: scramble the
+    # virtual features and rerun the SAME model — the prediction must be
+    # bit-identical.
+    torch.manual_seed(args.seed + 1234)
+    hbatch["virtual"].x = torch.randn_like(hbatch["virtual"].x) * 10.0
+    with torch.no_grad():
+        pred2 = model(hbatch.x_dict, hbatch.edge_index_dict, hbatch)
+    out["out_virtual_scrambled"] = pred2.detach().numpy()
     dump_state(model, out)
 
 

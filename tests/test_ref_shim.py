@@ -739,3 +739,47 @@ def test_reference_hscn_pipeline_executes_under_shim(tmp_path):
     finally:
         sys.path.remove(str(REPO / "scripts"))
     assert metric is not None and 0.0 <= metric <= 1.0
+
+
+def test_reference_virtual_pathway_inert(tmp_path):
+    """Quirk #17, proven by EXECUTION: the reference HSCN's relation set
+    (hscn.py:83-94) has no virtual->local edge type and its head pools
+    only x_dict["local"] (hscn.py:111), so information flows l->v and
+    v->v but never returns — the entire virtual-node pathway (SCN
+    clustering, hetero rewrite, lv/vv convs) cannot influence the
+    prediction.  The oracle dump runs the same built model twice, the
+    second time with the virtual features scrambled (x10 random), and
+    the outputs must be bit-identical.
+
+    This is also why quirk #8 (the virtual-feature rotation) is
+    output-inert in the shipped architecture.
+    """
+    graphs = _parity_graphs(num=2, clusters=3)
+    oracle = _dump_oracle(tmp_path, graphs, "hscn", hidden=8, layers=2,
+                          classes=4, clusters=3)
+    np.testing.assert_array_equal(oracle["out"],
+                                  oracle["out_virtual_scrambled"])
+
+
+def test_framework_hscn_mirrors_virtual_inertness():
+    """The framework's HSCN mirrors the reference architecture
+    faithfully (same three relations, local-only readout), so rotating
+    the virtual features (quirk #8 compat flag) must not change the
+    output either — the compat flag exists for module-level
+    faithfulness (virtual activations match the executed reference),
+    not because it can move the metric.  hscn.virtual_feedback (the
+    v->l relation the architecture omits) is the opt-in extension that
+    makes the virtual pathway live."""
+    from graph_hscn_tpu.models.hscn import HSCN
+    rng = np.random.default_rng(3)
+    graphs = _parity_graphs(num=3, clusters=3, seed=3)
+    batch = _pack(graphs)
+    kw = dict(lv_conv="GAT", ll_conv="GCN", vv_conv="GCN",
+              activation="relu", hidden_channels=8, num_classes=4,
+              num_layers=2, num_clusters=3, vv_pattern="triangular")
+    m0 = HSCN(**kw, index_shift=False)
+    m1 = HSCN(**kw, index_shift=True)
+    params = m0.init(jax.random.PRNGKey(0), batch, train=False)["params"]
+    o0 = m0.apply({"params": params}, batch, train=False)
+    o1 = m1.apply({"params": params}, batch, train=False)
+    np.testing.assert_array_equal(np.asarray(o0), np.asarray(o1))

@@ -53,6 +53,9 @@ def _map_params(sharded_params, num_layers):
             "bias": layer["lv"]["bias"]}
         p[f"DenseGCN_{i}"] = {"kernel": layer["vv"]["kernel"],
                               "bias": layer["vv"]["bias"]}
+        if "vl" in layer:
+            p[f"VLDense_{i}"] = {"kernel": layer["vl"]["kernel"],
+                                 "bias": layer["vl"]["bias"]}
     p["Dense_0"] = {"kernel": sharded_params["head"]["h1"]["kernel"],
                     "bias": sharded_params["head"]["h1"]["bias"]}
     p["Dense_1"] = {"kernel": sharded_params["head"]["h2"]["kernel"],
@@ -116,3 +119,44 @@ def test_sharded_hscn_grads_finite_and_partition_invariant():
             assert np.isfinite(np.asarray(leaf)).all()
         losses.append(float(loss))
     np.testing.assert_allclose(losses[0], losses[1], rtol=1e-5)
+
+
+def test_sharded_hscn_virtual_feedback_matches_flax():
+    """quirk #17 extension: with hscn.virtual_feedback the v->l
+    projection makes the virtual pathway live.  The sharded program
+    (replicated virtual nodes -> communication-free gather by cluster)
+    must equal the flax model with mapped weights, and the feedback must
+    actually change the output (the pathway is no longer inert)."""
+    b, plan, n = _setup()
+    mesh = make_mesh(("data",), (D,))
+    L = 2
+    params = init_sharded_hscn_params(jax.random.PRNGKey(5),
+                                      num_features=14, hidden=HID,
+                                      num_classes=21, num_layers=L,
+                                      virtual_feedback=True)
+    forward, _ = make_sharded_hscn(mesh, K)
+
+    xb, mb, cb = shard_node_blocks(
+        mesh, D, np.asarray(b.node_feat), np.asarray(b.node_mask),
+        np.asarray(b.cluster))
+    out = np.asarray(forward(params, xb, mb, cb, plan)).reshape(n, -1)
+
+    flax_model = HSCN(lv_conv="gat", ll_conv="gcn", vv_conv="gcn",
+                      activation="relu", hidden_channels=HID,
+                      num_classes=21, num_layers=L, num_clusters=K,
+                      vv_pattern="triangular", readout="none",
+                      virtual_feedback=True)
+    ref = np.asarray(flax_model.apply(_map_params(params, L), b,
+                                      train=False))
+    mask = np.asarray(b.node_mask)
+    np.testing.assert_allclose(out[mask], ref[mask], rtol=2e-4, atol=2e-4)
+
+    # Inertness is broken by the feedback: dropping the vl params from
+    # the same pytree (no-feedback program) changes the output.
+    params_nofb = {
+        "layers": [{k: v for k, v in layer.items() if k != "vl"}
+                   for layer in params["layers"]],
+        "head": params["head"]}
+    out_nofb = np.asarray(forward(params_nofb, xb, mb, cb,
+                                  plan)).reshape(n, -1)
+    assert not np.allclose(out[mask], out_nofb[mask])
