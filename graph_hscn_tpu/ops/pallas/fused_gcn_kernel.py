@@ -40,7 +40,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_PREC = jax.lax.Precision.DEFAULT
+# Follows jax_default_matmul_precision at trace time (parity configs pin
+# `runtime.matmul_precision: highest`; the fused stack must honor it the
+# same way the unfused XLA path does — round-5 fix: the 24x24 GCN parity
+# study regressed because the fused kernel silently ran bf16 MXU passes
+# under a config that pinned f32-exact matmuls).
+from graph_hscn_tpu.ops.pallas.spmm_kernel import resolve_precision
 
 
 def _fwd_kernel(adj_ref, x_ref, *refs, num_layers: int, rate: float = 0.0,
@@ -71,11 +76,11 @@ def _fwd_kernel(adj_ref, x_ref, *refs, num_layers: int, rate: float = 0.0,
     for l in range(L):
         y = jax.lax.dot_general(h, ws[l][:], (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32,
-                                precision=_PREC)
+                                precision=resolve_precision())
         z = jax.lax.dot_general(a, y.astype(cd),
                                 (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32,
-                                precision=_PREC)
+                                precision=resolve_precision())
         z = z + bs[l][:]
         if l < L - 1:
             h = jnp.maximum(z, 0.0)
@@ -124,14 +129,14 @@ def _bwd_kernel(adj_ref, x_ref, *refs, num_layers: int, rate: float = 0.0):
         dy = jax.lax.dot_general(a, dz.astype(cd),
                                  (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32,
-                                 precision=_PREC)         # A^T dz
+                                 precision=resolve_precision())         # A^T dz
         dyc = dy.astype(cd)
         dws[l][:] += jax.lax.dot_general(
             h_prev, dyc, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_PREC)
+            preferred_element_type=jnp.float32, precision=resolve_precision())
         dh = jax.lax.dot_general(dyc, ws[l][:], (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32,
-                                 precision=_PREC)         # dy W^T
+                                 precision=resolve_precision())         # dy W^T
         if l > 0:
             # acts are POST-dropout: h_post > 0 iff kept and z > 0; kept
             # values carry the 1/(1-p) scale, so this is mask ∘ relu'.

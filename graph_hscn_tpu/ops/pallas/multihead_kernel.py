@@ -39,7 +39,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from graph_hscn_tpu.ops.pallas.spmm_kernel import (SpmmPlanArrays,
-                                                   _PRECISION,
+                                                   resolve_precision,
                                                    resolve_interpret)
 
 
@@ -74,7 +74,7 @@ def _spmm_mh_kernel(ws_ref, wr_ref, snd_rel_ref, rcv_rel_ref, w_ref, x_ref,
     msgs = jax.lax.dot_general(
         g_onehot, x_win, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=_PRECISION)                                 # [TE, H*C]
+        precision=resolve_precision())                                 # [TE, H*C]
 
     # Per-head weight broadcast: alpha^T S^T as one dot_general —
     # [H, TE] x [H*C, H] contracting the H axes -> [TE, H*C].
@@ -82,14 +82,14 @@ def _spmm_mh_kernel(ws_ref, wr_ref, snd_rel_ref, rcv_rel_ref, w_ref, x_ref,
     w_exp = jax.lax.dot_general(
         alpha.astype(jnp.float32), sel, (((0,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=_PRECISION)                                 # [TE, H*C]
+        precision=resolve_precision())                                 # [TE, H*C]
     weighted = (msgs * w_exp).astype(x_ref.dtype)
 
     p_onehot = (rcv_rel[:, None] == iota).astype(x_ref.dtype)
     partial = jax.lax.dot_general(
         p_onehot, weighted, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=_PRECISION)                                 # [W, H*C]
+        precision=resolve_precision())                                 # [W, H*C]
 
     cur = out_ref[pl.ds(wr, window), :]
     out_ref[pl.ds(wr, window), :] = cur + partial
@@ -149,10 +149,10 @@ def _sddmm_mh_kernel(ws_ref, wr_ref, snd_rel_ref, rcv_rel_ref, hs_ref,
     g2 = (rcv_rel[:, None] == iota).astype(hd_ref.dtype)
     a = jax.lax.dot_general(g1, hs_win, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
-                            precision=_PRECISION)             # [TE, H*C]
+                            precision=resolve_precision())             # [TE, H*C]
     b = jax.lax.dot_general(g2, hd_win, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
-                            precision=_PRECISION)             # [TE, H*C]
+                            precision=resolve_precision())             # [TE, H*C]
     prod = a * b
     # Per-head block sums as a selector matmul: [H*C, H] x [TE, H*C]
     # contracting H*C -> [H, TE] (matches the out block layout).
@@ -160,7 +160,7 @@ def _sddmm_mh_kernel(ws_ref, wr_ref, snd_rel_ref, rcv_rel_ref, hs_ref,
     out_ref[0] = jax.lax.dot_general(
         sel, prod, (((0,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=_PRECISION)                                 # [H, TE]
+        precision=resolve_precision())                                 # [H, TE]
 
 
 def _sddmm_mh_call(h_src, h_dst, ws, wr, snd_rel, rcv_rel, heads: int,

@@ -25,7 +25,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from graph_hscn_tpu.ops.pallas.spmm_kernel import (SpmmPlanArrays,
-                                                   _PRECISION,
+                                                   resolve_precision,
                                                    resolve_interpret)
 
 
@@ -48,10 +48,10 @@ def _sddmm_kernel(ws_ref, wr_ref, snd_rel_ref, rcv_rel_ref, hs_ref, hd_ref,
     g2 = (rcv_rel[:, None] == iota).astype(hd_ref.dtype)
     a = jax.lax.dot_general(g1, hs_win, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
-                            precision=_PRECISION)          # [TE, F]
+                            precision=resolve_precision())          # [TE, F]
     b = jax.lax.dot_general(g2, hd_win, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
-                            precision=_PRECISION)          # [TE, F]
+                            precision=resolve_precision())          # [TE, F]
     out_ref[0, 0] = jnp.sum(a * b, axis=-1)
 
 
@@ -136,10 +136,10 @@ def _sddmm_hbm_kernel(ws_ref, wr_ref, snd_rel_ref, rcv_rel_ref, hs_hbm,
     g2 = (rcv_rel[:, None] == iota).astype(hd_win.dtype)
     a = jax.lax.dot_general(g1, hs_win, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
-                            precision=_PRECISION)
+                            precision=resolve_precision())
     b = jax.lax.dot_general(g2, hd_win, (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32,
-                            precision=_PRECISION)
+                            precision=resolve_precision())
     out_ref[0, 0] = jnp.sum(a * b, axis=-1)
 
 
@@ -201,7 +201,7 @@ def _segment_reduce_kernel(wr_ref, rcv_rel_ref, msgs_ref, out_ref, *,
     partial = jax.lax.dot_general(
         p_onehot, msgs, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=_PRECISION)                              # [WR, F]
+        precision=resolve_precision())                              # [WR, F]
     cur = out_ref[pl.ds(wr, window), :]
     out_ref[pl.ds(wr, window), :] = cur + partial
 

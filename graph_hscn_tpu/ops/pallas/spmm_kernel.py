@@ -47,15 +47,26 @@ TILE_EDGES = 256
 WINDOW = 1024           # both sender and receiver windows
 VMEM_X_BUDGET = 6 * 1024 * 1024
 
-# DEFAULT (bf16 MXU passes) is ~2x faster; HIGHEST makes the one-hot
-# matmuls exact in f32 (use set_precision for parity runs — the parity
-# harness itself uses the XLA path, which is always exact).
-_PRECISION = jax.lax.Precision.DEFAULT
+# Matmul precision: None follows jax_default_matmul_precision at trace
+# time (so `runtime.matmul_precision: highest` reaches the kernels, not
+# just the XLA paths — parity configs pin it and the kernels must not
+# silently run bf16 MXU passes underneath); set_precision() overrides
+# explicitly.  DEFAULT (bf16 passes) is ~2x faster and is what the
+# unpinned configs get.
+_PRECISION = None
 
 
 def set_precision(p) -> None:
     global _PRECISION
     _PRECISION = p
+
+
+def resolve_precision():
+    """Trace-time matmul precision for the Pallas kernels."""
+    if _PRECISION is not None:
+        return _PRECISION
+    p = jax.config.jax_default_matmul_precision
+    return jax.lax.Precision(p) if p else jax.lax.Precision.DEFAULT
 
 
 def resolve_interpret(interpret: bool | None) -> bool:
@@ -213,12 +224,12 @@ def _tile_partial(snd_rel, rcv_rel, w, x_win, window):
     msgs = jax.lax.dot_general(
         g_onehot, x_win, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=_PRECISION)                                 # [TE, F]
+        precision=resolve_precision())                                 # [TE, F]
     p_onehot = (rcv_rel[:, None] == iota).astype(x_win.dtype)
     return jax.lax.dot_general(
         p_onehot, msgs.astype(x_win.dtype), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=_PRECISION)                                 # [WR, F]
+        precision=resolve_precision())                                 # [WR, F]
 
 
 def _spmm_kernel(ws_ref, wr_ref, snd_rel_ref, rcv_rel_ref, w_ref, x_ref,

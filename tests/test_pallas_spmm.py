@@ -401,3 +401,24 @@ def test_gather_scatter_routes_giant_to_out_streamed(monkeypatch):
     assert called.get("stream_out") is True
     np.testing.assert_allclose(np.asarray(out), np.asarray(xla_ref(x, b)),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_resolve_precision_follows_config():
+    """The kernels' matmul precision must follow
+    jax_default_matmul_precision at trace time (runtime.matmul_precision
+    pins it in parity configs — round-5 fix: the fused stack silently ran
+    bf16 MXU passes under a highest-pinned config, shifting the 24x24
+    GCN parity study's framework mean)."""
+    from graph_hscn_tpu.ops.pallas import spmm_kernel as sk
+    prev = jax.config.jax_default_matmul_precision
+    try:
+        jax.config.update("jax_default_matmul_precision", "highest")
+        assert sk.resolve_precision() == jax.lax.Precision.HIGHEST
+        jax.config.update("jax_default_matmul_precision", "default")
+        assert sk.resolve_precision() == jax.lax.Precision.DEFAULT
+        # Explicit override wins.
+        sk.set_precision(jax.lax.Precision.HIGHEST)
+        assert sk.resolve_precision() == jax.lax.Precision.HIGHEST
+    finally:
+        sk.set_precision(None)
+        jax.config.update("jax_default_matmul_precision", prev)
