@@ -255,9 +255,15 @@ class HSCN(nn.Module):
                 # virtual state through a linear map (bipartite conv with
                 # in-degree 1 per local node; no normalization needed).
                 # Replicated virtual nodes make this communication-free
-                # on edge-partitioned meshes.
-                vl = nn.Dense(self.hidden_channels, kernel_init=glorot,
-                              dtype=self.dtype, name=f"VLDense_{_l}")
+                # on edge-partitioned meshes.  ZERO-init: at init the
+                # model equals the reference-faithful one exactly and
+                # training grows the channel only where it helps (a
+                # glorot-init feedback measurably hurt — random virtual
+                # projections wash out the local stream; see
+                # artifacts/VFB_STUDY_R5.json ablation).
+                vl = nn.Dense(self.hidden_channels, kernel_init=zeros,
+                              bias_init=zeros, dtype=self.dtype,
+                              name=f"VLDense_{_l}")
                 x_l_new = x_l_new + vl(x_v)[vid]
             x_l = nn.relu(x_l_new)
             x_v = nn.relu(lv_out + vv_out)

@@ -80,7 +80,11 @@ def init_sharded_hscn_params(rng, num_features: int, hidden: int,
                    "bias": jnp.zeros((hidden,))},
         }
         if virtual_feedback:
-            layer["vl"] = {"kernel": glorot(k7, (f_in, hidden)),
+            # ZERO-init (models/hscn.py VLDense): the feedback channel
+            # starts as the identity-to-reference model and is grown by
+            # training only where it helps.
+            del k7  # key reserved to keep the other draws stable
+            layer["vl"] = {"kernel": jnp.zeros((f_in, hidden)),
                            "bias": jnp.zeros((hidden,))}
         layers.append(layer)
         f_in = hidden

@@ -783,3 +783,24 @@ def test_framework_hscn_mirrors_virtual_inertness():
     o0 = m0.apply({"params": params}, batch, train=False)
     o1 = m1.apply({"params": params}, batch, train=False)
     np.testing.assert_array_equal(np.asarray(o0), np.asarray(o1))
+
+
+def test_virtual_feedback_zero_init_is_identity():
+    """hscn.virtual_feedback is a strict superset at init: the VLDense
+    projections are ZERO-initialized, so an untrained feedback model
+    computes exactly the reference-faithful forward (training then grows
+    the channel only where it helps — a glorot-init feedback measurably
+    hurt, artifacts/VFB_STUDY_R5.json ablation)."""
+    from graph_hscn_tpu.models.hscn import HSCN
+    graphs = _parity_graphs(num=3, clusters=3, seed=9)
+    batch = _pack(graphs)
+    kw = dict(lv_conv="GAT", ll_conv="GCN", vv_conv="GCN",
+              activation="relu", hidden_channels=8, num_classes=4,
+              num_layers=2, num_clusters=3, vv_pattern="triangular")
+    m_fb = HSCN(**kw, virtual_feedback=True)
+    m_base = HSCN(**kw)
+    p_fb = m_fb.init(jax.random.PRNGKey(4), batch, train=False)["params"]
+    out_fb = m_fb.apply({"params": p_fb}, batch, train=False)
+    p_base = {k: v for k, v in p_fb.items() if not k.startswith("VLDense")}
+    out_base = m_base.apply({"params": p_base}, batch, train=False)
+    np.testing.assert_array_equal(np.asarray(out_fb), np.asarray(out_base))

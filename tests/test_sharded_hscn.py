@@ -134,6 +134,16 @@ def test_sharded_hscn_virtual_feedback_matches_flax():
                                       num_features=14, hidden=HID,
                                       num_classes=21, num_layers=L,
                                       virtual_feedback=True)
+    # vl is ZERO-init (the feedback starts as the base model); fill it
+    # with random values to exercise the trained-state program path.
+    rng = np.random.default_rng(11)
+    for layer in params["layers"]:
+        layer["vl"]["kernel"] = jnp.asarray(
+            rng.normal(size=layer["vl"]["kernel"].shape)
+            .astype(np.float32) * 0.3)
+        layer["vl"]["bias"] = jnp.asarray(
+            rng.normal(size=layer["vl"]["bias"].shape)
+            .astype(np.float32) * 0.1)
     forward, _ = make_sharded_hscn(mesh, K)
 
     xb, mb, cb = shard_node_blocks(
