@@ -308,3 +308,35 @@ def test_sharded_scn_hscn_bf16_track_f32():
     for g in jax.tree_util.tree_leaves(hg16):
         assert np.asarray(g).dtype == np.float32
         assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_sharded_hscn_bf16_with_virtual_feedback():
+    """bf16 + virtual_feedback compose: the vl projection runs in the
+    compute dtype, the forward stays f32 at the logits, tracks the f32
+    build, and psum'd grads (incl. the vl leaves) are finite f32."""
+    from graph_hscn_tpu.parallel.sharded_gcn import shard_node_blocks
+    from graph_hscn_tpu.parallel.sharded_hscn import (
+        init_sharded_hscn_params, make_sharded_hscn)
+    mesh, plan, xb, yb, okb, n, b = _sharded_setup()
+    D, K = 8, 4
+    rng = np.random.default_rng(1)
+    clust = rng.integers(0, K, size=n).astype(np.int32)
+    (cb,) = shard_node_blocks(mesh, D, clust)
+    hp = init_sharded_hscn_params(jax.random.PRNGKey(4), 14, 16, 21, 2,
+                                  virtual_feedback=True)
+    for layer in hp["layers"]:    # zero-init -> fill to exercise the path
+        layer["vl"]["kernel"] = jnp.asarray(
+            rng.normal(size=layer["vl"]["kernel"].shape)
+            .astype(np.float32) * 0.2)
+    fw32, vg32 = make_sharded_hscn(mesh, K)
+    fw16, vg16 = make_sharded_hscn(mesh, K, dtype=jnp.bfloat16)
+    o_32 = np.asarray(fw32(hp, xb, okb, cb, plan)).reshape(n, -1)
+    o_16 = np.asarray(fw16(hp, xb, okb, cb, plan)).reshape(n, -1)
+    assert o_16.dtype == np.float32
+    m = np.asarray(b.node_mask)
+    np.testing.assert_allclose(o_16[m], o_32[m], rtol=0.15, atol=0.2)
+    l16, g16 = vg16(hp, xb, okb, cb, plan, yb, okb)
+    assert np.isfinite(float(l16))
+    for g in jax.tree_util.tree_leaves(g16):
+        assert np.asarray(g).dtype == np.float32
+        assert np.all(np.isfinite(np.asarray(g)))
