@@ -254,6 +254,16 @@ def _use_fused_stack(cfg: ExperimentConfig, dm, node_level: bool) -> bool:
             raise ValueError("fused_stack requested but config ineligible "
                              "(needs gcn+relu+dense slots)")
         return True
+    # "auto": route by config intent.  matmul_precision: highest marks an
+    # accuracy-pinned (reference-parity) run — take the conservative
+    # unfused XLA path there: two independent 24-seed fused studies sat
+    # ~0.010 below the unfused arm on peptides-func AP (not resolvable at
+    # affordable n, both kernels verified op-exact; BASELINE.md round-5),
+    # and a parity claim should not ride an unresolved distributional
+    # question for a ~5% epoch win.  Perf-oriented (unpinned) configs and
+    # explicit `fused_stack: on` keep the fused kernels.
+    if cfg.runtime.matmul_precision == "highest":
+        return False
     import jax as _jax
     return eligible and _jax.default_backend() == "tpu"
 

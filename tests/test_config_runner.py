@@ -235,3 +235,41 @@ def test_multihost_auto_is_noop_without_coordinator(monkeypatch):
     assert profiling.maybe_init_distributed("auto") is True
     assert calls == {"coordinator_address": "10.0.0.1:1234",
                      "num_processes": 4, "process_id": 2}
+
+
+def test_fused_auto_routing_respects_precision_pin():
+    """`fused_stack: auto` routes accuracy-pinned configs
+    (matmul_precision: highest — the parity configs) to the unfused XLA
+    path; unpinned configs stay kernel-eligible, and explicit "on"
+    overrides the pin (BASELINE.md round-5: an unresolved ~0.01
+    distributional question must not ride under a parity claim)."""
+    from graph_hscn_tpu.config.config import parse_config
+    from graph_hscn_tpu.data.pipeline import DataModule
+    from graph_hscn_tpu.runner import _use_fused_stack
+
+    base = {
+        "data": {"dataset_name": "peptides_func", "batch_size": 8,
+                 "num_graphs": 16},
+        "mp": {"conv_type": "gcn", "activation": "relu",
+               "hidden_channels": 8, "num_layers": 2},
+        "training": {"model_type": "gcn", "use_wandb": False,
+                     "loss_fn": "cross_entropy", "metric": "ap",
+                     "max_epochs": 1},
+    }
+    cfg = parse_config(dict(base,
+                            runtime={"matmul_precision": "highest"}))
+    dm = DataModule.from_config(cfg.data)
+    dm.enable_dense_slots()
+    assert dm.slot_nodes is not None
+    assert _use_fused_stack(cfg, dm, node_level=False) is False
+
+    cfg_on = parse_config(dict(base,
+                               runtime={"matmul_precision": "highest",
+                                        "fused_stack": "on"}))
+    assert _use_fused_stack(cfg_on, dm, node_level=False) is True
+
+    # Unpinned auto keeps kernel eligibility (True iff on TPU).
+    import jax as _jax
+    cfg_auto = parse_config(dict(base))
+    expected = _jax.default_backend() == "tpu"
+    assert _use_fused_stack(cfg_auto, dm, node_level=False) is expected
