@@ -233,8 +233,18 @@ def seed_study_stats(rv: list, fv: list, gate: float,
             else "lower_is_better"
         out["framework_advantage"] = _f(adv)
         out["meets_or_beats"] = bool(adv >= -gate)
+        ci_lo, ci_hi = dom - hw, dom + hw
+        ci_touches_parity = bool(np.isfinite(hw)
+                                 and ci_lo <= gate and ci_hi >= -gate)
         if abs(dom) <= gate:
             out["verdict"] = "parity"
+        elif ci_touches_parity:
+            # The point estimate sits outside the gate but the study
+            # cannot distinguish it from parity — say that, with the
+            # direction as a hint, instead of a hard better/worse call.
+            out["verdict"] = ("consistent_with_parity"
+                              + ("_framework_above" if adv > 0
+                                 else "_framework_below"))
         elif adv > 0:
             out["verdict"] = "framework_better"
         else:
