@@ -30,8 +30,8 @@ GATE = 0.005
 #  order], scope note)
 ENTRIES = [
     ("peptides_func/gcn", "test AP", True,
-     ["PARITY_GCN_NOFUSED_R5.json"],
-     "24x24 seeds at 512 graphs on the SHIPPED default path for this "
+     ["PARITY_GCN_NOFUSED_R5.json", "PARITY_GCN_NOFUSED_R5_EXT.json?"],
+     "512 graphs, SHIPPED default path for this "
      "accuracy-pinned config (matmul_precision: highest routes "
      "fused_stack auto to the unfused XLA stack; runner._use_fused_stack)"
      ".  The fused-kernel studies that motivated that routing are kept "
@@ -40,14 +40,15 @@ ENTRIES = [
      "-0.0169) — both ~0.010 below this arm, not resolvable at "
      "affordable n with per-op-exact kernels (BASELINE.md round-5)"),
     ("peptides_func/gat", "test AP", True,
-     ["PARITY_GAT_R4.json", "PARITY_GAT_R5_EXT.json?"],
-     "8x8 seeds at 512 graphs; SCOPE: heads=1 both sides — the only GAT "
+     ["PARITY_GAT_R4.json", "PARITY_GAT_R5_EXT.json?",
+      "PARITY_GAT_R5_EXT2.json?"],
+     "512 graphs; SCOPE: heads=1 both sides — the only GAT "
      "the reference can express (PyG default); the multi-head kernels "
      "rest on unit tests (tests/test_multihead_kernel.py, "
      "test_sharded_gat.py), not an executed-reference comparison"),
     ("peptides_struct/gcn", "test MAE", False,
      ["PARITY_STRUCT_XLA_R5.json", "PARITY_STRUCT_XLA_R5_EXT.json"],
-     "16x16 seeds at 256 graphs on the accuracy-pinned path "
+     "256 graphs on the accuracy-pinned path "
      "(matmul_precision: highest -> unfused XLA stack).  MAE is "
      "low-variance for most seeds, but the framework's seed draw has "
      "occasional high-MAE tail events (1/16 here at 0.959; the earlier "
@@ -55,7 +56,8 @@ ENTRIES = [
      "0.987 — normal val loss, elevated sigmoid-MAE, quirk #10 "
      "scoring); tail seeds are kept, not trimmed"),
     ("peptides_func/hscn", "test AP", True,
-     ["PARITY_HSCN_R5.json", "PARITY_HSCN_R5_EXT.json?"],
+     ["PARITY_HSCN_R5.json", "PARITY_HSCN_R5_EXT.json?",
+      "PARITY_HSCN_R5_EXT2.json?"],
      "turnkey `make parity MODEL=hscn`: framework trained/evaluated on "
      "the reference's EFFECTIVE (scrambled) splits derived automatically "
      "from the npz split indices (quirk #16); true-splits run recorded "
@@ -65,8 +67,9 @@ ENTRIES = [
      "compat-faithful study PARITY_HSCN_COMPAT_R5.json reproduces these "
      "per-seed APs bit-identically"),
     ("peptides_func/gcn+signnet_pe", "test AP", True,
-     ["PARITY_GCN_PE_XLA_R5.json", "PARITY_GCN_PE_XLA_R5_EXT.json"],
-     "16x16 seeds at 512 graphs with the SignNet PE subsystem ON on "
+     ["PARITY_GCN_PE_XLA_R5.json", "PARITY_GCN_PE_XLA_R5_EXT.json",
+      "PARITY_GCN_PE_XLA_R5_EXT2.json?"],
+     "512 graphs with the SignNet PE subsystem ON on "
      "both sides (reference PE path executed under the documented "
      "ACT_DICT amendment, quirk #5; frozen-random encoder per quirk #6 "
      "with the torch init family on the framework side), framework on "
