@@ -47,7 +47,8 @@ ENTRIES = [
      "rest on unit tests (tests/test_multihead_kernel.py, "
      "test_sharded_gat.py), not an executed-reference comparison"),
     ("peptides_struct/gcn", "test MAE", False,
-     ["PARITY_STRUCT_XLA_R5.json", "PARITY_STRUCT_XLA_R5_EXT.json"],
+     ["PARITY_STRUCT_XLA_R5.json", "PARITY_STRUCT_XLA_R5_EXT.json",
+      "PARITY_STRUCT_XLA_R5_EXT2.json?"],
      "256 graphs on the accuracy-pinned path "
      "(matmul_precision: highest -> unfused XLA stack).  MAE is "
      "low-variance for most seeds, but the framework's seed draw has "
@@ -57,7 +58,7 @@ ENTRIES = [
      "scoring); tail seeds are kept, not trimmed"),
     ("peptides_func/hscn", "test AP", True,
      ["PARITY_HSCN_R5.json", "PARITY_HSCN_R5_EXT.json?",
-      "PARITY_HSCN_R5_EXT2.json?"],
+      "PARITY_HSCN_R5_EXT2.json?", "PARITY_HSCN_R5_EXT3.json?"],
      "turnkey `make parity MODEL=hscn`: framework trained/evaluated on "
      "the reference's EFFECTIVE (scrambled) splits derived automatically "
      "from the npz split indices (quirk #16); true-splits run recorded "
