@@ -104,6 +104,31 @@ def main():
     logger.info(f"giant-graph HSCN pipeline: val F1 "
                 f"{giant_result.history[-1].get('validation_perf', 0):.3f}")
 
+    # ---- Bonus 2: the virtual->local feedback channel --------------------
+    # The reference's HSCN never routes information back from virtual to
+    # local nodes, so its virtual pathway cannot affect predictions
+    # (quirk #17, proven by execution).  hscn.virtual_feedback adds the
+    # missing per-layer v->l projection, ZERO-initialized: at init this
+    # model IS the reference-faithful one, and training grows the channel
+    # only where it helps (+0.012 mean AP in the 16-seed A/B study,
+    # artifacts/VFB_STUDY_R5.json).
+    fb = parse_config({
+        "data": {"dataset_name": "peptides_func", "batch_size": 8,
+                 "num_graphs": 32},
+        "hscn": {"activation": "relu", "hidden_channels": 8,
+                 "num_layers": 2, "num_clusters": 3, "cluster_epochs": 2,
+                 "mp_units": [8], "virtual_feedback": True},
+        "optim": {"optim_type": "adamW", "lr": 0.01,
+                  "weight_decay": 5e-4},
+        "training": {"model_type": "hscn", "use_wandb": False,
+                     "loss_fn": "cross_entropy", "metric": "ap",
+                     "max_epochs": 4, "eval_period": 2, "min_delta": 0.0,
+                     "patience": 50},
+    })
+    fb_result = run_experiment(fb)
+    logger.info(f"HSCN with virtual feedback: val AP "
+                f"{fb_result.history[-1].get('validation_perf', 0):.3f}")
+
 
 if __name__ == "__main__":
     main()
