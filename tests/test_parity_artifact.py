@@ -109,3 +109,58 @@ def test_reuse_ref_artifact_data_key_guard(tmp_path):
              "JAX_PLATFORMS": "cpu", "HOME": "/root"})
     assert proc.returncode != 0
     assert "data mismatch" in (proc.stderr + proc.stdout)
+
+
+def test_matrix_builder_merges_and_pools(tmp_path, monkeypatch):
+    """build_parity_matrix merges base+extension artifacts per entry,
+    emits CI-aware stats, and pools the signed AP deltas
+    (inverse-variance) across entries — MAE excluded."""
+    import importlib
+    sys.path.insert(0, str(REPO / "scripts"))
+    import build_parity_matrix as bpm
+    importlib.reload(bpm)
+
+    art = tmp_path / "artifacts"
+    art.mkdir()
+
+    def write(name, ref, fw):
+        (art / name).write_text(json.dumps({
+            "reference_seed_runs": [
+                {"seed": i, "best_val_loss": 0.5, "test_metric": v}
+                for i, v in enumerate(ref)],
+            "framework_seed_runs": [
+                {"seed": i, "best_val_loss": 0.5, "test_metric": v}
+                for i, v in enumerate(fw)],
+            "provenance": {"amendments": ["test fixture"]},
+        }))
+
+    write("A.json", [0.40, 0.41, 0.42, 0.41], [0.40, 0.42, 0.41, 0.41])
+    write("A_EXT.json", [0.40, 0.42], [0.41, 0.40])
+    write("B.json", [0.90, 0.91, 0.92, 0.91], [0.90, 0.91, 0.91, 0.92])
+    monkeypatch.setattr(bpm, "REPO", tmp_path)
+    monkeypatch.setattr(bpm, "ENTRIES", [
+        ("x/ap_entry", "test AP", True,
+         ["A.json", "A_EXT.json?", "A_MISSING.json?"], "note a"),
+        ("x/ap_entry2", "test AP", True, ["A.json"], "note a2"),
+        ("x/mae_entry", "test MAE", False, ["B.json"], "note b"),
+        ("x/skipped", "test AP", True, ["NOPE.json"], "note c"),
+    ])
+    out = tmp_path / "m.json"
+    monkeypatch.setattr(sys, "argv", ["x", "--out", str(out)])
+    bpm.main()
+    m = json.loads(out.read_text())
+    assert set(m["entries"]) == {"x/ap_entry", "x/ap_entry2",
+                                 "x/mae_entry"}   # missing -> skipped
+    e = m["entries"]["x/ap_entry"]
+    assert e["reference"]["n"] == 6 and e["framework"]["n"] == 6  # merged
+    assert e["amendments"] == ["test fixture"]
+    for k in ("se_delta", "ci95_halfwidth", "verdict", "resolves_gate",
+              "meets_or_beats"):
+        assert k in e
+    pool = m["pooled_ap_bias"]
+    assert set(pool["studies"]) == {"x/ap_entry", "x/ap_entry2"}  # no MAE
+    assert pool["ci95_halfwidth"] > 0
+    # Inverse-variance: pooled delta lies between the entry deltas.
+    ds = sorted(m["entries"][k]["delta_of_means_signed"]
+                for k in pool["studies"])
+    assert ds[0] - 1e-12 <= pool["delta"] <= ds[-1] + 1e-12
