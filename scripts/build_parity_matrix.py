@@ -30,7 +30,8 @@ GATE = 0.005
 #  order], scope note)
 ENTRIES = [
     ("peptides_func/gcn", "test AP", True,
-     ["PARITY_GCN_NOFUSED_R5.json", "PARITY_GCN_NOFUSED_R5_EXT.json?"],
+     ["PARITY_GCN_NOFUSED_R5.json", "PARITY_GCN_NOFUSED_R5_EXT.json?",
+      "PARITY_GCN_NOFUSED_R5_EXT2.json?"],
      "512 graphs, SHIPPED default path for this "
      "accuracy-pinned config (matmul_precision: highest routes "
      "fused_stack auto to the unfused XLA stack; runner._use_fused_stack)"
@@ -41,7 +42,7 @@ ENTRIES = [
      "affordable n with per-op-exact kernels (BASELINE.md round-5)"),
     ("peptides_func/gat", "test AP", True,
      ["PARITY_GAT_R4.json", "PARITY_GAT_R5_EXT.json?",
-      "PARITY_GAT_R5_EXT2.json?"],
+      "PARITY_GAT_R5_EXT2.json?", "PARITY_GAT_R5_EXT3.json?"],
      "512 graphs; SCOPE: heads=1 both sides — the only GAT "
      "the reference can express (PyG default); the multi-head kernels "
      "rest on unit tests (tests/test_multihead_kernel.py, "
@@ -69,7 +70,8 @@ ENTRIES = [
      "per-seed APs bit-identically"),
     ("peptides_func/gcn+signnet_pe", "test AP", True,
      ["PARITY_GCN_PE_XLA_R5.json", "PARITY_GCN_PE_XLA_R5_EXT.json",
-      "PARITY_GCN_PE_XLA_R5_EXT2.json?"],
+      "PARITY_GCN_PE_XLA_R5_EXT2.json?",
+      "PARITY_GCN_PE_XLA_R5_EXT3.json?"],
      "512 graphs with the SignNet PE subsystem ON on "
      "both sides (reference PE path executed under the documented "
      "ACT_DICT amendment, quirk #5; frozen-random encoder per quirk #6 "
