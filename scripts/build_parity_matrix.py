@@ -59,7 +59,9 @@ ENTRIES = [
      "scoring); tail seeds are kept, not trimmed"),
     ("peptides_func/hscn", "test AP", True,
      ["PARITY_HSCN_R5.json", "PARITY_HSCN_R5_EXT.json?",
-      "PARITY_HSCN_R5_EXT2.json?", "PARITY_HSCN_R5_EXT3.json?"],
+      "PARITY_HSCN_R5_EXT2.json?", "PARITY_HSCN_R5_EXT3.json?",
+      "PARITY_HSCN_R5_EXT4.json?", "PARITY_HSCN_R5_EXT5.json?",
+      "PARITY_HSCN_R5_EXT6.json?", "PARITY_HSCN_R5_EXT7.json?"],
      "turnkey `make parity MODEL=hscn`: framework trained/evaluated on "
      "the reference's EFFECTIVE (scrambled) splits derived automatically "
      "from the npz split indices (quirk #16); true-splits run recorded "
